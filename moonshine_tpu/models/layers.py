@@ -1,0 +1,111 @@
+"""Functional layer primitives and parameter initializers.
+
+Parameters are plain nested-dict pytrees of ``jnp`` arrays.  Dense kernels
+are stored ``[in, out]`` (JAX convention); conv kernels ``[k, in, out]``
+(``WIO``).  The HF-checkpoint importer transposes torch layouts into these
+(see moonshine_tpu.weights).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+# -- initializers ----------------------------------------------------------
+
+def dense_init(rng, in_dim: int, out_dim: int, bias: bool = True, scale: float | None = None) -> Params:
+    k_rng, _ = jax.random.split(rng)
+    if scale is None:
+        scale = (1.0 / in_dim) ** 0.5
+    p: Params = {"w": jax.random.uniform(k_rng, (in_dim, out_dim), jnp.float32, -scale, scale)}
+    if bias:
+        p["b"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def conv1d_init(rng, k: int, in_ch: int, out_ch: int, bias: bool = True) -> Params:
+    scale = (1.0 / (in_ch * k)) ** 0.5
+    p: Params = {"w": jax.random.uniform(rng, (k, in_ch, out_ch), jnp.float32, -scale, scale)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def norm_init(dim: int, bias: bool = False) -> Params:
+    p: Params = {"scale": jnp.ones((dim,), jnp.float32)}
+    if bias:
+        p["bias"] = jnp.zeros((dim,), jnp.float32)
+    return p
+
+
+# -- apply ----------------------------------------------------------------
+
+def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv1d(p: Params, x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Valid strided conv.  x: [B, N, C_in] -> [B, T, C_out]."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the last axis; no bias unless present (HF bias=False)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y.astype(x.dtype)
+
+
+def group_norm_all(p: Params, x: jnp.ndarray, mask: jnp.ndarray | None, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm with a single group over [T, C] per sample.
+
+    x: [B, T, C].  mask: optional [B, T] validity mask — when given, the
+    statistics cover only valid frames so batched padded inference matches
+    unpadded batch-1 numerics exactly (unlike naive padded GroupNorm).
+    """
+    xf = x.astype(jnp.float32)
+    if mask is None:
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    else:
+        m = mask.astype(jnp.float32)[:, :, None]
+        denom = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
+        mean = jnp.sum(xf * m, axis=(1, 2), keepdims=True) / denom
+        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 2), keepdims=True) / denom
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"] + p["bias"]
+    return y.astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.functional.gelu default is the exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.silu(x)
+
+
+ACTIVATIONS = {"gelu": gelu, "silu": silu, "tanh": jnp.tanh, "relu": jax.nn.relu}

@@ -1,0 +1,408 @@
+"""TPU-native Moonshine encoder/decoder (non-streaming family).
+
+Covers the reference's ``MoonshineModel`` capability (reference:
+core/moonshine-model.h:17-108): encoder over the raw waveform and a
+KV-cached autoregressive decoder.  The design is one pure-functional JAX
+model rather than two ONNX sessions: layer parameters are stacked on a
+leading axis and traversed with ``lax.scan`` so compilation cost is
+per-layer-count-independent, KV caches are fixed-capacity on-HBM arrays
+updated in place with ``dynamic_update_slice``, and every entry point is
+shape-static and jittable.
+
+Architecture parity target is the published Moonshine checkpoints
+(HF ``MoonshineForConditionalGeneration``): strided-conv raw-audio
+frontend, rotary transformer encoder (pre-LN, GELU MLP), decoder with
+rotary causal self-attention, rope-free cross-attention and SwiGLU MLP,
+tied embedding/output projection.  ``tests/test_hf_parity.py`` asserts
+logit-level agreement against randomly-initialized torch references.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import MoonshineArchConfig
+from ..ops.rotary import apply_rotary, rotary_tables
+from .layers import (
+    ACTIVATIONS,
+    Params,
+    conv1d,
+    conv1d_init,
+    dense,
+    dense_init,
+    group_norm_all,
+    layer_norm,
+    norm_init,
+)
+
+NEG_INF = -1e9  # large-negative mask value; avoids NaN from (-inf) - (-inf)
+
+
+# =========================================================================
+# Parameter initialization
+# =========================================================================
+
+def _attn_init(rng, dim: int, heads: int, head_dim: int, bias: bool) -> Params:
+    r = jax.random.split(rng, 4)
+    return {
+        "q": dense_init(r[0], dim, heads * head_dim, bias=bias),
+        "k": dense_init(r[1], dim, heads * head_dim, bias=bias),
+        "v": dense_init(r[2], dim, heads * head_dim, bias=bias),
+        "o": dense_init(r[3], heads * head_dim, dim, bias=False),
+    }
+
+
+def _encoder_layer_init(rng, cfg: MoonshineArchConfig) -> Params:
+    r = jax.random.split(rng, 3)
+    d = cfg.hidden_size
+    return {
+        "ln1": norm_init(d),
+        "attn": _attn_init(r[0], d, cfg.encoder_heads, cfg.head_dim, cfg.attention_bias),
+        "ln2": norm_init(d),
+        "mlp": {
+            "fc1": dense_init(r[1], d, cfg.intermediate_size),
+            "fc2": dense_init(r[2], cfg.intermediate_size, d),
+        },
+    }
+
+
+def _decoder_layer_init(rng, cfg: MoonshineArchConfig) -> Params:
+    r = jax.random.split(rng, 4)
+    d = cfg.hidden_size
+    return {
+        "ln1": norm_init(d),
+        "self_attn": _attn_init(r[0], d, cfg.decoder_heads, cfg.head_dim, cfg.attention_bias),
+        "ln2": norm_init(d),
+        "cross_attn": _attn_init(r[1], d, cfg.decoder_heads, cfg.head_dim, cfg.attention_bias),
+        "ln3": norm_init(d),
+        "mlp": {
+            "fc1": dense_init(r[2], d, cfg.intermediate_size * 2),
+            "fc2": dense_init(r[3], cfg.intermediate_size, d),
+        },
+    }
+
+
+def _stack_layers(layer_params: list[Params]) -> Params:
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layer_params)
+
+
+def init_params(cfg: MoonshineArchConfig, rng: jax.Array) -> Params:
+    r = jax.random.split(rng, 8)
+    d = cfg.hidden_size
+    k1, k2, k3 = cfg.conv_kernels
+    frontend = {
+        "conv1": conv1d_init(r[0], k1, 1, d, bias=False),
+        "gn": {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)},
+        "conv2": conv1d_init(r[1], k2, d, 2 * d, bias=True),
+        "conv3": conv1d_init(r[2], k3, 2 * d, d, bias=True),
+    }
+    enc_layers = [_encoder_layer_init(k, cfg) for k in jax.random.split(r[3], cfg.encoder_layers)]
+    dec_layers = [_decoder_layer_init(k, cfg) for k in jax.random.split(r[4], cfg.decoder_layers)]
+    encoder = {"layers": _stack_layers(enc_layers), "norm": norm_init(d)}
+    decoder = {
+        "embed": jax.random.normal(r[5], (cfg.vocab_size, d), jnp.float32) * 0.02,
+        "layers": _stack_layers(dec_layers),
+        "norm": norm_init(d),
+    }
+    return {"frontend": frontend, "encoder": encoder, "decoder": decoder}
+
+
+# =========================================================================
+# Attention core
+# =========================================================================
+
+def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
+    # [B, S, H*hd] -> [B, S, H, hd]
+    b, s, _ = x.shape
+    return x.reshape(b, s, heads, -1)
+
+
+def _attention(
+    q: jnp.ndarray,  # [B, S, H, hd]
+    k: jnp.ndarray,  # [B, T, H, hd]
+    v: jnp.ndarray,  # [B, T, H, hd]
+    mask: jnp.ndarray | None,  # broadcastable to [B, H, S, T]; True = attend
+) -> jnp.ndarray:
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhst,bthd->bshd", weights, v, preferred_element_type=q.dtype)
+    return out
+
+
+def _attention_with_weights(q, k, v, mask):
+    """Same as _attention but also returns the softmax weights [B,H,S,T]
+    (used by DTW word alignment, reference: core/word-alignment.cpp)."""
+    head_dim = q.shape[-1]
+    scale = head_dim ** -0.5
+    logits = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", weights.astype(q.dtype), v, preferred_element_type=q.dtype)
+    return out, weights
+
+
+# =========================================================================
+# Frontend + encoder
+# =========================================================================
+
+def frontend_apply(
+    p: Params,
+    cfg: MoonshineArchConfig,
+    audio: jnp.ndarray,  # [B, N] float32 in [-1, 1]
+    lengths: jnp.ndarray | None = None,  # [B] int32 valid sample counts
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Strided-conv frontend: raw waveform -> [B, T, D] features + [B, T] mask."""
+    if cfg.frames_for_samples(audio.shape[-1]) < 1:
+        raise ValueError(
+            f"Audio too short: {audio.shape[-1]} samples yields no encoder "
+            f"frames (minimum {cfg.min_samples()} samples at 16 kHz)"
+        )
+    x = audio[..., None]  # [B, N, 1]
+    s1, s2, s3 = cfg.conv_strides
+    h = jnp.tanh(conv1d(p["conv1"], x, s1))
+    if lengths is not None:
+        k1 = cfg.conv_kernels[0]
+        l1 = jnp.maximum((lengths - k1) // s1 + 1, 0)
+        m1 = jnp.arange(h.shape[1])[None, :] < l1[:, None]
+    else:
+        m1 = None
+    h = group_norm_all(p["gn"], h, m1)
+    h = ACTIVATIONS["gelu"](conv1d(p["conv2"], h, s2))
+    h = ACTIVATIONS["gelu"](conv1d(p["conv3"], h, s3))
+    t = h.shape[1]
+    if lengths is not None:
+        valid = jax.vmap(lambda n: _frames_for_samples_traced(cfg, n))(lengths)
+        mask = jnp.arange(t)[None, :] < valid[:, None]
+    else:
+        mask = jnp.ones((h.shape[0], t), dtype=bool)
+    return h, mask
+
+
+def _frames_for_samples_traced(cfg: MoonshineArchConfig, n: jnp.ndarray) -> jnp.ndarray:
+    for k, s in zip(cfg.conv_kernels, cfg.conv_strides):
+        n = (n - k) // s + 1
+    return jnp.maximum(n, 0)
+
+
+def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask, eps):
+    x = layer_norm(lp["ln1"], h, eps)
+    a = lp["attn"]
+    q = _split_heads(dense(a["q"], x), cfg.encoder_heads)
+    k = _split_heads(dense(a["k"], x), cfg.encoder_kv_heads)
+    v = _split_heads(dense(a["v"], x), cfg.encoder_kv_heads)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+    o = _attention(q, k, v, mask)
+    h = h + dense(a["o"], o.reshape(o.shape[0], o.shape[1], -1))
+    x = layer_norm(lp["ln2"], h, eps)
+    act = ACTIVATIONS[cfg.encoder_hidden_act]
+    h = h + dense(lp["mlp"]["fc2"], act(dense(lp["mlp"]["fc1"], x)))
+    return h
+
+
+def encoder_apply(
+    p: Params,
+    cfg: MoonshineArchConfig,
+    features: jnp.ndarray,  # [B, T, D]
+    frame_mask: jnp.ndarray | None = None,  # [B, T]
+) -> jnp.ndarray:
+    """Rotary transformer encoder -> [B, T, D] hidden states."""
+    b, t, _ = features.shape
+    positions = jnp.arange(t)
+    cos, sin = rotary_tables(positions, cfg.rotary_dim, cfg.rope_theta)
+    if frame_mask is not None:
+        mask = frame_mask[:, None, None, :]  # [B,1,1,T] keys
+    else:
+        mask = None
+    eps = cfg.layer_norm_eps
+
+    def body(h, lp):
+        return _encoder_layer_apply(cfg, h, lp, cos, sin, mask, eps), None
+
+    h, _ = jax.lax.scan(body, features, p["layers"])
+    return layer_norm(p["norm"], h, eps)
+
+
+def encode(
+    params: Params,
+    cfg: MoonshineArchConfig,
+    audio: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """audio [B, N] -> (memory [B, T, D], frame_mask [B, T])."""
+    feats, mask = frontend_apply(params["frontend"], cfg, audio, lengths)
+    memory = encoder_apply(params["encoder"], cfg, feats, mask if lengths is not None else None)
+    return memory, mask
+
+
+# =========================================================================
+# Decoder with KV cache
+# =========================================================================
+
+class DecoderCache(NamedTuple):
+    """On-HBM decoder state threaded through jitted decode steps.
+
+    Mirrors the reference's streaming-state KV arrangement
+    (reference: core/moonshine-streaming-model.h:54-67) as fixed-capacity
+    device arrays: self-KV is a ring-capacity buffer indexed by ``cur_len``;
+    cross-KV is precomputed once per memory update.
+    """
+
+    k_self: jnp.ndarray  # [L, B, H, S_max, hd]
+    v_self: jnp.ndarray  # [L, B, H, S_max, hd]
+    cur_len: jnp.ndarray  # scalar int32
+    k_cross: jnp.ndarray  # [L, B, H, T, hd]
+    v_cross: jnp.ndarray  # [L, B, H, T, hd]
+    memory_mask: jnp.ndarray  # [B, T] bool
+
+
+def init_cache(
+    cfg: MoonshineArchConfig,
+    batch: int,
+    max_len: int,
+    k_cross: jnp.ndarray,
+    v_cross: jnp.ndarray,
+    memory_mask: jnp.ndarray,
+    dtype=jnp.float32,
+) -> DecoderCache:
+    shape = (cfg.decoder_layers, batch, cfg.decoder_kv_heads, max_len, cfg.head_dim)
+    return DecoderCache(
+        k_self=jnp.zeros(shape, dtype),
+        v_self=jnp.zeros(shape, dtype),
+        cur_len=jnp.zeros((), jnp.int32),
+        k_cross=k_cross,
+        v_cross=v_cross,
+        memory_mask=memory_mask,
+    )
+
+
+def compute_cross_kv(
+    p: Params, cfg: MoonshineArchConfig, memory: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute cross-attention K/V for all layers from encoder memory.
+
+    Counterpart of the reference's ``cross_kv.ort`` session (reference:
+    core/moonshine-streaming-model.cpp:744-806).  Returns [L, B, H, T, hd].
+    """
+
+    def body(_, lp):
+        a = lp["cross_attn"]
+        k = _split_heads(dense(a["k"], memory), cfg.decoder_kv_heads)
+        v = _split_heads(dense(a["v"], memory), cfg.decoder_kv_heads)
+        # [B, T, H, hd] -> [B, H, T, hd]
+        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+
+    _, (ks, vs) = jax.lax.scan(body, None, p["layers"])
+    return ks, vs
+
+
+def _decoder_layer_apply(cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cur_len, eps):
+    """One decoder layer over s new tokens with cache update.
+
+    k_l/v_l: [B, H, S_max, hd] self-KV cache slices for this layer.
+    Returns (h, k_l, v_l).
+    """
+    b, s, _ = h.shape
+    heads = cfg.decoder_heads
+    # Self-attention (rotary, causal over cache + new tokens)
+    x = layer_norm(lp["ln1"], h, eps)
+    a = lp["self_attn"]
+    q = _split_heads(dense(a["q"], x), heads)
+    k_new = _split_heads(dense(a["k"], x), cfg.decoder_kv_heads)
+    v_new = _split_heads(dense(a["v"], x), cfg.decoder_kv_heads)
+    q = apply_rotary(q, cos, sin)
+    k_new = apply_rotary(k_new, cos, sin)
+    # Write new K/V into the cache at [cur_len, cur_len + s).
+    k_l = jax.lax.dynamic_update_slice(k_l, k_new.transpose(0, 2, 1, 3).astype(k_l.dtype), (0, 0, cur_len, 0))
+    v_l = jax.lax.dynamic_update_slice(v_l, v_new.transpose(0, 2, 1, 3).astype(v_l.dtype), (0, 0, cur_len, 0))
+    o = _attention(q, k_l.transpose(0, 2, 1, 3).astype(q.dtype), v_l.transpose(0, 2, 1, 3).astype(q.dtype), self_mask)
+    h = h + dense(a["o"], o.reshape(b, s, -1))
+    return h, k_l, v_l
+
+
+def _decoder_cross_mlp_apply(cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_weights=False):
+    b, s, _ = h.shape
+    heads = cfg.decoder_heads
+    x = layer_norm(lp["ln2"], h, eps)
+    a = lp["cross_attn"]
+    q = _split_heads(dense(a["q"], x), heads)
+    kc = kc_l.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, T, H, hd]
+    vc = vc_l.transpose(0, 2, 1, 3).astype(q.dtype)
+    if collect_weights:
+        o, w = _attention_with_weights(q, kc, vc, cross_mask)
+    else:
+        o = _attention(q, kc, vc, cross_mask)
+        w = None
+    h = h + dense(a["o"], o.reshape(b, s, -1))
+    # SwiGLU MLP: fc1 -> (h, gate) -> silu(gate) * h -> fc2
+    x = layer_norm(lp["ln3"], h, eps)
+    up = dense(lp["mlp"]["fc1"], x)
+    hh, gate = jnp.split(up, 2, axis=-1)
+    act = ACTIVATIONS[cfg.decoder_hidden_act]
+    h = h + dense(lp["mlp"]["fc2"], act(gate) * hh)
+    return h, w
+
+
+def decoder_apply(
+    p: Params,
+    cfg: MoonshineArchConfig,
+    tokens: jnp.ndarray,  # [B, s] int32 new tokens
+    cache: DecoderCache,
+    token_mask: jnp.ndarray | None = None,  # [B, s] True for real tokens
+    collect_cross_attention: bool = False,
+) -> tuple[jnp.ndarray, DecoderCache, jnp.ndarray | None]:
+    """Run the decoder over ``s`` new tokens, updating the cache.
+
+    This one function covers the reference's ``decode_step`` (s=1),
+    ``decode_tokens`` (batched speculative verify) and the prefill of
+    ``decode_full`` (reference: core/moonshine-streaming-model.h:152-169) —
+    the token count is just a static dimension.
+
+    Returns (logits [B, s, V], updated cache, cross_attention or None
+    [L, B, H, s, T]).
+    """
+    b, s = tokens.shape
+    max_len = cache.k_self.shape[3]
+    eps = cfg.layer_norm_eps
+    embed = p["embed"]
+    h = embed[tokens].astype(jnp.float32)
+
+    positions = cache.cur_len + jnp.arange(s)
+    cos, sin = rotary_tables(positions, cfg.rotary_dim, cfg.rope_theta)
+
+    # Self-attention mask over cache keys: key j visible to query i iff
+    # j < cur_len + i + 1 (past + causal new tokens).
+    key_pos = jnp.arange(max_len)[None, None, None, :]
+    query_abs = positions[None, None, :, None]
+    self_mask = key_pos <= query_abs  # [1, 1, s, S_max]
+    if token_mask is not None:
+        self_mask = jnp.logical_and(self_mask, token_mask[:, None, :, None])
+
+    cross_mask = cache.memory_mask[:, None, None, :]  # [B, 1, 1, T]
+
+    def body(carry, xs):
+        h = carry
+        lp, k_l, v_l, kc_l, vc_l = xs
+        h, k_l, v_l = _decoder_layer_apply(
+            cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cache.cur_len, eps
+        )
+        h, w = _decoder_cross_mlp_apply(
+            cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_weights=collect_cross_attention
+        )
+        return h, (k_l, v_l, w)
+
+    h, (k_self, v_self, cross_w) = jax.lax.scan(
+        body, h, (p["layers"], cache.k_self, cache.v_self, cache.k_cross, cache.v_cross)
+    )
+    h = layer_norm(p["norm"], h, eps)
+    logits = jnp.dot(h, embed.T.astype(h.dtype), preferred_element_type=jnp.float32)
+    new_cache = cache._replace(k_self=k_self, v_self=v_self, cur_len=cache.cur_len + s)
+    return logits, new_cache, (cross_w if collect_cross_attention else None)

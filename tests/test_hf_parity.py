@@ -1,0 +1,149 @@
+"""Numerical parity against the published Moonshine architecture.
+
+The shipped checkpoints are quantized exports of the HF float models
+(reference: README.md:1272-1274, scripts/convert-models-to-ort.py), so
+logit-level agreement with ``MoonshineForConditionalGeneration`` on
+randomly-initialized weights proves our JAX model + weight importer are a
+faithful reimplementation — the WER-parity prerequisite — without needing
+network access to the real weights.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from moonshine_tpu.core.config import MoonshineArchConfig
+from moonshine_tpu.models import moonshine as mm
+from moonshine_tpu.weights import import_hf_moonshine
+
+SMALL = dict(
+    hidden_size=64,
+    intermediate_size=256,
+    encoder_num_hidden_layers=2,
+    decoder_num_hidden_layers=2,
+    encoder_num_attention_heads=4,
+    decoder_num_attention_heads=4,
+    encoder_num_key_value_heads=4,
+    decoder_num_key_value_heads=4,
+    vocab_size=256,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_and_ours():
+    torch.manual_seed(0)
+    hf_cfg = transformers.MoonshineConfig(**SMALL)
+    hf = transformers.MoonshineForConditionalGeneration(hf_cfg).eval()
+    cfg = MoonshineArchConfig(
+        name="test",
+        vocab_size=SMALL["vocab_size"],
+        hidden_size=SMALL["hidden_size"],
+        intermediate_size=SMALL["intermediate_size"],
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_heads=4,
+        decoder_heads=4,
+        encoder_kv_heads=4,
+        decoder_kv_heads=4,
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = import_hf_moonshine(sd, cfg)
+    return hf, cfg, params
+
+
+def test_frontend_parity(hf_and_ours):
+    hf, cfg, params = hf_and_ours
+    rng = np.random.default_rng(1)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        x = torch.from_numpy(audio)[None, None, :]
+        h = torch.tanh(hf.model.encoder.conv1(x))
+        h = hf.model.encoder.groupnorm(h)
+        h = torch.nn.functional.gelu(hf.model.encoder.conv2(h))
+        h = torch.nn.functional.gelu(hf.model.encoder.conv3(h))
+        ref = h.permute(0, 2, 1).numpy()
+    ours, mask = mm.frontend_apply(params["frontend"], cfg, jnp.asarray(audio)[None, :])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_parity(hf_and_ours):
+    hf, cfg, params = hf_and_ours
+    rng = np.random.default_rng(2)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref = hf.model.encoder(torch.from_numpy(audio)[None, :]).last_hidden_state.numpy()
+    ours, _ = mm.encode(params, cfg, jnp.asarray(audio)[None, :])
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-4, rtol=1e-3)
+
+
+def test_full_logits_parity(hf_and_ours):
+    hf, cfg, params = hf_and_ours
+    rng = np.random.default_rng(3)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    tokens = np.array([[1, 5, 9, 200, 17]], dtype=np.int64)
+    with torch.no_grad():
+        out = hf(input_values=torch.from_numpy(audio)[None, :], decoder_input_ids=torch.from_numpy(tokens))
+        ref_logits = out.logits.numpy()
+
+    memory, mask = mm.encode(params, cfg, jnp.asarray(audio)[None, :])
+    k_cross, v_cross = mm.compute_cross_kv(params["decoder"], cfg, memory)
+    cache = mm.init_cache(cfg, 1, 16, k_cross, v_cross, mask)
+    logits, cache, _ = mm.decoder_apply(
+        params["decoder"], cfg, jnp.asarray(tokens, jnp.int32), cache
+    )
+    assert logits.shape == ref_logits.shape
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_incremental_matches_full(hf_and_ours):
+    """KV-cached step-by-step decode must equal one-shot decode."""
+    hf, cfg, params = hf_and_ours
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(8000).astype(np.float32) * 0.1
+    tokens = np.array([[1, 42, 7, 99]], dtype=np.int32)
+
+    memory, mask = mm.encode(params, cfg, jnp.asarray(audio)[None, :])
+    k_cross, v_cross = mm.compute_cross_kv(params["decoder"], cfg, memory)
+
+    cache_full = mm.init_cache(cfg, 1, 8, k_cross, v_cross, mask)
+    logits_full, _, _ = mm.decoder_apply(params["decoder"], cfg, jnp.asarray(tokens), cache_full)
+
+    cache_inc = mm.init_cache(cfg, 1, 8, k_cross, v_cross, mask)
+    step_logits = []
+    for i in range(tokens.shape[1]):
+        lg, cache_inc, _ = mm.decoder_apply(params["decoder"], cfg, jnp.asarray(tokens[:, i : i + 1]), cache_inc)
+        step_logits.append(np.asarray(lg)[:, 0])
+    inc = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(np.asarray(logits_full), inc, atol=1e-4, rtol=1e-3)
+
+
+def test_hf_greedy_matches_our_greedy(hf_and_ours):
+    hf, cfg, params = hf_and_ours
+    rng = np.random.default_rng(5)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref_ids = hf.generate(
+            input_values=torch.from_numpy(audio)[None, :],
+            max_new_tokens=12,
+            do_sample=False,
+            num_beams=1,
+        ).numpy()[0]
+
+    from moonshine_tpu.decoding.greedy import greedy_decode
+
+    memory, mask = mm.encode(params, cfg, jnp.asarray(audio)[None, :])
+    res = greedy_decode(params, cfg, memory, mask, max_tokens=12)
+    n = int(res.lengths[0])
+    ours = np.asarray(res.tokens[0, :n])
+    # HF output: [decoder_start, tok..., eos?]
+    ref = ref_ids[1:]
+    ref = ref[: np.argmax(ref == cfg.eos_token_id)] if (ref == cfg.eos_token_id).any() else ref
+    np.testing.assert_array_equal(ours, ref[: len(ours)])
+    assert len(ours) == len(ref) or n == 12
