@@ -165,7 +165,7 @@ def frontend_apply(
             f"Audio too short: {audio.shape[-1]} samples yields no encoder "
             f"frames (minimum {cfg.min_samples()} samples at 16 kHz)"
         )
-    x = audio[..., None]  # [B, N, 1]
+    x = audio[..., None].astype(p["conv1"]["w"].dtype)  # [B, N, 1]
     s1, s2, s3 = cfg.conv_strides
     h = jnp.tanh(conv1d(p["conv1"], x, s1))
     if lengths is not None:
@@ -373,7 +373,7 @@ def decoder_apply(
     max_len = cache.k_self.shape[3]
     eps = cfg.layer_norm_eps
     embed = p["embed"]
-    h = embed[tokens].astype(jnp.float32)
+    h = embed[tokens]  # compute dtype follows the param dtype (fp32 or bf16)
 
     positions = cache.cur_len + jnp.arange(s)
     cos, sin = rotary_tables(positions, cfg.rotary_dim, cfg.rope_theta)
