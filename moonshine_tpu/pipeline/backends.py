@@ -104,6 +104,103 @@ class OfflineBackend:
         return self.tokenizer.tokens_to_text(ids)
 
 
+class StreamingBackend:
+    """Incremental transcription with the streaming model family.
+
+    Mirrors the reference's per-segment incremental flow (reference:
+    core/transcriber.cpp:1184-1316): per segment it keeps a device-resident
+    ``StreamingState``, feeds ONLY new samples through the stateful
+    frontend, emits newly-stable encoder frames, and re-decodes with the
+    previous hypothesis as a speculative draft.
+    """
+
+    # Frame-count buckets for frontend chunks: any span decomposes into a
+    # few power-of-two calls so only O(log) programs compile.
+    _BUCKETS = [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]
+
+    def __init__(
+        self,
+        params,
+        cfg,
+        tokenizer: BinTokenizer,
+        use_speculative_decoding: bool = True,
+        max_tokens_per_second: float = 6.5,
+    ):
+        from ..models import streaming as ms
+
+        self.ms = ms
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.use_speculative = use_speculative_decoding
+        self.max_tokens_per_second = max_tokens_per_second
+        self.reset()
+
+    def reset(self) -> None:
+        self._segment_id: int | None = None
+        self._state = None
+        self._samples_processed = 0
+        self._last_tokens: list[int] = []
+        self._last_text = ""
+
+    def _begin_segment(self, segment_id: int) -> None:
+        self._segment_id = segment_id
+        self._state = self.ms.init_state(self.cfg)
+        self._samples_processed = 0
+        self._last_tokens = []
+        self._last_text = ""
+
+    def transcribe_segment(
+        self, audio: np.ndarray, segment_id: int, is_final: bool
+    ) -> str | None:
+        ms, cfg = self.ms, self.cfg
+        if segment_id != self._segment_id:
+            self._begin_segment(segment_id)
+
+        audio = np.asarray(audio, np.float32)
+        new = audio[self._samples_processed :]
+        frame_len = cfg.frame_len
+        n_frames = len(new) // frame_len
+        if is_final and len(new) % frame_len and len(new) > 0:
+            # Zero-pad the trailing partial frame on segment close.
+            pad = frame_len - (len(new) % frame_len)
+            new = np.concatenate([new, np.zeros(pad, np.float32)])
+            n_frames = len(new) // frame_len
+
+        # Respect the device buffer capacity (VAD force-split keeps real
+        # segments far below this).
+        n_frames = min(n_frames, ms.SEG_CAP - int(self._state.feat_count))
+
+        offset = 0
+        remaining = n_frames
+        for bucket in self._BUCKETS:
+            while remaining >= bucket:
+                chunk = jnp.asarray(
+                    new[offset : offset + bucket * frame_len]
+                )
+                self._state = ms.frontend_step(self.params, cfg, chunk, self._state)
+                offset += bucket * frame_len
+                remaining -= bucket
+        self._samples_processed += offset
+
+        self._state, n_new = ms.encode(self.params, cfg, self._state, is_final)
+        if int(self._state.mem_len) == 0:
+            return ""
+        if n_new == 0 and not is_final and self._last_text:
+            # Nothing newly stable: previous hypothesis still holds.
+            return self._last_text
+
+        duration = self._samples_processed / INTERNAL_SAMPLE_RATE
+        cap = max(int(duration * self.max_tokens_per_second), 1)
+        draft = self._last_tokens if self.use_speculative else None
+        tokens, self._state = ms.decode_full(
+            self.params, cfg, self._state, speculative_tokens=draft, max_tokens=cap
+        )
+        self._last_tokens = tokens
+        self._last_text = self.tokenizer.tokens_to_text(tokens)
+        return self._last_text
+
+
 class FakeBackend:
     """Scripted backend for pipeline tests: maps audio spans to canned text.
 
