@@ -1,0 +1,104 @@
+"""Beam search tests (new capability over the greedy-only reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonshine_tpu.core.config import MoonshineArchConfig
+from moonshine_tpu.decoding.beam import beam_decode
+from moonshine_tpu.decoding.greedy import greedy_decode
+from moonshine_tpu.models import moonshine as mm
+
+CFG = MoonshineArchConfig(
+    name="beamtest",
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    encoder_layers=2,
+    decoder_layers=2,
+    encoder_heads=4,
+    decoder_heads=4,
+    encoder_kv_heads=4,
+    decoder_kv_heads=4,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = mm.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    memory, mask = mm.encode(params, CFG, audio)
+    return params, memory, mask
+
+
+def seq_logprob(params, memory, mask, tokens):
+    """Rescore a token sequence: sum log P(t_i | t_<i, memory)."""
+    dec = params["decoder"]
+    k_cross, v_cross = mm.compute_cross_kv(dec, CFG, memory)
+    cache = mm.init_cache(CFG, memory.shape[0], len(tokens) + 1, k_cross, v_cross, mask)
+    seq = jnp.asarray([CFG.decoder_start_token_id] + list(tokens), jnp.int32)[None]
+    logits, _, _ = mm.decoder_apply(dec, CFG, seq, cache)
+    logp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), axis=-1)
+    return float(sum(logp[i, t] for i, t in enumerate(tokens)))
+
+
+def test_beam1_matches_greedy(setup):
+    params, memory, mask = setup
+    g = greedy_decode(params, CFG, memory, mask, max_tokens=12)
+    b = beam_decode(params, CFG, memory, mask, beam_size=1, max_tokens=12, length_penalty=0.0)
+    np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(g.lengths), np.asarray(b.lengths))
+
+
+def test_beam_score_at_least_greedy(setup):
+    params, memory, mask = setup
+    g = greedy_decode(params, CFG, memory, mask, max_tokens=10)
+    b = beam_decode(params, CFG, memory, mask, beam_size=4, max_tokens=10, length_penalty=0.0)
+    for i in range(memory.shape[0]):
+        mem_i, mask_i = memory[i : i + 1], mask[i : i + 1]
+        g_tokens = [int(t) for t in g.tokens[i, : int(g.lengths[i])]]
+        b_tokens = [int(t) for t in b.tokens[i, : int(b.lengths[i])]]
+        if not b_tokens and not g_tokens:
+            continue
+        sg = seq_logprob(params, mem_i, mask_i, g_tokens + [CFG.eos_token_id])
+        sb = seq_logprob(params, mem_i, mask_i, b_tokens + [CFG.eos_token_id])
+        assert sb >= sg - 1e-4
+
+
+def test_beam_scores_internally_consistent(setup):
+    """The reported (unnormalized-at-alpha-0) score must equal a rescore of
+    the returned sequence."""
+    params, memory, mask = setup
+    b = beam_decode(params, CFG, memory, mask, beam_size=3, max_tokens=8, length_penalty=0.0)
+    for i in range(memory.shape[0]):
+        n = int(b.lengths[i])
+        tokens = [int(t) for t in b.tokens[i, :n]]
+        if n == 8:
+            # Unterminated hypothesis: score covers only emitted tokens.
+            expected = seq_logprob(params, memory[i : i + 1], mask[i : i + 1], tokens)
+        else:
+            expected = seq_logprob(
+                params, memory[i : i + 1], mask[i : i + 1], tokens + [CFG.eos_token_id]
+            )
+        assert abs(float(b.scores[i]) - expected) < 5e-3
+
+
+def test_beam_token_caps(setup):
+    params, memory, mask = setup
+    caps = jnp.asarray([3, 5], jnp.int32)
+    b = beam_decode(params, CFG, memory, mask, beam_size=3, max_tokens=10, token_caps=caps)
+    assert int(b.lengths[0]) <= 3
+    assert int(b.lengths[1]) <= 5
+
+
+def test_beam_batch_independence(setup):
+    params, memory, mask = setup
+    b_both = beam_decode(params, CFG, memory, mask, beam_size=3, max_tokens=8)
+    b_first = beam_decode(
+        params, CFG, memory[:1], mask[:1], beam_size=3, max_tokens=8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(b_both.tokens[0]), np.asarray(b_first.tokens[0])
+    )

@@ -1,0 +1,93 @@
+"""Cross-model speculative decoding tests.
+
+Core invariant: output is bit-identical to the verifier's own greedy
+decode, regardless of what the draft model proposes (reference analog:
+core/speculative-decode-bench.cpp compares greedy vs speculative time —
+correctness there is implicit; here it's asserted).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moonshine_tpu.core.config import MoonshineArchConfig
+from moonshine_tpu.decoding.greedy import greedy_decode
+from moonshine_tpu.decoding.speculative import speculative_decode
+from moonshine_tpu.models import moonshine as mm
+
+VERIFY_CFG = MoonshineArchConfig(
+    name="verify",
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    encoder_layers=2,
+    decoder_layers=2,
+    encoder_heads=4,
+    decoder_heads=4,
+    encoder_kv_heads=4,
+    decoder_kv_heads=4,
+)
+DRAFT_CFG = MoonshineArchConfig(
+    name="draft",
+    vocab_size=128,
+    hidden_size=32,
+    intermediate_size=64,
+    encoder_layers=1,
+    decoder_layers=1,
+    encoder_heads=4,
+    decoder_heads=4,
+    encoder_kv_heads=4,
+    decoder_kv_heads=4,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    vparams = mm.init_params(VERIFY_CFG, jax.random.PRNGKey(0))
+    dparams = mm.init_params(DRAFT_CFG, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.standard_normal((1, 4000)).astype(np.float32) * 0.1)
+    v_mem, v_mask = mm.encode(vparams, VERIFY_CFG, audio)
+    d_mem, d_mask = mm.encode(dparams, DRAFT_CFG, audio)
+    return vparams, dparams, v_mem, v_mask, d_mem, d_mask
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 4, 7])
+def test_matches_verifier_greedy(setup, gamma):
+    vparams, dparams, v_mem, v_mask, d_mem, d_mask = setup
+    g = greedy_decode(vparams, VERIFY_CFG, v_mem, v_mask, max_tokens=16)
+    s = speculative_decode(
+        dparams, DRAFT_CFG, vparams, VERIFY_CFG,
+        d_mem, d_mask, v_mem, v_mask, gamma=gamma, max_tokens=16,
+    )
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens[0]))
+    assert int(s.length) == int(g.lengths[0])
+
+
+def test_self_draft_accepts_everything(setup):
+    """Draft == verifier: every proposal must be accepted (one verify call
+    per gamma tokens)."""
+    vparams, _, v_mem, v_mask, _, _ = setup
+    s = speculative_decode(
+        vparams, VERIFY_CFG, vparams, VERIFY_CFG,
+        v_mem, v_mask, v_mem, v_mask, gamma=4, max_tokens=16,
+    )
+    g = greedy_decode(vparams, VERIFY_CFG, v_mem, v_mask, max_tokens=16)
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens[0]))
+    n = int(s.length)
+    calls = int(s.verify_calls)
+    # Perfect acceptance: ceil(n / (gamma+1)) verify calls suffice.
+    assert calls <= -(-n // 4) + 1
+    assert int(s.accepted_draft_tokens) >= n - calls
+
+
+def test_telemetry_consistent(setup):
+    vparams, dparams, v_mem, v_mask, d_mem, d_mask = setup
+    s = speculative_decode(
+        dparams, DRAFT_CFG, vparams, VERIFY_CFG,
+        d_mem, d_mask, v_mem, v_mask, gamma=3, max_tokens=16,
+    )
+    # Every emitted token is either an accepted draft token or a correction
+    # (one correction max per verify call).
+    assert int(s.length) <= int(s.accepted_draft_tokens) + int(s.verify_calls)
