@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import math
 import time
-from typing import Protocol
+from typing import NamedTuple, Protocol
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +29,17 @@ from ..models import moonshine as mm
 INTERNAL_SAMPLE_RATE = 16000
 
 
+class SegmentResult(NamedTuple):
+    """Output of one segment transcription pass."""
+
+    text: str | None
+    words: list  # list[TranscriptWord]; empty unless word timestamps ran
+
+
 class AsrBackend(Protocol):
     def transcribe_segment(
         self, audio: np.ndarray, segment_id: int, is_final: bool
-    ) -> str | None:
+    ) -> SegmentResult:
         """Transcribe one VAD segment (16 kHz float32). May keep per-segment
         incremental state keyed by ``segment_id``."""
         ...
@@ -52,6 +59,7 @@ class OfflineBackend:
         max_tokens_per_second: float = 6.5,
         min_bucket_seconds: float = 2.0,
         max_bucket_seconds: float = 64.0,
+        word_timestamps: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -59,12 +67,33 @@ class OfflineBackend:
         self.max_tokens_per_second = max_tokens_per_second
         self.min_bucket = min_bucket_seconds
         self.max_bucket = max_bucket_seconds
+        self.word_timestamps = word_timestamps
         self._encode = jax.jit(
             lambda p, a, l: mm.encode(p, cfg, a, l), static_argnames=()
         )
 
     def reset(self) -> None:
         pass
+
+    def _align(self, memory, mask, ids: np.ndarray, duration: float) -> list:
+        """Second teacher-forced pass collecting cross-attention, then DTW
+        (reference: moonshine-model.cpp:681-721 runs a separate
+        decoder_with_attention.ort pass; here the same decoder collects)."""
+        from .alignment import align_words
+
+        dec = self.params["decoder"]
+        seq = np.concatenate([[self.cfg.decoder_start_token_id], ids]).astype(np.int32)
+        k_cross, v_cross = mm.compute_cross_kv(dec, self.cfg, memory)
+        cache = mm.init_cache(self.cfg, 1, len(seq), k_cross, v_cross, mask)
+        _, _, cross_w = mm.decoder_apply(
+            dec, self.cfg, jnp.asarray(seq)[None], cache, collect_cross_attention=True
+        )
+        # cross_w: [L, B, H, steps, frames] -> [L*H, steps, frames(valid)]
+        w = np.asarray(cross_w)[:, 0]
+        n_frames = int(np.asarray(mask[0]).sum())
+        att = w.reshape(-1, w.shape[2], w.shape[3])[:, :, :n_frames]
+        tokens = [int(seq[0])] + [int(t) for t in ids] + [self.cfg.eos_token_id]
+        return align_words(att, tokens, duration / max(n_frames, 1), self.tokenizer)
 
     def _bucket_samples(self, n: int) -> int:
         seconds = max(n / INTERNAL_SAMPLE_RATE, 1e-3)
@@ -75,11 +104,11 @@ class OfflineBackend:
 
     def transcribe_segment(
         self, audio: np.ndarray, segment_id: int, is_final: bool
-    ) -> str | None:
-        del segment_id, is_final  # stateless: every pass redecodes fully
+    ) -> SegmentResult:
+        del segment_id  # stateless: every pass redecodes fully
         audio = np.asarray(audio, np.float32)
         if audio.size < self.cfg.min_samples():
-            return ""
+            return SegmentResult("", [])
         n_bucket = self._bucket_samples(audio.size)
         n_real = min(audio.size, n_bucket)
         padded = np.zeros(n_bucket, np.float32)
@@ -101,7 +130,14 @@ class OfflineBackend:
         )
         n = int(res.lengths[0])
         ids = np.asarray(res.tokens[0, :n])
-        return self.tokenizer.tokens_to_text(ids)
+        text = self.tokenizer.tokens_to_text(ids)
+        words = []
+        if self.word_timestamps and is_final and n > 0:
+            # Alignment costs ~a quarter of a pass and incomplete segments
+            # get fully re-transcribed anyway, so align only on completion
+            # (reference: transcriber.cpp:966-975 rationale comment).
+            words = self._align(memory, mask, ids, duration)
+        return SegmentResult(text, words)
 
 
 class StreamingBackend:
@@ -125,6 +161,7 @@ class StreamingBackend:
         tokenizer: BinTokenizer,
         use_speculative_decoding: bool = True,
         max_tokens_per_second: float = 6.5,
+        word_timestamps: bool = False,
     ):
         from ..models import streaming as ms
 
@@ -134,6 +171,7 @@ class StreamingBackend:
         self.tokenizer = tokenizer
         self.use_speculative = use_speculative_decoding
         self.max_tokens_per_second = max_tokens_per_second
+        self.word_timestamps = word_timestamps
         self.reset()
 
     def reset(self) -> None:
@@ -152,12 +190,19 @@ class StreamingBackend:
 
     def transcribe_segment(
         self, audio: np.ndarray, segment_id: int, is_final: bool
-    ) -> str | None:
-        ms, cfg = self.ms, self.cfg
+    ) -> SegmentResult:
         if segment_id != self._segment_id:
             self._begin_segment(segment_id)
 
         audio = np.asarray(audio, np.float32)
+        result = self._transcribe(audio, is_final)
+        words = []
+        if self.word_timestamps and is_final and self._last_tokens:
+            words = self._align_streaming()
+        return SegmentResult(result, words)
+
+    def _transcribe(self, audio: np.ndarray, is_final: bool) -> str:
+        ms, cfg = self.ms, self.cfg
         new = audio[self._samples_processed :]
         frame_len = cfg.frame_len
         n_frames = len(new) // frame_len
@@ -200,6 +245,30 @@ class StreamingBackend:
         self._last_text = self.tokenizer.tokens_to_text(tokens)
         return self._last_text
 
+    def _align_streaming(self) -> list:
+        """Teacher-forced attention-collecting pass over the final tokens
+        (reference: streaming word timestamps, transcriber.cpp:905-950)."""
+        from .alignment import align_words
+
+        ms, cfg = self.ms, self.cfg
+        seq_list = [cfg.bos_id] + self._last_tokens
+        bucket = 1
+        while bucket < len(seq_list):
+            bucket *= 2
+        seq = jnp.asarray(seq_list + [0] * (bucket - len(seq_list)), jnp.int32)
+        state = ms.decoder_reset(self._state)
+        _, _, cross_w = ms.decode_tokens(
+            self.params, cfg, seq, state, collect_attention=True
+        )
+        mem_len = int(self._state.mem_len)
+        # [L, H, s, MEM_CAP] -> [L*H, steps, valid_frames]
+        w = np.asarray(cross_w)
+        n_steps = len(seq_list)  # rows for [bos, t0..tn-1]
+        att = w.reshape(-1, w.shape[2], w.shape[3])[:, :n_steps, :mem_len]
+        tokens = [cfg.bos_id] + list(self._last_tokens) + [cfg.eos_id]
+        duration = self._samples_processed / INTERNAL_SAMPLE_RATE
+        return align_words(att, tokens, duration / max(mem_len, 1), self.tokenizer)
+
 
 class FakeBackend:
     """Scripted backend for pipeline tests: maps audio spans to canned text.
@@ -221,4 +290,7 @@ class FakeBackend:
 
     def transcribe_segment(self, audio, segment_id, is_final):
         self.calls.append((segment_id, len(audio), is_final))
-        return self.script(audio, segment_id, is_final)
+        out = self.script(audio, segment_id, is_final)
+        if isinstance(out, SegmentResult):
+            return out
+        return SegmentResult(out, [])

@@ -145,8 +145,17 @@ class Stream:
         self.segmenter.start()
 
     def stop(self) -> Transcript:
-        self.segmenter.stop()
-        return self.update_transcription(self._flags | FLAG_FORCE_UPDATE)
+        """Stop the stream and run a final pass.
+
+        Remaining buffered audio is segmented first, then the segmenter is
+        stopped (completing the open segment), then every just-updated
+        segment gets a final ``is_final=True`` transcription — which, for
+        the streaming architecture, releases the encoder lookahead frames
+        and (when enabled) aligns word timestamps on the final text.
+        """
+        transcript = self._transcriber._finalize_stream(self, self._flags)
+        self._notify_from_transcript(transcript)
+        return transcript
 
     # audio ingest (reference: transcriber.py:510-542 backoff semantics)
 
@@ -347,10 +356,16 @@ class Transcriber:
             line_id = stream.output.ordered_line_ids[index]
 
             t0 = time.monotonic()
-            text = self.backend.transcribe_segment(
+            result = self.backend.transcribe_segment(
                 segment.audio_data, line_id, segment.is_complete
             )
             latency_ms = int((time.monotonic() - t0) * 1000)
+            text, words = result.text, list(result.words)
+            # Word times are segment-relative; shift to absolute
+            # (reference: transcriber.cpp:941-944).
+            for w in words:
+                w.start += segment.start_time
+                w.end += segment.start_time
 
             line = TranscriptLine(
                 id=line_id,
@@ -360,6 +375,7 @@ class Transcriber:
                 is_complete=segment.is_complete,
                 is_updated=True,
                 last_transcription_latency_ms=latency_ms,
+                words=words,
             )
             if self.options.log_output_text and text:
                 print(f"Transcribed text: {text!r}")
@@ -373,6 +389,23 @@ class Transcriber:
 
         apply_speaker_turns_to_lines(turns, stream.output)
 
+    def _finalize_stream(self, stream: Stream, flags: int) -> Transcript:
+        """Segment any remaining audio, stop the segmenter, and run the
+        final transcription pass over just-updated segments (reference:
+        transcriber.cpp:556-566 does segment -> stop -> transcribe)."""
+        audio = stream._take_new_audio()
+        if self.diarizer is not None and audio.size:
+            self.diarizer.add_audio(stream.stream_id, audio)
+        if stream.segmenter.is_active:
+            if audio.size:
+                stream.segmenter.process_audio(audio, INTERNAL_SAMPLE_RATE)
+            stream.segmenter.stop()
+        self._update_transcript_from_segments(stream, flags)
+        if self.diarizer is not None:
+            self.diarizer.finish_stream(stream.stream_id)
+            self._apply_speakers(stream)
+        return stream.output.snapshot()
+
     # -- batch API (reference: transcriber.cpp:534-651) ---------------------
 
     def transcribe_without_streaming(
@@ -384,9 +417,7 @@ class Transcriber:
             audio = resample_audio(np.asarray(audio, np.float32), sample_rate, INTERNAL_SAMPLE_RATE)
             with stream._lock:
                 stream.new_audio = audio
-            stream.update_transcription(FLAG_FORCE_UPDATE)
-            stream.segmenter.stop()
-            return stream.update_transcription(FLAG_FORCE_UPDATE)
+            return self._finalize_stream(stream, FLAG_FORCE_UPDATE)
         finally:
             self.free_stream(stream)
 
