@@ -60,6 +60,57 @@ def _mlp_from_sd(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
     return out
 
 
+def import_hf_gemma3_text(sd: Mapping[str, np.ndarray] | str, cfg, dtype=jnp.float32) -> dict:
+    """HF ``Gemma3TextModel`` state dict -> moonshine_tpu.models.gemma params.
+
+    The projection head (sentence-transformers dense stack) is not part of
+    the HF text model; absent keys leave identity-like random projections
+    untouched by the caller.
+    """
+    import jax
+
+    if isinstance(sd, str):
+        sd = load_safetensors(sd)
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+
+    def g(k):
+        return np.asarray(sd[k])
+
+    layers = []
+    for i in range(cfg.num_layers):
+        pre = f"layers.{i}"
+        layers.append(
+            {
+                "input_norm": g(f"{pre}.input_layernorm.weight"),
+                "q": {"w": _t(g(f"{pre}.self_attn.q_proj.weight"))},
+                "k": {"w": _t(g(f"{pre}.self_attn.k_proj.weight"))},
+                "v": {"w": _t(g(f"{pre}.self_attn.v_proj.weight"))},
+                "o": {"w": _t(g(f"{pre}.self_attn.o_proj.weight"))},
+                "q_norm": g(f"{pre}.self_attn.q_norm.weight"),
+                "k_norm": g(f"{pre}.self_attn.k_norm.weight"),
+                "post_attn_norm": g(f"{pre}.post_attention_layernorm.weight"),
+                "pre_ffw_norm": g(f"{pre}.pre_feedforward_layernorm.weight"),
+                "gate": {"w": _t(g(f"{pre}.mlp.gate_proj.weight"))},
+                "up": {"w": _t(g(f"{pre}.mlp.up_proj.weight"))},
+                "down": {"w": _t(g(f"{pre}.mlp.down_proj.weight"))},
+                "post_ffw_norm": g(f"{pre}.post_feedforward_layernorm.weight"),
+            }
+        )
+    params = {
+        "embed": jnp.asarray(g("embed_tokens.weight"), dtype),
+        "layers": jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *layers
+        ),
+        "final_norm": jnp.asarray(g("norm.weight"), dtype),
+    }
+    # Optional sentence-transformers dense head.
+    for ours, theirs in (("proj1", "dense1.weight"), ("proj2", "dense2.weight")):
+        if theirs in sd:
+            params[ours] = {"w": jnp.asarray(_t(g(theirs)), dtype)}
+    return params
+
+
 def import_hf_moonshine(
     sd: Mapping[str, np.ndarray] | str,
     cfg: MoonshineArchConfig,
