@@ -1,0 +1,122 @@
+"""``moonshine-tpu`` command line interface.
+
+Mirrors the reference CLI surface (reference: language-bindings/python/
+src/moonshine_voice/cli.py with mic/transcribe/tts/agent/download/g2p
+subcommands) for the capabilities implemented so far.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def cmd_transcribe(args) -> int:
+    from .api import Transcriber
+    from .core.config import TranscriberOptions, VadOptions
+
+    options = TranscriberOptions(
+        model=args.model,
+        word_timestamps=args.word_timestamps,
+        vad=VadOptions(threshold=args.vad_threshold),
+    )
+    t = Transcriber(
+        model=args.model,
+        language=args.language,
+        weights=args.weights,
+        tokenizer_path=args.tokenizer,
+        options=options,
+    ).load()
+    t0 = time.time()
+    transcript = t.transcribe_wav(args.wav)
+    elapsed = time.time() - t0
+    for line in transcript.lines:
+        stamp = f"[{line.start_time:7.2f}s +{line.duration:5.2f}s] "
+        print(stamp + (line.text or ""))
+        if args.word_timestamps:
+            for w in line.words:
+                print(f"    {w.start:7.2f}-{w.end:7.2f}  {w.text}")
+    print(f"# transcribed in {elapsed:.2f}s", file=sys.stderr)
+    return 0
+
+
+def cmd_mic(args) -> int:  # pragma: no cover - needs audio hardware
+    from .api import MicTranscriber, Transcriber
+    from .pipeline.transcriber import LineCompleted, LineTextChanged
+
+    t = Transcriber(model=args.model, weights=args.weights, tokenizer_path=args.tokenizer).load()
+    mic = MicTranscriber(t, update_interval=args.update_interval)
+
+    def on_event(event):
+        if isinstance(event, LineTextChanged):
+            print("\r" + (event.line.text or ""), end="", flush=True)
+        elif isinstance(event, LineCompleted):
+            print("\r" + (event.line.text or ""))
+
+    mic.add_listener(on_event)
+    mic.start()
+    print("Listening — Ctrl-C to stop.", file=sys.stderr)
+    try:
+        while True:
+            time.sleep(0.1)
+    except KeyboardInterrupt:
+        mic.stop()
+    return 0
+
+
+def cmd_models(args) -> int:
+    from . import catalog
+
+    if args.json:
+        print(catalog.catalog_json())
+    else:
+        for name in catalog.list_models():
+            print(name)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py", "--arch", args.model, "--batch", str(args.batch)]
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="moonshine-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    tp = sub.add_parser("transcribe", help="Transcribe a WAV file")
+    tp.add_argument("wav")
+    tp.add_argument("--model", default="tiny")
+    tp.add_argument("--language", default="en")
+    tp.add_argument("--weights", default=None)
+    tp.add_argument("--tokenizer", default=None)
+    tp.add_argument("--word-timestamps", action="store_true")
+    tp.add_argument("--vad-threshold", type=float, default=0.5)
+    tp.set_defaults(fn=cmd_transcribe)
+
+    mp = sub.add_parser("mic", help="Live transcription from the microphone")
+    mp.add_argument("--model", default="tiny_streaming")
+    mp.add_argument("--weights", default=None)
+    mp.add_argument("--tokenizer", default=None)
+    mp.add_argument("--update-interval", type=float, default=0.5)
+    mp.set_defaults(fn=cmd_mic)
+
+    cp = sub.add_parser("models", help="List the model catalog")
+    cp.add_argument("--json", action="store_true")
+    cp.set_defaults(fn=cmd_models)
+
+    bp = sub.add_parser("bench", help="Run the throughput benchmark")
+    bp.add_argument("--model", default="base")
+    bp.add_argument("--batch", type=int, default=32)
+    bp.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,114 @@
+"""Public API + catalog + CLI tests."""
+
+import numpy as np
+import pytest
+
+import moonshine_tpu as mt
+from moonshine_tpu import catalog
+
+
+def test_package_exports():
+    assert hasattr(mt, "Transcriber")
+    assert hasattr(mt, "BinTokenizer")
+    assert mt.__version__
+
+
+def test_catalog_listing():
+    models = catalog.list_models()
+    assert "tiny-en" in models
+    assert "medium_streaming-en" in models
+    import json
+
+    payload = json.loads(catalog.catalog_json())
+    assert payload["tiny-en"]["files"][0]["name"] == "model.safetensors"
+
+
+def test_catalog_unknown_model():
+    with pytest.raises(KeyError):
+        catalog.resolve("nonexistent")
+
+
+def test_catalog_missing_files(tmp_path):
+    with pytest.raises(FileNotFoundError) as e:
+        catalog.resolve("tiny", "en", search_dirs=[tmp_path])
+    assert "model.safetensors" in str(e.value)
+
+
+def test_catalog_resolves_local_dir(tmp_path):
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "model.safetensors").write_bytes(b"x")
+    (d / "tokenizer.bin").write_bytes(b"\x01a")
+    r = catalog.resolve("tiny", "en", search_dirs=[d])
+    assert r.path("model.safetensors").exists()
+
+
+@pytest.fixture(scope="module")
+def loaded_tiny(tokenizer_bin_path):
+    t = mt.Transcriber(
+        model="tiny",
+        tokenizer_path=tokenizer_bin_path,
+        options=mt.TranscriberOptions(vad=mt.VadOptions(threshold=0.0, max_segment_duration=3.0)),
+    ).load()
+    return t
+
+
+def test_transcriber_requires_load(tokenizer_bin_path):
+    t = mt.Transcriber(model="tiny", tokenizer_path=tokenizer_bin_path)
+    with pytest.raises(RuntimeError):
+        t.transcribe(np.zeros(16000, np.float32))
+
+
+def test_end_to_end_transcribe(loaded_tiny):
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(16000 * 2).astype(np.float32) * 0.1
+    transcript = loaded_tiny.transcribe(audio)
+    assert len(transcript.lines) >= 1
+    assert transcript.lines[0].is_complete
+    assert transcript.lines[0].text is not None
+
+
+def test_stream_api(loaded_tiny):
+    events = []
+    stream = loaded_tiny.create_stream(update_interval=0.5)
+    stream.add_listener(lambda e: events.append(type(e).__name__))
+    stream.start()
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        stream.add_audio(rng.standard_normal(8000).astype(np.float32) * 0.1)
+    transcript = stream.stop()
+    loaded_tiny.free_stream(stream)
+    assert "LineCompleted" in events
+    assert transcript.lines
+
+
+def test_cli_models(capsys):
+    from moonshine_tpu.cli import main
+
+    assert main(["models"]) == 0
+    out = capsys.readouterr().out
+    assert "tiny-en" in out
+
+
+def test_cli_transcribe(tmp_path, tokenizer_bin_path, capsys):
+    from moonshine_tpu.audio.wav import save_wav
+    from moonshine_tpu.cli import main
+
+    rng = np.random.default_rng(2)
+    wav = tmp_path / "t.wav"
+    save_wav(str(wav), rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+    rc = main(
+        [
+            "transcribe",
+            str(wav),
+            "--model",
+            "tiny",
+            "--tokenizer",
+            tokenizer_bin_path,
+            "--vad-threshold",
+            "0",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "[" in out
