@@ -267,11 +267,18 @@ class Transcriber:
         options: TranscriberOptions | None = None,
         hop_prob_fn=None,
         diarizer=None,
+        spelling_params=None,
     ):
         self.backend = backend
         self.options = options or TranscriberOptions()
         self.hop_prob_fn = hop_prob_fn
         self.diarizer = diarizer
+        # Spelling-mode auxiliaries: the matcher is free; the CNN only runs
+        # when params were provided (reference: transcriber.h:198-206).
+        self.spelling_params = spelling_params
+        from .spelling import SpellingMatcher
+
+        self.spelling_matcher = SpellingMatcher()
         self._streams: dict[int, Stream] = {}
         self._next_stream_id = itertools.count()
         self._next_line_id = itertools.count()
@@ -379,9 +386,32 @@ class Transcriber:
             )
             if self.options.log_output_text and text:
                 print(f"Transcribed text: {text!r}")
+            spelling_mode = bool(flags & FLAG_SPELLING_MODE) or self.options.spelling_mode
+            if spelling_mode and line.is_complete:
+                self._apply_spelling_fusion(line, segment.audio_data)
             stream.output.add_or_update_line(line)
         if not stream.segmenter.is_active:
             stream.output.mark_all_lines_as_complete()
+
+    def _apply_spelling_fusion(self, line: TranscriptLine, audio) -> bool:
+        """Fuse matcher + (optional) spelling-CNN on a completed line,
+        replacing the text only on a CHARACTER result (reference:
+        transcriber.cpp:832, apply_spelling_fusion)."""
+        if line.text is None:
+            return False
+        from .spelling import fuse_default
+
+        match = self.spelling_matcher.classify(line.text)
+        prediction = None
+        if self.spelling_params is not None and audio is not None and len(audio):
+            from ..models import spelling as spelling_model
+
+            prediction = spelling_model.predict(self.spelling_params, audio)
+        result = fuse_default(line.text, match, prediction, self.spelling_matcher)
+        if not result.is_character:
+            return False
+        line.text = result.character
+        return True
 
     def _apply_speakers(self, stream: Stream) -> None:
         turns = self.diarizer.get_turns(stream.stream_id)
