@@ -126,11 +126,35 @@ class Transcriber:
             )
 
         hop_prob_fn = self._load_vad()
+        diarizer = self._load_diarizer() if self.options.identify_speakers else None
         self._pipeline = _PipelineTranscriber(
-            backend, self.options, hop_prob_fn=hop_prob_fn
+            backend, self.options, hop_prob_fn=hop_prob_fn, diarizer=diarizer
         )
         self._loaded = True
         return self
+
+    def _load_diarizer(self):
+        import jax
+
+        from .models import diarization as dm
+        from .pipeline.diarization import SpeakerDiarizer
+
+        seg_params = dm.init_segmentation_params(jax.random.PRNGKey(self._seed + 2))
+        emb_params = dm.init_embedding_params(jax.random.PRNGKey(self._seed + 3))
+
+        def activities(batch: np.ndarray) -> np.ndarray:
+            import jax.numpy as jnp
+
+            return np.asarray(dm.segmentation_activations(seg_params, jnp.asarray(batch)))
+
+        def embeddings(batch: np.ndarray, weights: np.ndarray) -> np.ndarray:
+            import jax.numpy as jnp
+
+            return np.asarray(
+                dm.embedding_forward(emb_params, jnp.asarray(batch), jnp.asarray(weights))
+            )
+
+        return SpeakerDiarizer(activities, embeddings)
 
     def _load_tokenizer(self) -> BinTokenizer:
         path = self._tokenizer_path
