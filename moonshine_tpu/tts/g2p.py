@@ -1,0 +1,214 @@
+"""Grapheme-to-phoneme engine (IPA output).
+
+Capability mirror of the reference's from-scratch MoonshineG2P (reference:
+core/moonshine-tts/src/moonshine-g2p.{h,cpp} + lang-specific rules +
+lexicons): per-language engines behind one registry, lexicon lookup first,
+rule-based letter-to-sound fallback, with the reference's API shape
+(``text_to_ipa``).  English ships a compact context-sensitive rule set
+plus optional CMUdict-format lexicon loading; Spanish ships as the
+near-phonemic second language; other languages register engines as their
+rule sets land.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Optional
+
+from .text_normalize import normalize_text
+
+# ARPABET -> IPA (for CMUdict-format lexicons).
+ARPA_TO_IPA = {
+    "AA": "ɑ", "AE": "æ", "AH": "ʌ", "AO": "ɔ", "AW": "aʊ", "AY": "aɪ",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "EH": "ɛ", "ER": "ɝ",
+    "EY": "eɪ", "F": "f", "G": "ɡ", "HH": "h", "IH": "ɪ", "IY": "i",
+    "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n", "NG": "ŋ",
+    "OW": "oʊ", "OY": "ɔɪ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ",
+    "T": "t", "TH": "θ", "UH": "ʊ", "UW": "u", "V": "v", "W": "w",
+    "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+
+
+def load_cmudict_lexicon(path: str | Path) -> dict[str, str]:
+    """CMUdict format -> {word: ipa} (stress digits dropped, first variant)."""
+    lex: dict[str, str] = {}
+    with open(path, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            if line.startswith(";;;") or not line.strip():
+                continue
+            parts = line.split()
+            word = parts[0].lower()
+            if "(" in word:  # alternate pronunciations: keep the first
+                continue
+            phones = []
+            ok = True
+            for p in parts[1:]:
+                base = re.sub(r"\d", "", p)
+                ipa = ARPA_TO_IPA.get(base)
+                if ipa is None:
+                    ok = False
+                    break
+                phones.append(ipa)
+            if ok:
+                lex[word] = "".join(phones)
+    return lex
+
+
+@dataclass
+class G2PResult:
+    ipa: str
+    words: list[tuple[str, str]] = field(default_factory=list)  # (word, ipa)
+
+
+class RuleG2P:
+    """Ordered context-sensitive rewrite rules over a word.
+
+    Each rule is (pattern, ipa): pattern is a regex anchored at the cursor;
+    the longest/first match wins.  '#' in patterns marks word edges.
+    """
+
+    def __init__(self, rules: list[tuple[str, str]], lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+        # Pre-compile, preserving order.
+        self._rules = [(re.compile(p), ipa) for p, ipa in rules]
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if w in self.lexicon:
+            return self.lexicon[w]
+        text = "#" + w + "#"
+        i = 1  # skip leading '#'
+        out: list[str] = []
+        while i < len(text) - 1:
+            matched = False
+            for pat, ipa in self._rules:
+                m = pat.match(text, i)
+                if m and m.end() > i:
+                    out.append(ipa)
+                    i = m.end()
+                    matched = True
+                    break
+            if not matched:
+                i += 1  # unpronounceable byte: skip
+        return "".join(out)
+
+
+# ---- English rules (compact; longest-context first) -----------------------
+
+_EN_RULES: list[tuple[str, str]] = [
+    # multigraph consonants
+    (r"tch", "tʃ"), (r"ch", "tʃ"), (r"sh", "ʃ"), (r"ph", "f"),
+    (r"th(?=e#|e[mnsy])", "ð"), (r"th", "θ"), (r"wh", "w"), (r"ck", "k"),
+    (r"ng(?=#)", "ŋ"), (r"ng", "ŋɡ"), (r"qu", "kw"), (r"gh(?=#)", ""),
+    (r"kn", "n"), (r"wr", "ɹ"), (r"mb(?=#)", "m"), (r"dge", "dʒ"),
+    (r"x", "ks"),
+    # vowel teams
+    (r"igh", "aɪ"), (r"eigh", "eɪ"), (r"ould(?=#)", "ʊd"),
+    (r"ought", "ɔt"), (r"augh", "ɔ"), (r"tion", "ʃən"), (r"sion", "ʒən"),
+    (r"ture(?=#)", "tʃɝ"), (r"ai", "eɪ"), (r"ay", "eɪ"), (r"ee", "i"),
+    (r"ea", "i"), (r"oo(?=k)", "ʊ"), (r"oo", "u"), (r"ou(?=s)", "ə"),
+    (r"ou", "aʊ"), (r"ow(?=#)", "oʊ"), (r"ow", "aʊ"), (r"oa", "oʊ"),
+    (r"oi", "ɔɪ"), (r"oy", "ɔɪ"), (r"au", "ɔ"), (r"aw", "ɔ"),
+    (r"ie(?=#)", "aɪ"), (r"ie", "i"), (r"ei", "eɪ"), (r"ey(?=#)", "i"),
+    (r"ue(?=#)", "u"), (r"ui", "u"),
+    # r-colored vowels
+    (r"ar(?=#|[bcdfgklmnpstvz])", "ɑɹ"), (r"or", "ɔɹ"), (r"er(?=#)", "ɝ"),
+    (r"er", "ɝ"), (r"ir", "ɝ"), (r"ur", "ɝ"),
+    # magic-e long vowels: a_e, i_e, o_e, u_e
+    (r"a(?=[bcdfgklmnpstvz]e#)", "eɪ"),
+    (r"i(?=[bcdfgklmnpstvz]e#)", "aɪ"),
+    (r"o(?=[bcdfgklmnpstvz]e#)", "oʊ"),
+    (r"u(?=[bcdfgklmnpstvz]e#)", "ju"),
+    (r"e(?=[bcdfgklmnpstvz]e#)", "i"),
+    # soft c / g
+    (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "dʒ"),
+    # single letters
+    (r"a(?=#)", "ə"), (r"a", "æ"), (r"b", "b"), (r"c", "k"), (r"d", "d"),
+    (r"e(?=#)", ""), (r"e(?=d#)", ""), (r"e", "ɛ"), (r"f", "f"), (r"g", "ɡ"),
+    (r"h", "h"), (r"i", "ɪ"), (r"j", "dʒ"), (r"k", "k"), (r"l", "l"),
+    (r"m", "m"), (r"n", "n"), (r"o(?=#)", "oʊ"), (r"o", "ɑ"), (r"p", "p"),
+    (r"r", "ɹ"), (r"s(?=#)", "z"), (r"s", "s"), (r"t", "t"), (r"u", "ʌ"),
+    (r"v", "v"), (r"w", "w"), (r"y(?=#)", "i"), (r"y(?=[aeiou])", "j"),
+    (r"y", "ɪ"), (r"z", "z"), (r"'", ""),
+]
+
+# Core function-word lexicon (the worst offenders for rule-based G2P).
+_EN_LEXICON = {
+    "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
+    "was": "wʌz", "is": "ɪz", "are": "ɑɹ", "were": "wɝ", "have": "hæv",
+    "has": "hæz", "he": "hi", "she": "ʃi", "you": "ju", "they": "ðeɪ",
+    "we": "wi", "i": "aɪ", "one": "wʌn", "two": "tu", "do": "du",
+    "does": "dʌz", "done": "dʌn", "what": "wʌt", "who": "hu",
+    "where": "wɛɹ", "there": "ðɛɹ", "their": "ðɛɹ", "said": "sɛd",
+    "says": "sɛz", "again": "əɡɛn", "against": "əɡɛnst", "been": "bɪn",
+    "could": "kʊd", "would": "wʊd", "should": "ʃʊd", "some": "sʌm",
+    "come": "kʌm", "love": "lʌv", "move": "muv", "give": "ɡɪv",
+    "live": "lɪv", "very": "vɛɹi", "only": "oʊnli", "once": "wʌns",
+    "people": "pipəl", "water": "wɔtɝ", "world": "wɝld", "hello": "hɛloʊ",
+    "yes": "jɛs", "no": "noʊ", "ok": "oʊkeɪ", "okay": "oʊkeɪ",
+}
+
+# ---- Spanish (near-phonemic orthography) ----------------------------------
+
+_ES_RULES: list[tuple[str, str]] = [
+    (r"ch", "tʃ"), (r"ll", "ʝ"), (r"rr", "r"), (r"qu(?=[ei])", "k"),
+    (r"gu(?=[ei])", "ɡ"), (r"gü", "ɡw"), (r"c(?=[ei])", "s"), (r"z", "s"),
+    (r"j", "x"), (r"g(?=[ei])", "x"), (r"ñ", "ɲ"), (r"h", ""), (r"v", "b"),
+    (r"y(?=#)", "i"), (r"y", "ʝ"), (r"x", "ks"),
+    (r"a", "a"), (r"á", "a"), (r"e", "e"), (r"é", "e"), (r"i", "i"),
+    (r"í", "i"), (r"o", "o"), (r"ó", "o"), (r"u", "u"), (r"ú", "u"),
+    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
+    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
+    (r"r", "ɾ"), (r"s", "s"), (r"t", "t"), (r"w", "w"),
+]
+
+_PUNCT_PAUSE = {".": "‖", "!": "‖", "?": "‖", ",": "|", ";": "|", ":": "|"}
+
+
+class GraphemeToPhonemizer:
+    """Public G2P API (reference binding: GraphemeToPhonemizer;
+    C ABI: moonshine-c-api.h:1140-1184)."""
+
+    def __init__(self, language: str = "en", lexicon_path: str | None = None):
+        self.language = language
+        self.engine = _make_engine(language)
+        if lexicon_path:
+            self.engine.add_lexicon(load_cmudict_lexicon(lexicon_path))
+
+    def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
+        normalized = normalize_text(text)
+        out: list[str] = []
+        for token in re.findall(r"[\w']+|[.,!?;:]", normalized):
+            if token in _PUNCT_PAUSE:
+                if with_pauses and out:
+                    out.append(_PUNCT_PAUSE[token])
+                continue
+            ipa = self.engine.word_to_ipa(token)
+            if ipa:
+                out.append(ipa)
+        return " ".join(out)
+
+    def word_to_ipa(self, word: str) -> str:
+        return self.engine.word_to_ipa(word)
+
+
+_ENGINES: dict[str, Callable[[], RuleG2P]] = {
+    "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
+    "es": lambda: RuleG2P(_ES_RULES),
+}
+
+SUPPORTED_LANGUAGES = tuple(sorted(_ENGINES))
+
+
+def _make_engine(language: str) -> RuleG2P:
+    factory = _ENGINES.get(language.split("_")[0].split("-")[0])
+    if factory is None:
+        raise ValueError(
+            f"G2P language {language!r} not available; supported: {SUPPORTED_LANGUAGES}"
+        )
+    return factory()

@@ -1,0 +1,200 @@
+"""TTS tests: text normalization, G2P, acoustic model, facade
+(reference: core/moonshine-tts/tests/ per-language G2P goldens,
+text-normalize tests, synthesis speed test intent)."""
+
+import numpy as np
+import pytest
+
+from moonshine_tpu.tts.g2p import GraphemeToPhonemizer, load_cmudict_lexicon
+from moonshine_tpu.tts.text_normalize import (
+    normalize_text,
+    number_to_words,
+    ordinal_to_words,
+    year_to_words,
+)
+
+
+# -- text normalization ----------------------------------------------------
+
+@pytest.mark.parametrize(
+    "n,words",
+    [
+        (0, "zero"),
+        (7, "seven"),
+        (13, "thirteen"),
+        (21, "twenty one"),
+        (100, "one hundred"),
+        (345, "three hundred forty five"),
+        (1000, "one thousand"),
+        (1000000, "one million"),
+        (-5, "minus five"),
+    ],
+)
+def test_number_to_words(n, words):
+    assert number_to_words(n) == words
+
+
+def test_ordinals():
+    assert ordinal_to_words(1) == "first"
+    assert ordinal_to_words(2) == "second"
+    assert ordinal_to_words(3) == "third"
+    assert ordinal_to_words(4) == "fourth"
+    assert ordinal_to_words(12) == "twelfth"
+    assert ordinal_to_words(20) == "twentieth"
+    assert ordinal_to_words(21) == "twenty first"
+
+
+def test_years():
+    assert year_to_words(1984) == "nineteen eighty four"
+    assert year_to_words(1900) == "nineteen hundred"
+    assert year_to_words(2005) == "two thousand five"
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("I have 3 cats", "I have three cats"),
+        ("$5", "five dollars"),
+        ("$1.50", "one dollar and fifty cents"),
+        ("50%", "fifty percent"),
+        ("the 2nd time", "the second time"),
+        ("Dr. Smith", "doctor Smith"),
+        ("meet at 3:30", "meet at three thirty"),
+        ("in 1984 there", "in nineteen eighty four there"),
+        ("A&B", "A and B"),
+    ],
+)
+def test_normalize_text(text, expected):
+    assert normalize_text(text) == expected
+
+
+# -- G2P -------------------------------------------------------------------
+
+def test_g2p_english_basics():
+    g = GraphemeToPhonemizer("en")
+    assert g.word_to_ipa("the") == "ðə"  # lexicon
+    assert g.word_to_ipa("cat") == "kæt"  # rules
+    assert g.word_to_ipa("ship") == "ʃɪp"
+    assert g.word_to_ipa("make") == "meɪk"  # magic e
+    assert g.word_to_ipa("see") == "si"
+    assert g.word_to_ipa("charge").startswith("tʃ")
+    assert "ŋ" in g.word_to_ipa("sing")
+
+
+def test_g2p_sentence_with_pauses():
+    g = GraphemeToPhonemizer("en")
+    ipa = g.text_to_ipa("Hello, world.")
+    assert "|" in ipa  # comma pause
+    assert "‖" in ipa  # full stop pause
+    assert ipa.index("|") < ipa.index("‖")
+
+
+def test_g2p_normalizes_numbers():
+    g = GraphemeToPhonemizer("en")
+    ipa_digits = g.text_to_ipa("3 cats")
+    ipa_words = g.text_to_ipa("three cats")
+    assert ipa_digits == ipa_words
+
+
+def test_g2p_spanish():
+    g = GraphemeToPhonemizer("es")
+    assert g.word_to_ipa("casa") == "kasa"
+    assert g.word_to_ipa("cielo").startswith("s")
+    assert g.word_to_ipa("llama").startswith("ʝ")
+    assert "x" in g.word_to_ipa("jamon")
+
+
+def test_g2p_unknown_language():
+    with pytest.raises(ValueError):
+        GraphemeToPhonemizer("xx")
+
+
+def test_cmudict_lexicon_loading(tmp_path):
+    p = tmp_path / "dict.txt"
+    p.write_text(
+        ";;; comment\n"
+        "HELLO  HH AH0 L OW1\n"
+        "HELLO(1)  HH EH0 L OW1\n"
+        "WORLD  W ER1 L D\n"
+    )
+    lex = load_cmudict_lexicon(p)
+    assert lex["hello"] == "hʌloʊ"
+    assert lex["world"] == "wɝld"
+    g = GraphemeToPhonemizer("en")
+    g.engine.add_lexicon(lex)
+    assert g.word_to_ipa("hello") == "hʌloʊ"
+
+
+# -- acoustic model --------------------------------------------------------
+
+def test_ipa_to_ids_roundtrip_structure():
+    from moonshine_tpu.models.tts import BOS, EOS, ipa_to_ids
+
+    ids = ipa_to_ids("kæt")
+    assert ids[0] == BOS and ids[-1] == EOS
+    assert len(ids) == 5  # bos k æ t eos
+    # Two-char symbols match greedily.
+    ids2 = ipa_to_ids("tʃaɪ")
+    assert len(ids2) == 4
+
+
+def test_synthesize_shapes_and_speed():
+    import jax
+
+    from moonshine_tpu.models import tts as tm
+
+    cfg = tm.TTSConfig(dim=64, encoder_layers=1, decoder_layers=1, heads=4)
+    params = tm.init_params(cfg, jax.random.PRNGKey(0))
+    ids = tm.ipa_to_ids("hɛloʊ wɝld")
+    phon = np.zeros(tm.MAX_PHONEMES, np.int32)
+    phon[: len(ids)] = ids
+    style = tm.make_voice(jax.random.PRNGKey(1))
+    r1 = tm.synthesize(params, cfg, phon, len(ids), style, speed=1.0)
+    n1 = int(r1.n_frames)
+    assert 0 < n1 <= tm.MAX_FRAMES
+    wav = np.asarray(r1.waveform[: n1 * tm.HOP])
+    assert np.isfinite(wav).all()
+    # Faster speed -> fewer frames.
+    r2 = tm.synthesize(params, cfg, phon, len(ids), style, speed=2.0)
+    assert int(r2.n_frames) < n1
+
+
+def test_facade_synthesize_and_queue():
+    from moonshine_tpu.models.tts import TTSConfig
+    from moonshine_tpu.tts.facade import SAMPLE_RATE, TextToSpeech
+
+    played = []
+    tts = (
+        TextToSpeech(cfg=TTSConfig(dim=64, encoder_layers=1, decoder_layers=1, heads=4))
+        .voice("test_voice")
+        .play_with(lambda wav, sr: played.append((len(wav), sr)))
+        .load()
+    )
+    wav, sr = tts.synthesize("hi there")
+    assert sr == SAMPLE_RATE
+    assert wav.size > 0
+    assert np.max(np.abs(wav)) <= 1.0 + 1e-5  # normalized
+
+    tts.say("one")
+    tts.say("two")
+    tts.wait_for_all()
+    tts.stop()
+    assert len(played) == 2
+    assert all(sr == SAMPLE_RATE for _, sr in played)
+
+
+def test_facade_requires_load():
+    from moonshine_tpu.tts.facade import TextToSpeech
+
+    with pytest.raises(RuntimeError):
+        TextToSpeech().synthesize("x")
+
+
+def test_facade_speed_option():
+    from moonshine_tpu.models.tts import TTSConfig
+    from moonshine_tpu.tts.facade import TTSOptions, TextToSpeech
+
+    tts = TextToSpeech(cfg=TTSConfig(dim=64, encoder_layers=1, decoder_layers=1, heads=4)).load()
+    w1, _ = tts.synthesize("a longer sentence to say", TTSOptions(speed=1.0))
+    w2, _ = tts.synthesize("a longer sentence to say", TTSOptions(speed=2.0))
+    assert len(w2) < len(w1)
