@@ -256,11 +256,11 @@ class DecoderCache(NamedTuple):
     cross-KV is precomputed once per memory update.
     """
 
-    k_self: jnp.ndarray  # [L, B, H, S_max, hd]
-    v_self: jnp.ndarray  # [L, B, H, S_max, hd]
+    k_self: jnp.ndarray  # [L, B, S_max, H, hd]
+    v_self: jnp.ndarray  # [L, B, S_max, H, hd]
     cur_len: jnp.ndarray  # scalar int32
-    k_cross: jnp.ndarray  # [L, B, H, T, hd]
-    v_cross: jnp.ndarray  # [L, B, H, T, hd]
+    k_cross: jnp.ndarray  # [L, B, T, H, hd]
+    v_cross: jnp.ndarray  # [L, B, T, H, hd]
     memory_mask: jnp.ndarray  # [B, T] bool
 
 
@@ -273,7 +273,9 @@ def init_cache(
     memory_mask: jnp.ndarray,
     dtype=jnp.float32,
 ) -> DecoderCache:
-    shape = (cfg.decoder_layers, batch, cfg.decoder_kv_heads, max_len, cfg.head_dim)
+    # [L, B, S, H, hd]: sequence-major so attention reads the cache without
+    # a materialized transpose (the transpose was ~3x HBM traffic per step).
+    shape = (cfg.decoder_layers, batch, max_len, cfg.decoder_kv_heads, cfg.head_dim)
     return DecoderCache(
         k_self=jnp.zeros(shape, dtype),
         v_self=jnp.zeros(shape, dtype),
@@ -290,15 +292,15 @@ def compute_cross_kv(
     """Precompute cross-attention K/V for all layers from encoder memory.
 
     Counterpart of the reference's ``cross_kv.ort`` session (reference:
-    core/moonshine-streaming-model.cpp:744-806).  Returns [L, B, H, T, hd].
+    core/moonshine-streaming-model.cpp:744-806).  Returns [L, B, T, H, hd]
+    (sequence-major, matching the attention einsum's native layout).
     """
 
     def body(_, lp):
         a = lp["cross_attn"]
         k = _split_heads(dense(a["k"], memory), cfg.decoder_kv_heads)
         v = _split_heads(dense(a["v"], memory), cfg.decoder_kv_heads)
-        # [B, T, H, hd] -> [B, H, T, hd]
-        return None, (k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
+        return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, p["layers"])
     return ks, vs
@@ -321,9 +323,9 @@ def _decoder_layer_apply(cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, 
     q = apply_rotary(q, cos, sin)
     k_new = apply_rotary(k_new, cos, sin)
     # Write new K/V into the cache at [cur_len, cur_len + s).
-    k_l = jax.lax.dynamic_update_slice(k_l, k_new.transpose(0, 2, 1, 3).astype(k_l.dtype), (0, 0, cur_len, 0))
-    v_l = jax.lax.dynamic_update_slice(v_l, v_new.transpose(0, 2, 1, 3).astype(v_l.dtype), (0, 0, cur_len, 0))
-    o = _attention(q, k_l.transpose(0, 2, 1, 3).astype(q.dtype), v_l.transpose(0, 2, 1, 3).astype(q.dtype), self_mask)
+    k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype), (0, cur_len, 0, 0))
+    v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype), (0, cur_len, 0, 0))
+    o = _attention(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
     h = h + dense(a["o"], o.reshape(b, s, -1))
     return h, k_l, v_l
 
@@ -334,8 +336,8 @@ def _decoder_cross_mlp_apply(cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_we
     x = layer_norm(lp["ln2"], h, eps)
     a = lp["cross_attn"]
     q = _split_heads(dense(a["q"], x), heads)
-    kc = kc_l.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, T, H, hd]
-    vc = vc_l.transpose(0, 2, 1, 3).astype(q.dtype)
+    kc = kc_l.astype(q.dtype)  # [B, T, H, hd]
+    vc = vc_l.astype(q.dtype)
     if collect_weights:
         o, w = _attention_with_weights(q, kc, vc, cross_mask)
     else:
@@ -370,7 +372,7 @@ def decoder_apply(
     [L, B, H, s, T]).
     """
     b, s = tokens.shape
-    max_len = cache.k_self.shape[3]
+    max_len = cache.k_self.shape[2]  # [L, B, S, H, hd]
     eps = cfg.layer_norm_eps
     embed = p["embed"]
     h = embed[tokens]  # compute dtype follows the param dtype (fp32 or bf16)

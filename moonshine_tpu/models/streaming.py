@@ -180,11 +180,11 @@ class StreamingState(NamedTuple):
     # memory + cross-KV
     memory: jnp.ndarray  # [MEM_CAP, decoder_dim]
     mem_len: jnp.ndarray  # scalar int32
-    k_cross: jnp.ndarray  # [L, H, MEM_CAP, hd]
-    v_cross: jnp.ndarray  # [L, H, MEM_CAP, hd]
+    k_cross: jnp.ndarray  # [L, MEM_CAP, H, hd] (sequence-major: attention
+    v_cross: jnp.ndarray  #   reads the cache without a materialized transpose)
     # decoder self-KV
-    k_self: jnp.ndarray  # [L, H, max_seq_len, hd]
-    v_self: jnp.ndarray  # [L, H, max_seq_len, hd]
+    k_self: jnp.ndarray  # [L, max_seq_len, H, hd]
+    v_self: jnp.ndarray  # [L, max_seq_len, H, hd]
     cache_len: jnp.ndarray  # scalar int32
 
 
@@ -201,10 +201,10 @@ def init_state(cfg: StreamingConfig, dtype=jnp.float32) -> StreamingState:
         enc_emitted=z((), jnp.int32),
         memory=z((MEM_CAP, cfg.decoder_dim), dtype),
         mem_len=z((), jnp.int32),
-        k_cross=z((L, H, MEM_CAP, hd), dtype),
-        v_cross=z((L, H, MEM_CAP, hd), dtype),
-        k_self=z((L, H, cfg.max_seq_len, hd), dtype),
-        v_self=z((L, H, cfg.max_seq_len, hd), dtype),
+        k_cross=z((L, MEM_CAP, H, hd), dtype),
+        v_cross=z((L, MEM_CAP, H, hd), dtype),
+        k_self=z((L, cfg.max_seq_len, H, hd), dtype),
+        v_self=z((L, cfg.max_seq_len, H, hd), dtype),
         cache_len=z((), jnp.int32),
     )
 
@@ -342,16 +342,16 @@ def encode_step(
     # Incremental cross-KV for the new memory rows.
     def ckv(carry, lp):
         a = lp["cross_attn"]
-        k = _split_heads(dense(a["k"], mem_new)[None], cfg.nheads)[0].transpose(1, 0, 2)
-        v = _split_heads(dense(a["v"], mem_new)[None], cfg.nheads)[0].transpose(1, 0, 2)
+        k = _split_heads(dense(a["k"], mem_new)[None], cfg.nheads)[0]  # [T, H, hd]
+        v = _split_heads(dense(a["v"], mem_new)[None], cfg.nheads)[0]
         return carry, (k, v)
 
     _, (k_new, v_new) = jax.lax.scan(ckv, None, params["decoder"]["layers"])
     k_cross = jax.lax.dynamic_update_slice(
-        state.k_cross, k_new.astype(state.k_cross.dtype), (0, 0, state.mem_len, 0)
+        state.k_cross, k_new.astype(state.k_cross.dtype), (0, state.mem_len, 0, 0)
     )
     v_cross = jax.lax.dynamic_update_slice(
-        state.v_cross, v_new.astype(state.v_cross.dtype), (0, 0, state.mem_len, 0)
+        state.v_cross, v_new.astype(state.v_cross.dtype), (0, state.mem_len, 0, 0)
     )
 
     return state._replace(
@@ -432,16 +432,13 @@ def decode_tokens(
         q = apply_rotary(q, cos, sin)
         k_new = apply_rotary(k_new, cos, sin)
         k_l = jax.lax.dynamic_update_slice(
-            k_l, k_new.transpose(1, 0, 2).astype(k_l.dtype), (0, state.cache_len, 0)
+            k_l, k_new.astype(k_l.dtype), (state.cache_len, 0, 0)
         )
         v_l = jax.lax.dynamic_update_slice(
-            v_l, v_new.transpose(1, 0, 2).astype(v_l.dtype), (0, state.cache_len, 0)
+            v_l, v_new.astype(v_l.dtype), (state.cache_len, 0, 0)
         )
         o = _attention(
-            q[None],
-            k_l.transpose(1, 0, 2)[None].astype(q.dtype),
-            v_l.transpose(1, 0, 2)[None].astype(q.dtype),
-            self_mask,
+            q[None], k_l[None].astype(q.dtype), v_l[None].astype(q.dtype), self_mask
         )[0]
         h = h + dense(a["o"], o.reshape(s, -1))
         # Cross-attention over memory
@@ -452,18 +449,12 @@ def decode_tokens(
             from .moonshine import _attention_with_weights
 
             oc, w = _attention_with_weights(
-                qc[None],
-                kc_l.transpose(1, 0, 2)[None].astype(qc.dtype),
-                vc_l.transpose(1, 0, 2)[None].astype(qc.dtype),
-                cross_mask,
+                qc[None], kc_l[None].astype(qc.dtype), vc_l[None].astype(qc.dtype), cross_mask
             )
             oc, w = oc[0], w[0]
         else:
             oc = _attention(
-                qc[None],
-                kc_l.transpose(1, 0, 2)[None].astype(qc.dtype),
-                vc_l.transpose(1, 0, 2)[None].astype(qc.dtype),
-                cross_mask,
+                qc[None], kc_l[None].astype(qc.dtype), vc_l[None].astype(qc.dtype), cross_mask
             )[0]
             w = None
         h = h + dense(c["o"], oc.reshape(s, -1))

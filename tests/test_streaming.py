@@ -131,10 +131,10 @@ def test_encode_deterministic_and_emission_counts(params):
     emitted += n
     assert emitted == 64
     assert int(s2.mem_len) == int(s1a.mem_len) == 64
-    # Cross-KV rows track memory rows 1:1.
+    # Cross-KV rows track memory rows 1:1 (layout [L, T, H, hd]).
     k = np.asarray(s2.k_cross)
-    assert not np.allclose(k[:, :, 63], 0)
-    assert np.allclose(k[:, :, 64:], 0)
+    assert not np.allclose(k[:, 63], 0)
+    assert np.allclose(k[:, 64:], 0)
 
 
 # -- decoder ---------------------------------------------------------------
