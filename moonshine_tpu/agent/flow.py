@@ -248,6 +248,7 @@ class _ActiveFlow:
         self.pending: Optional[Prompt] = None  # input-expecting prompt
         self.retries_left = 0
         self.timer: Optional[Any] = None
+        self.alpha_session = None  # AlphanumericSession for SPELLED/DIGITS
 
 
 # -- runner ----------------------------------------------------------------
@@ -569,7 +570,22 @@ class AgentFlow:
             active.timer = None
 
         result: Any
-        if isinstance(prompt, Ask):
+        if isinstance(prompt, Ask) and prompt.mode in (SPELLED, DIGITS):
+            # Characters accumulate across utterances until "stop"
+            # (reference: alphanumeric_listener.py flow).
+            from .alphanumeric import AlphanumericSession
+
+            if active.alpha_session is None:
+                active.alpha_session = AlphanumericSession(
+                    mode="digits" if prompt.mode == DIGITS else "spelled"
+                )
+            ev = active.alpha_session.handle_utterance(text)
+            if ev.action != "stop":
+                self._arm_timeout(prompt)  # keep waiting for more characters
+                return
+            result = active.alpha_session.value
+            active.alpha_session = None
+        elif isinstance(prompt, Ask):
             result = text
         elif isinstance(prompt, Confirm):
             matcher = self._make_matcher(

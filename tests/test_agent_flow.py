@@ -290,3 +290,41 @@ def test_mute_during_speech():
     agent.listen_for("talk", flow)
     agent.handle_utterance("talk")
     assert mutes == [True, False]
+
+
+def test_ask_spelled_mode_accumulates_until_stop():
+    from moonshine_tpu.agent.flow import SPELLED
+
+    agent, spoken = make_agent()
+    answers = []
+
+    def flow(d):
+        code = yield d.ask("spell it", mode=SPELLED)
+        answers.append(code)
+
+    agent.listen_for("spell", flow)
+    agent.handle_utterance("spell")
+    for u in ("bravo", "oscar", "bee"):
+        agent.handle_utterance(u)
+    assert answers == []  # still collecting
+    agent.handle_utterance("stop")
+    assert answers == ["bob"]
+
+
+def test_ask_digits_mode():
+    from moonshine_tpu.agent.flow import DIGITS
+
+    agent, spoken = make_agent()
+    answers = []
+
+    def flow(d):
+        pin = yield d.ask("say your pin", mode=DIGITS)
+        answers.append(pin)
+
+    agent.listen_for("pin", flow)
+    agent.handle_utterance("pin")
+    agent.handle_utterance("four")
+    agent.handle_utterance("bravo")  # rejected in digits mode
+    agent.handle_utterance("seven")
+    agent.handle_utterance("done")
+    assert answers == ["47"]
