@@ -66,6 +66,29 @@ def cmd_mic(args) -> int:  # pragma: no cover - needs audio hardware
     return 0
 
 
+def cmd_tts(args) -> int:
+    from .audio.wav import save_wav
+    from .tts.facade import TTSOptions, TextToSpeech
+
+    tts = TextToSpeech(language=args.language).voice(args.voice).load()
+    wav, sr = tts.synthesize(args.text, TTSOptions(speed=args.speed))
+    if args.output:
+        # TTS runs at 24 kHz; save as-is.
+        save_wav(args.output, wav, sr)
+        print(f"wrote {args.output} ({len(wav)/sr:.2f}s at {sr} Hz)")
+    else:
+        print(f"synthesized {len(wav)/sr:.2f}s at {sr} Hz (pass -o to save)")
+    return 0
+
+
+def cmd_g2p(args) -> int:
+    from .tts.g2p import GraphemeToPhonemizer
+
+    g = GraphemeToPhonemizer(args.language, lexicon_path=args.lexicon)
+    print(g.text_to_ipa(args.text))
+    return 0
+
+
 def cmd_models(args) -> int:
     from . import catalog
 
@@ -104,6 +127,20 @@ def main(argv=None) -> int:
     mp.add_argument("--tokenizer", default=None)
     mp.add_argument("--update-interval", type=float, default=0.5)
     mp.set_defaults(fn=cmd_mic)
+
+    sp = sub.add_parser("tts", help="Synthesize speech from text")
+    sp.add_argument("text")
+    sp.add_argument("-o", "--output", default=None, help="Output WAV path")
+    sp.add_argument("--voice", default="af_default")
+    sp.add_argument("--language", default="en")
+    sp.add_argument("--speed", type=float, default=1.0)
+    sp.set_defaults(fn=cmd_tts)
+
+    gp = sub.add_parser("g2p", help="Convert text to IPA phonemes")
+    gp.add_argument("text")
+    gp.add_argument("--language", default="en")
+    gp.add_argument("--lexicon", default=None)
+    gp.set_defaults(fn=cmd_g2p)
 
     cp = sub.add_parser("models", help="List the model catalog")
     cp.add_argument("--json", action="store_true")

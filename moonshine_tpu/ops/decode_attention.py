@@ -30,22 +30,25 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-T_BLK = 512
+T_BLK = 128
 
 _NEG_INF = -1e30
 
 
 def _kernel(len_ref, qbd_ref, expand_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
-    """Grid (B, nT). Blocks: qbd [1,H*hd,H], expand [H,H*hd] head->column
-    one-hot map, k/v [1,T_BLK,H*hd], o [1,1,H*hd].
+    """Grid (B/B_BLK, nT). Blocks: qbd [B_BLK,H*hd,H], expand [H,H*hd]
+    head->column one-hot map, k/v [B_BLK,T_BLK,H*hd], o [B_BLK,1,H*hd].
 
-    Scratch: m/l [1,H] running max/denominator, acc [1,H*hd] fp32.
-    len_ref: scalar-prefetch [B] valid key counts.
+    Output block: [B_BLK, H*hd] (2D — 3D stores trip Mosaic shape casts).
+    Scratch: m/l [B_BLK,H] running max/denominator, acc [B_BLK,H*hd] fp32.
+    len_ref: scalar-prefetch [B] valid key counts.  The row loop is
+    unrolled so every op stays a 2D matmul/reduce; multiple rows per
+    program amortize the per-program pipeline overhead that made a
+    one-row-per-program version latency-bound.
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    b = pl.program_id(0)
+    bb = pl.program_id(0)
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
 
@@ -55,62 +58,56 @@ def _kernel(len_ref, qbd_ref, expand_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    b_blk = k_ref.shape[0]
     hhd = qbd_ref.shape[1]
     n_heads = qbd_ref.shape[2]
     hd = hhd // n_heads
     t_blk = k_ref.shape[1]
     scale = hd ** -0.5
-
-    k2d = k_ref[0].astype(jnp.float32)  # [T_BLK, H*hd]
-    v2d = v_ref[0].astype(jnp.float32)
-    qbd = qbd_ref[0].astype(jnp.float32)  # [H*hd, H]
-
-    logits = (
-        jnp.dot(k2d, qbd, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
-        * scale
-    )  # [T_BLK, H]
-
-    valid_len = len_ref[b]
-    row = jax.lax.broadcasted_iota(jnp.int32, (t_blk, n_heads), 0) + t * t_blk
-    logits = jnp.where(row < valid_len, logits, _NEG_INF)
-
-    m_prev = m_ref[...]  # [1, H]
-    l_prev = l_ref[...]
-    m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=0, keepdims=True))
-    alpha = jnp.exp(m_prev - m_cur)  # [1, H]
-    p = jnp.exp(logits - m_cur)  # [T_BLK, H]
-    l_ref[...] = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
-    m_ref[...] = m_cur
-
-    # Expand head weights to head*hd columns with a one-hot matmul
-    # (pltpu.repeat tiles rather than element-repeats) and reduce over time
-    # at full lane width.
     E = expand_ref[...].astype(jnp.float32)  # [H, H*hd]
-    p_exp = jnp.dot(p, E, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # [T_BLK, H*hd]
-    alpha_exp = jnp.dot(alpha, E, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-    acc_ref[...] = acc_ref[...] * alpha_exp + jnp.sum(
-        p_exp * v2d, axis=0, keepdims=True
-    )
+    hi = jax.lax.Precision.HIGHEST
+    row_base = jax.lax.broadcasted_iota(jnp.int32, (t_blk, n_heads), 0) + t * t_blk
+
+    for i in range(b_blk):
+        k2d = k_ref[i].astype(jnp.float32)  # [T_BLK, H*hd]
+        v2d = v_ref[i].astype(jnp.float32)
+        qbd = qbd_ref[i].astype(jnp.float32)  # [H*hd, H]
+        logits = jnp.dot(k2d, qbd, preferred_element_type=jnp.float32,
+                         precision=hi) * scale  # [T_BLK, H]
+        valid_len = len_ref[bb * b_blk + i]
+        logits = jnp.where(row_base < valid_len, logits, _NEG_INF)
+
+        m_prev = m_ref[i : i + 1, :]  # [1, H]
+        l_prev = l_ref[i : i + 1, :]
+        m_cur = jnp.maximum(m_prev, jnp.max(logits, axis=0, keepdims=True))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(logits - m_cur)  # [T_BLK, H]
+        l_ref[i : i + 1, :] = l_prev * alpha + jnp.sum(p, axis=0, keepdims=True)
+        m_ref[i : i + 1, :] = m_cur
+
+        p_exp = jnp.dot(p, E, preferred_element_type=jnp.float32, precision=hi)
+        alpha_exp = jnp.dot(alpha, E, preferred_element_type=jnp.float32, precision=hi)
+        acc_ref[i : i + 1, :] = acc_ref[i : i + 1, :] * alpha_exp + jnp.sum(
+            p_exp * v2d, axis=0, keepdims=True
+        )
 
     @pl.when(t == n_t - 1)
     def _finish():
         l_exp = jnp.dot(
             jnp.maximum(l_ref[...], 1e-30), E, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
-        o_ref[0] = (acc_ref[...] / jnp.maximum(l_exp, 1e-30)).astype(o_ref.dtype)
+        )  # [B_BLK, H*hd]
+        o_ref[...] = (acc_ref[...] / jnp.maximum(l_exp, 1e-30)).astype(o_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("interpret", "b_blk"))
 def flash_decode_attention(
     q: jnp.ndarray,  # [B, H, hd] single query token per row
     k: jnp.ndarray,  # [B, T, H, hd]
     v: jnp.ndarray,  # [B, T, H, hd]
     lengths: jnp.ndarray,  # [B] int32 valid key counts
     interpret: bool = False,  # run under the Pallas interpreter (CPU tests)
+    b_blk: int = 8,  # batch rows per program (8 = sublane tile; VMEM-bounded)
 ) -> jnp.ndarray:
     """Returns [B, H, hd]; equals masked softmax(qk)v over valid keys."""
     from jax.experimental import pallas as pl
@@ -118,46 +115,51 @@ def flash_decode_attention(
 
     b, t, h, hd = k.shape
     t_pad = ((t + T_BLK - 1) // T_BLK) * T_BLK
-    if t_pad != t:
-        pad = [(0, 0), (0, t_pad - t), (0, 0), (0, 0)]
+    b_blk = min(b_blk, b)
+    b_pad = ((b + b_blk - 1) // b_blk) * b_blk
+    if t_pad != t or b_pad != b:
+        pad = [(0, b_pad - b), (0, t_pad - t), (0, 0), (0, 0)]
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+        q = jnp.pad(q, [(0, b_pad - b), (0, 0), (0, 0)])
+        lengths = jnp.pad(lengths, (0, b_pad - b), constant_values=1)
     n_t = t_pad // T_BLK
+    n_b = b_pad // b_blk
 
     # Block-diagonal query: qbd[b, h*hd + d, h] = q[b, h, d].
     eye = jnp.eye(h, dtype=q.dtype)  # [H, H]
     qbd = jnp.einsum(
         "bhd,hg->bhdg", q, eye, precision=jax.lax.Precision.HIGHEST
-    ).reshape(b, h * hd, h)
+    ).reshape(b_pad, h * hd, h)
     # Head -> column-group one-hot expansion map E[h, h*hd + d] = 1.
     expand = jnp.repeat(jnp.eye(h, dtype=jnp.float32), hd, axis=1).reshape(h, h * hd)
 
-    k2 = k.reshape(b, t_pad, h * hd)
-    v2 = v.reshape(b, t_pad, h * hd)
+    k2 = k.reshape(b_pad, t_pad, h * hd)
+    v2 = v.reshape(b_pad, t_pad, h * hd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n_t),
+        grid=(n_b, n_t),
         in_specs=[
-            pl.BlockSpec((1, h * hd, h), lambda i, j, *_: (i, 0, 0)),
+            pl.BlockSpec((b_blk, h * hd, h), lambda i, j, *_: (i, 0, 0)),
             pl.BlockSpec((h, h * hd), lambda i, j, *_: (0, 0)),
-            pl.BlockSpec((1, T_BLK, h * hd), lambda i, j, *_: (i, j, 0)),
-            pl.BlockSpec((1, T_BLK, h * hd), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((b_blk, T_BLK, h * hd), lambda i, j, *_: (i, j, 0)),
+            pl.BlockSpec((b_blk, T_BLK, h * hd), lambda i, j, *_: (i, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, h * hd), lambda i, j, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((b_blk, h * hd), lambda i, j, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, h), jnp.float32),
-            pltpu.VMEM((1, h), jnp.float32),
-            pltpu.VMEM((1, h * hd), jnp.float32),
+            pltpu.VMEM((b_blk, h), jnp.float32),
+            pltpu.VMEM((b_blk, h), jnp.float32),
+            pltpu.VMEM((b_blk, h * hd), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, h * hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, h * hd), q.dtype),
         interpret=interpret,
     )(lengths.astype(jnp.int32), qbd, expand, k2, v2)
-    return out.reshape(b, h, hd)
+    return out[:b].reshape(b, h, hd)
 
 
 def reference_decode_attention(q, k, v, lengths):

@@ -112,3 +112,25 @@ def test_cli_transcribe(tmp_path, tokenizer_bin_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "[" in out
+
+
+def test_cli_g2p(capsys):
+    from moonshine_tpu.cli import main
+
+    assert main(["g2p", "hello world", "--language", "en"]) == 0
+    out = capsys.readouterr().out.strip()
+    assert out  # IPA produced
+    assert "h" in out
+
+
+def test_cli_tts(tmp_path, capsys):
+    from moonshine_tpu.cli import main
+
+    out = tmp_path / "x.wav"
+    assert main(["tts", "hi", "-o", str(out)]) == 0
+    assert out.exists()
+    from moonshine_tpu.audio.wav import load_wav
+
+    audio, sr = load_wav(str(out))
+    assert sr == 24000
+    assert audio.size > 0
