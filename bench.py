@@ -28,7 +28,7 @@ import jax.numpy as jnp
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="base")
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--duration", type=float, default=10.0, help="seconds per utterance")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")

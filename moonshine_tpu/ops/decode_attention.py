@@ -18,8 +18,13 @@ to [T_BLK, H*hd] and
 
 which keeps all 128 lanes busy for both phases.
 
-Used for the decoder's cross-attention when q_len == 1 on TPU; the jnp
-einsum path remains the fallback (CPU tests, multi-token verify passes).
+Status: numerically exact vs the oracle (1e-7 fp32, compiled on TPU) and
+covered by interpreter-mode tests, but NOT yet wired into the decode path:
+on the current v5e remote-compile toolchain Mosaic schedules this kernel
+at ~50-90 GB/s — below XLA's ~183 GB/s einsum — with a ~2 ms/call floor
+that is flat in batch size, i.e. pipeline-overhead-bound rather than
+bandwidth-bound.  The jnp einsum path (reference_decode_attention) is the
+production route until the scheduler gap is profiled out.
 """
 
 from __future__ import annotations
