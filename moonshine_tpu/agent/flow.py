@@ -392,6 +392,16 @@ class AgentFlow:
             text_norm = (text or "").strip()
             if not text_norm:
                 return
+            # SPELLED/DIGITS prompts own the line entirely: "start over" /
+            # "cancel" are spelling commands (CLEAR/...) there, not globals
+            # (reference: alphanumeric listener consumes lines first).
+            if (
+                self._active is not None
+                and isinstance(self._active.pending, Ask)
+                and self._active.pending.mode in (SPELLED, DIGITS)
+            ):
+                self._resume_with_input(text_norm)
+                return
             # Global handlers first.
             g_key = self._match_global(text_norm)
             if g_key is not None:

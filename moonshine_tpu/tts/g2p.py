@@ -167,6 +167,84 @@ _ES_RULES: list[tuple[str, str]] = [
     (r"r", "ɾ"), (r"s", "s"), (r"t", "t"), (r"w", "w"),
 ]
 
+# ---- French -----------------------------------------------------------
+
+_FR_RULES: list[tuple[str, str]] = [
+    (r"eau", "o"), (r"eaux(?=#)", "o"), (r"aux(?=#)", "o"), (r"au", "o"),
+    (r"oin", "wɛ̃"), (r"ain(?=#|[^aeiouy])", "ɛ̃"), (r"ein(?=#|[^aeiouy])", "ɛ̃"),
+    (r"in(?=#|[^aeiouy])", "ɛ̃"), (r"un(?=#|[^aeiouy])", "œ̃"),
+    (r"on(?=#|[^aeiouy])", "ɔ̃"), (r"an(?=#|[^aeiouy])", "ɑ̃"),
+    (r"en(?=#|[^aeiouy])", "ɑ̃"),
+    (r"ou", "u"), (r"oi", "wa"), (r"eu", "ø"), (r"œu", "œ"),
+    (r"ch", "ʃ"), (r"gn", "ɲ"), (r"qu", "k"), (r"ph", "f"),
+    (r"ill", "ij"), (r"ail(?=#)", "aj"), (r"eil(?=#)", "ɛj"),
+    (r"ç", "s"), (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "ʒ"), (r"j", "ʒ"),
+    (r"h", ""), (r"es(?=#)", ""), (r"e(?=#)", ""), (r"ent(?=#)", ""),
+    (r"er(?=#)", "e"), (r"ez(?=#)", "e"),
+    (r"[tdsxzp](?=#)", ""),  # silent final consonants (common cases)
+    (r"é", "e"), (r"è", "ɛ"), (r"ê", "ɛ"), (r"ë", "ɛ"), (r"à", "a"),
+    (r"â", "a"), (r"î", "i"), (r"ï", "i"), (r"ô", "o"), (r"û", "y"),
+    (r"ù", "y"), (r"u", "y"), (r"a", "a"), (r"e", "ə"), (r"i", "i"),
+    (r"o", "ɔ"), (r"y", "i"),
+    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
+    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
+    (r"r", "ʁ"), (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"w", "w"),
+    (r"x", "ks"), (r"z", "z"), (r"'", ""),
+]
+
+# ---- German ------------------------------------------------------------
+
+_DE_RULES: list[tuple[str, str]] = [
+    (r"tsch", "tʃ"), (r"sch", "ʃ"),
+    (r"(?<=[aou#])ch", "x"), (r"ch", "ç"),
+    (r"ck", "k"), (r"ph", "f"), (r"pf", "pf"), (r"qu", "kv"),
+    (r"sp(?=[aeiouäöü])", "ʃp"), (r"st(?=[aeiouäöü])", "ʃt"),
+    (r"ei", "aɪ"), (r"ai", "aɪ"), (r"au", "aʊ"), (r"eu", "ɔʏ"), (r"äu", "ɔʏ"),
+    (r"ie", "i"), (r"ee", "e"), (r"aa", "a"), (r"oo", "o"),
+    (r"ä", "ɛ"), (r"ö", "ø"), (r"ü", "y"), (r"ß", "s"),
+    (r"v", "f"), (r"w", "v"), (r"z", "ts"), (r"j", "j"),
+    (r"s(?=[aeiouäöü])", "z"), (r"s", "s"),
+    (r"er(?=#)", "ɐ"), (r"e(?=#)", "ə"),
+    (r"a", "a"), (r"e", "ɛ"), (r"i", "ɪ"), (r"o", "ɔ"), (r"u", "ʊ"),
+    (r"y", "y"), (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"),
+    (r"g", "ɡ"), (r"h", "h"), (r"k", "k"), (r"l", "l"), (r"m", "m"),
+    (r"n", "n"), (r"p", "p"), (r"r", "ʁ"), (r"t", "t"), (r"x", "ks"),
+]
+
+# ---- Italian -----------------------------------------------------------
+
+_IT_RULES: list[tuple[str, str]] = [
+    (r"sci(?=[aou])", "ʃ"), (r"sc(?=[ei])", "ʃ"), (r"sch", "sk"),
+    (r"gli", "ʎ"), (r"gn", "ɲ"), (r"ci(?=[aou])", "tʃ"), (r"c(?=[ei])", "tʃ"),
+    (r"gi(?=[aou])", "dʒ"), (r"g(?=[ei])", "dʒ"), (r"ch", "k"), (r"gh", "ɡ"),
+    (r"qu", "kw"), (r"zz", "tts"), (r"z", "ts"), (r"h", ""),
+    (r"à", "a"), (r"è", "ɛ"), (r"é", "e"), (r"ì", "i"), (r"ò", "ɔ"), (r"ù", "u"),
+    (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
+    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
+    (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "r"),
+    (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"w", "w"), (r"x", "ks"),
+    (r"y", "i"), (r"k", "k"), (r"j", "j"),
+]
+
+# ---- Portuguese --------------------------------------------------------
+
+_PT_RULES: list[tuple[str, str]] = [
+    (r"lh", "ʎ"), (r"nh", "ɲ"), (r"ch", "ʃ"), (r"qu(?=[ei])", "k"),
+    (r"gu(?=[ei])", "ɡ"), (r"ç", "s"), (r"c(?=[ei])", "s"),
+    (r"g(?=[ei])", "ʒ"), (r"j", "ʒ"), (r"h", ""),
+    (r"ão(?=#)", "ɐ̃w̃"), (r"õe", "õj̃"), (r"ã", "ɐ̃"),
+    (r"ou", "o"), (r"ei", "ej"), (r"s(?=#)", "ʃ"),
+    (r"á", "a"), (r"â", "ɐ"), (r"é", "ɛ"), (r"ê", "e"), (r"í", "i"),
+    (r"ó", "ɔ"), (r"ô", "o"), (r"ú", "u"),
+    (r"x", "ʃ"), (r"z(?=#)", "ʃ"), (r"z", "z"),
+    (r"rr", "ʁ"),
+    (r"r(?=#)", "ɾ"), (r"r", "ʁ"),
+    (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
+    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
+    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
+    (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"w", "w"), (r"y", "i"),
+]
+
 _PUNCT_PAUSE = {".": "‖", "!": "‖", "?": "‖", ",": "|", ";": "|", ":": "|"}
 
 
@@ -200,6 +278,10 @@ class GraphemeToPhonemizer:
 _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
     "es": lambda: RuleG2P(_ES_RULES),
+    "fr": lambda: RuleG2P(_FR_RULES),
+    "de": lambda: RuleG2P(_DE_RULES),
+    "it": lambda: RuleG2P(_IT_RULES),
+    "pt": lambda: RuleG2P(_PT_RULES),
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(_ENGINES))

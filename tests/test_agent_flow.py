@@ -328,3 +328,26 @@ def test_ask_digits_mode():
     agent.handle_utterance("seven")
     agent.handle_utterance("done")
     assert answers == ["47"]
+
+
+def test_spelled_mode_owns_command_words():
+    """'start over' during a SPELLED ask clears the buffer instead of
+    restarting the whole flow."""
+    from moonshine_tpu.agent.flow import SPELLED
+
+    agent, spoken = make_agent()
+    answers = []
+
+    def flow(d):
+        yield d.say("welcome")
+        code = yield d.ask("spell", mode=SPELLED)
+        answers.append(code)
+
+    agent.listen_for("dictate", flow)
+    agent.handle_utterance("dictate")
+    agent.handle_utterance("alpha")
+    agent.handle_utterance("start over")  # CLEAR, not flow restart
+    assert spoken.count("welcome") == 1
+    agent.handle_utterance("bravo")
+    agent.handle_utterance("stop")
+    assert answers == ["b"]

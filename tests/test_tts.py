@@ -198,3 +198,26 @@ def test_facade_speed_option():
     w1, _ = tts.synthesize("a longer sentence to say", TTSOptions(speed=1.0))
     w2, _ = tts.synthesize("a longer sentence to say", TTSOptions(speed=2.0))
     assert len(w2) < len(w1)
+
+
+@pytest.mark.parametrize(
+    "lang,word,expected",
+    [
+        ("fr", "bonjour", "bɔ̃ʒuʁ"),
+        ("fr", "eau", "o"),
+        ("de", "buch", "bʊx"),
+        ("de", "schiff", "ʃɪff"),
+        ("it", "ciao", "tʃao"),
+        ("it", "gnocchi", "ɲokki"),
+        ("pt", "chave", "ʃave"),
+    ],
+)
+def test_g2p_more_languages(lang, word, expected):
+    g = GraphemeToPhonemizer(lang)
+    assert g.word_to_ipa(word) == expected
+
+
+def test_g2p_supported_languages_listing():
+    from moonshine_tpu.tts.g2p import SUPPORTED_LANGUAGES
+
+    assert set(SUPPORTED_LANGUAGES) >= {"en", "es", "fr", "de", "it", "pt"}
