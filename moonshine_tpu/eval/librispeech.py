@@ -93,6 +93,7 @@ def evaluate(
     limit: int | None = None,
     beam_size: int = 1,
     mesh=None,
+    return_texts: bool = False,
 ) -> dict:
     """Batched offline decode -> corpus WER + audio-seconds/s."""
     import jax
@@ -150,6 +151,9 @@ def evaluate(
     elapsed = time.perf_counter() - t0
 
     result = corpus_wer(refs, hyps)
+    if return_texts:
+        result["refs"] = refs
+        result["hyps"] = hyps
     result["audio_seconds"] = audio_seconds
     result["wall_seconds"] = elapsed
     result["audio_seconds_per_second"] = audio_seconds / max(elapsed, 1e-9)

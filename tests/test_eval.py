@@ -118,3 +118,40 @@ def test_latency_bench(tmp_path):
     assert out["completed_lines"] >= 1
     assert out["compute_seconds"] > 0
     assert out["audio_seconds"] == pytest.approx(2.0)
+
+
+def test_fleurs_harness(tmp_path, tokenizer_bin_path):
+    import jax
+
+    from moonshine_tpu.audio.wav import save_wav
+    from moonshine_tpu.core.config import MoonshineArchConfig
+    from moonshine_tpu.core.tokenizer import BinTokenizer
+    from moonshine_tpu.eval.fleurs import corpus_cer, evaluate_languages
+    from moonshine_tpu.models import moonshine as mm
+
+    assert corpus_cer(["abc"], ["abd"]) == pytest.approx(1 / 3)
+    assert corpus_cer(["ab cd"], ["abcd"]) == 0.0  # spaces ignored
+
+    cfg = MoonshineArchConfig(
+        name="fleurstest", vocab_size=32768, hidden_size=64,
+        intermediate_size=128, encoder_layers=1, decoder_layers=1,
+        encoder_heads=4, decoder_heads=4, encoder_kv_heads=4, decoder_kv_heads=4,
+    )
+    params = mm.init_params(cfg, jax.random.PRNGKey(0))
+    tok = BinTokenizer.from_file(tokenizer_bin_path)
+    rng = np.random.default_rng(0)
+    for lang in ("es", "zh"):
+        d = tmp_path / lang / "1" / "2"
+        d.mkdir(parents=True)
+        with open(d / "1-2.trans.txt", "w") as f:
+            for i in range(2):
+                utt = f"1-2-{i:04d}"
+                save_wav(str(d / f"{utt}.wav"), rng.standard_normal(8000).astype(np.float32) * 0.1, 16000)
+                f.write(f"{utt} SOME WORDS\n")
+    table = evaluate_languages(
+        lambda lang: (params, cfg, tok), tmp_path, batch_size=2
+    )
+    assert set(table) == {"es", "zh"}
+    assert table["es"]["metric"] == "wer"
+    assert table["zh"]["metric"] == "cer"
+    assert "cer" in table["zh"]
