@@ -394,13 +394,30 @@ def encode(params: Params, cfg: StreamingConfig, state: StreamingState, is_final
 # Decoder
 # =========================================================================
 
-@partial(jax.jit, static_argnames=("cfg", "collect_attention"))
+MEM_BUCKETS = (512, 1024, 2048, MEM_CAP)
+
+
+def mem_bucket_for(mem_len: int) -> int:
+    """Smallest static memory bucket covering ``mem_len`` frames.
+
+    Cross-attention cost in the decode path is O(tokens x bucket); without
+    this, every verify pass paid for the full MEM_CAP (4224) keys even on
+    a 2 s segment — the dominant streaming-compute term.
+    """
+    for b in MEM_BUCKETS:
+        if mem_len <= b:
+            return b
+    return MEM_CAP
+
+
+@partial(jax.jit, static_argnames=("cfg", "collect_attention", "mem_bucket"))
 def decode_tokens(
     params: Params,
     cfg: StreamingConfig,
     tokens: jnp.ndarray,  # [s] int32
     state: StreamingState,
     collect_attention: bool = False,
+    mem_bucket: int = MEM_CAP,
 ) -> tuple[jnp.ndarray, StreamingState, jnp.ndarray | None]:
     """Run the decoder over ``s`` tokens from the current cache position.
 
@@ -417,8 +434,11 @@ def decode_tokens(
 
     key_pos = jnp.arange(cfg.max_seq_len)
     self_mask = key_pos[None, None, None, :] <= positions[None, None, :, None]
-    mem_pos = jnp.arange(MEM_CAP)
+    mem_pos = jnp.arange(mem_bucket)
     cross_mask = (mem_pos < state.mem_len)[None, None, None, :]
+    # Static slice of the cross cache down to the active bucket.
+    k_cross_b = state.k_cross[:, :mem_bucket]
+    v_cross_b = state.v_cross[:, :mem_bucket]
 
     def body(carry, xs):
         h = carry
@@ -466,7 +486,7 @@ def decode_tokens(
         return h, (k_l, v_l, w)
 
     h, (k_self, v_self, cross_w) = jax.lax.scan(
-        body, h, (dec["layers"], state.k_self, state.v_self, state.k_cross, state.v_cross)
+        body, h, (dec["layers"], state.k_self, state.v_self, k_cross_b, v_cross_b)
     )
     h = layer_norm(dec["norm"], h)
     logits = jnp.dot(h, dec["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32)
@@ -474,13 +494,14 @@ def decode_tokens(
     return logits, state, (cross_w if collect_attention else None)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "mem_bucket"))
 def _greedy_continue(
     params: Params,
     cfg: StreamingConfig,
     first_token: jnp.ndarray,
     state: StreamingState,
     budget: jnp.ndarray,  # scalar int32 — traced so one program serves all budgets
+    mem_bucket: int = MEM_CAP,
 ):
     """Greedy loop from ``first_token`` until EOS/budget, fully on device."""
     max_new = cfg.max_seq_len  # static token buffer capacity
@@ -498,7 +519,9 @@ def _greedy_continue(
         return jnp.logical_not(c.done)
 
     def body(c: Carry):
-        logits, new_state, _ = decode_tokens(params, cfg, c.last[None], c.state)
+        logits, new_state, _ = decode_tokens(
+            params, cfg, c.last[None], c.state, mem_bucket=mem_bucket
+        )
         nxt = jnp.argmax(logits[-1]).astype(jnp.int32)
         is_eos = nxt == cfg.eos_id
         full = new_state.cache_len >= cfg.max_seq_len - 1
@@ -549,7 +572,8 @@ def decode_full(
         while bucket < len(seq_list):
             bucket *= 2
         seq = jnp.asarray(seq_list + [0] * (bucket - len(seq_list)), jnp.int32)
-        logits, vstate, _ = decode_tokens(params, cfg, seq, state)
+        mem_bucket = mem_bucket_for(int(state.mem_len))
+        logits, vstate, _ = decode_tokens(params, cfg, seq, state, mem_bucket=mem_bucket)
         preds = jnp.argmax(logits, axis=-1)
         preds_host = [int(x) for x in preds]
         n_match = 0
@@ -568,8 +592,10 @@ def decode_full(
         budget = max_tokens - len(accepted) - 1
         accepted.append(next_token)
     else:
+        mem_bucket = mem_bucket_for(int(state.mem_len))
         logits, state, _ = decode_tokens(
-            params, cfg, jnp.asarray([cfg.bos_id], jnp.int32), state
+            params, cfg, jnp.asarray([cfg.bos_id], jnp.int32), state,
+            mem_bucket=mem_bucket,
         )
         first = int(jnp.argmax(logits[-1]))
         if first == cfg.eos_id:
@@ -580,7 +606,8 @@ def decode_full(
 
     if budget > 0:
         tokens, count, state = _greedy_continue(
-            params, cfg, start, state, jnp.asarray(budget, jnp.int32)
+            params, cfg, start, state, jnp.asarray(budget, jnp.int32),
+            mem_bucket=mem_bucket,
         )
         accepted.extend(int(t) for t in tokens[: int(count)])
     return accepted, state
