@@ -1,0 +1,70 @@
+"""Alphanumeric + speaker-id eval harness tests."""
+
+import numpy as np
+import pytest
+
+from moonshine_tpu.eval.speaker_id import equal_error_rate, evaluate_pairs
+
+
+def test_eer_perfect_separation():
+    scores = np.asarray([0.9, 0.8, 0.95, 0.1, 0.2, 0.05])
+    labels = np.asarray([1, 1, 1, 0, 0, 0])
+    assert equal_error_rate(scores, labels) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_eer_random_scores():
+    rng = np.random.default_rng(0)
+    scores = rng.random(2000)
+    labels = rng.integers(0, 2, 2000)
+    eer = equal_error_rate(scores, labels)
+    assert 0.4 < eer < 0.6  # chance level
+
+
+def test_eer_degenerate():
+    assert equal_error_rate(np.asarray([0.5]), np.asarray([1])) == 0.0
+
+
+def test_evaluate_pairs_with_synthetic_embedder():
+    rng = np.random.default_rng(1)
+    speakers = {s: rng.normal(0, 1, 32) for s in "abcd"}
+
+    def embed(audio_key):
+        s, noise_seed = audio_key
+        noise = np.random.default_rng(noise_seed).normal(0, 0.1, 32)
+        return speakers[s] + noise
+
+    pairs = []
+    for i in range(20):
+        s = "abcd"[i % 4]
+        pairs.append(((s, i), (s, 100 + i), True))
+        t = "abcd"[(i + 1) % 4]
+        pairs.append(((s, 200 + i), (t, 300 + i), False))
+    out = evaluate_pairs(embed, pairs)
+    assert out["trials"] == 40
+    assert out["eer"] < 0.1  # clean synthetic clusters separate
+
+
+def test_alphanumeric_eval(tmp_path):
+    from moonshine_tpu.audio.wav import save_wav
+    from moonshine_tpu.eval.alphanumeric import evaluate
+
+    rng = np.random.default_rng(2)
+    # Classes 'b' and 'five' with 2 clips each.
+    for label in ("b", "five"):
+        d = tmp_path / label
+        d.mkdir()
+        for i in range(2):
+            save_wav(str(d / f"{i}.wav"), rng.standard_normal(16000).astype(np.float32) * 0.1, 16000)
+
+    # Scripted ASR: transcribes 'b' clips as "bee", 'five' clips wrong.
+    state = {"i": 0}
+
+    def transcribe(audio):
+        state["i"] += 1
+        return "bee" if state["i"] <= 2 else "wrong words"
+
+    out = evaluate(tmp_path, transcribe, class_to_char={"b": "b", "five": "5"})
+    assert out["total"] == 4
+    assert out["per_class"]["b"]["accuracy"] == 1.0
+    assert out["per_class"]["five"]["accuracy"] == 0.0
+    assert out["accuracy"] == 0.5
