@@ -537,6 +537,85 @@ def _greedy_continue(
     return out.tokens, out.count, out.state
 
 
+@partial(jax.jit, static_argnames=("cfg", "mem_bucket"))
+def decode_full_fused(
+    params: Params,
+    cfg: StreamingConfig,
+    state: StreamingState,
+    draft: jnp.ndarray,  # [max_seq_len] int32, EOS-padded previous hypothesis
+    draft_len: jnp.ndarray,  # scalar int32
+    budget: jnp.ndarray,  # scalar int32 token cap
+    mem_bucket: int = MEM_CAP,
+) -> tuple[jnp.ndarray, jnp.ndarray, StreamingState]:
+    """Verify + rollback + greedy-continue as ONE device program.
+
+    The host decode_full costs two dispatches plus host syncs per update
+    (verify pass, divergence compare on host, continue loop) and compiles
+    one program per power-of-two draft length; through the axon relay that
+    overhead dominates short streaming updates.  This version runs the
+    whole reference decode_full contract (reference: cpp:1244-1316) under
+    one jit with a static [max_seq_len] draft buffer: batched verify,
+    on-device first-divergence, cache rollback by index, and the greedy
+    while_loop continuation.  Returns (tokens [max_seq_len], count, state).
+    """
+    max_draft = cfg.max_seq_len - 2
+    state = decoder_reset(state)
+
+    # ---- batched verify over [bos, d0..d_{max_draft-1}] ------------------
+    seq = jnp.concatenate([jnp.full((1,), cfg.bos_id, jnp.int32), draft[:max_draft]])
+    logits, vstate, _ = decode_tokens(params, cfg, seq, state, mem_bucket=mem_bucket)
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [max_draft + 1]
+
+    idx = jnp.arange(max_draft)
+    valid = idx < jnp.minimum(draft_len, budget)
+    agree = (preds[:max_draft] == draft[:max_draft]) & valid & (draft[:max_draft] != cfg.eos_id)
+    # First position where agreement fails (== number of accepted tokens).
+    n_accept = jnp.argmin(jnp.concatenate([agree, jnp.zeros((1,), bool)]).astype(jnp.int32))
+    correction = preds[n_accept]
+
+    tokens0 = jnp.where(idx < n_accept, draft[:max_draft], cfg.eos_id)
+    tokens0 = jnp.concatenate([tokens0, jnp.full((cfg.max_seq_len - max_draft,), cfg.eos_id, jnp.int32)])
+
+    corr_is_token = (correction != cfg.eos_id) & (n_accept < budget)
+    tokens0 = jnp.where(
+        (jnp.arange(cfg.max_seq_len) == n_accept) & corr_is_token, correction, tokens0
+    )
+    count0 = n_accept + corr_is_token.astype(jnp.int32)
+    # Cache holds [bos, d0..d_{n_accept-1}]; the continuation loop consumes
+    # the correction token itself (writing its KV at 1 + n_accept).
+    state = vstate._replace(cache_len=1 + n_accept)
+    done0 = jnp.logical_not(corr_is_token) | (count0 >= budget)
+
+    # ---- greedy continuation (inlined _greedy_continue) ------------------
+    class Carry(NamedTuple):
+        state: StreamingState
+        tokens: jnp.ndarray
+        last: jnp.ndarray
+        count: jnp.ndarray
+        done: jnp.ndarray
+
+    def cond(c: Carry):
+        return jnp.logical_not(c.done)
+
+    def body(c: Carry):
+        lg, new_state, _ = decode_tokens(
+            params, cfg, c.last[None], c.state, mem_bucket=mem_bucket
+        )
+        nxt = jnp.argmax(lg[-1]).astype(jnp.int32)
+        is_eos = nxt == cfg.eos_id
+        cache_full = new_state.cache_len >= cfg.max_seq_len - 1
+        tokens = jnp.where(
+            (jnp.arange(cfg.max_seq_len) == c.count) & ~is_eos, nxt, c.tokens
+        )
+        count = c.count + jnp.where(is_eos, 0, 1)
+        done = is_eos | cache_full | (count >= budget)
+        return Carry(new_state, tokens, nxt, count, done)
+
+    init = Carry(state, tokens0, correction, count0, done0)
+    out = jax.lax.while_loop(cond, body, init)
+    return out.tokens, out.count, out.state
+
+
 def decode_full(
     params: Params,
     cfg: StreamingConfig,

@@ -238,11 +238,21 @@ class StreamingBackend:
             return self._last_text
 
         duration = self._samples_processed / INTERNAL_SAMPLE_RATE
-        cap = max(int(duration * self.max_tokens_per_second), 1)
-        draft = self._last_tokens if self.use_speculative else None
-        tokens, self._state = ms.decode_full(
-            self.params, cfg, self._state, speculative_tokens=draft, max_tokens=cap
+        cap = min(max(int(duration * self.max_tokens_per_second), 1), cfg.max_seq_len - 2)
+        draft_list = (self._last_tokens if self.use_speculative else [])[: cfg.max_seq_len]
+        draft = np.full(cfg.max_seq_len, cfg.eos_id, np.int32)
+        draft[: len(draft_list)] = draft_list
+        # One device program per update: verify + rollback + continue fused.
+        tokens_arr, count, self._state = ms.decode_full_fused(
+            self.params,
+            cfg,
+            self._state,
+            jnp.asarray(draft),
+            jnp.asarray(len(draft_list), jnp.int32),
+            jnp.asarray(cap, jnp.int32),
+            mem_bucket=ms.mem_bucket_for(int(self._state.mem_len)),
         )
+        tokens = [int(t) for t in np.asarray(tokens_arr)[: int(count)]]
         self._last_tokens = tokens
         self._last_text = self.tokenizer.tokens_to_text(tokens)
         return self._last_text

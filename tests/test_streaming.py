@@ -245,3 +245,31 @@ def test_streaming_backend_in_pipeline(params):
     line = transcript.lines[0]
     assert line.is_complete
     assert line.text is not None
+
+
+def test_decode_full_fused_matches_host(params):
+    """The single-program fused decode must reproduce host decode_full
+    exactly: greedy from scratch, correct draft, corrupted draft."""
+    state = encoded_state(params, n_frames=32, seed=11)
+    greedy, _ = ms.decode_full(params, CFG, state, max_tokens=12)
+
+    def run_fused(draft_list, budget=12):
+        draft = np.full(CFG.max_seq_len, CFG.eos_id, np.int32)
+        draft[: len(draft_list)] = draft_list
+        tokens, count, _ = ms.decode_full_fused(
+            params, CFG, state,
+            jnp.asarray(draft), jnp.asarray(len(draft_list), jnp.int32),
+            jnp.asarray(budget, jnp.int32),
+            mem_bucket=ms.mem_bucket_for(int(state.mem_len)),
+        )
+        return [int(t) for t in np.asarray(tokens)[: int(count)]]
+
+    assert run_fused([]) == greedy
+    assert run_fused(greedy) == greedy
+    for corrupt_at in (0, len(greedy) // 2, max(len(greedy) - 1, 0)):
+        bad = list(greedy)
+        if bad:
+            bad[corrupt_at] = (bad[corrupt_at] + 7) % CFG.vocab_size
+        assert run_fused(bad) == greedy, f"corrupt at {corrupt_at}"
+    # Budget respected.
+    assert len(run_fused(greedy, budget=3)) <= 3
