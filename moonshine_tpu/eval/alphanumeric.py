@@ -65,19 +65,51 @@ def evaluate(
     }
 
 
-def main() -> None:  # pragma: no cover - needs models + clips
+def evaluate_cnn(clips_root: str | Path, onnx_path: str) -> dict:
+    """CNN-only accuracy with the real in-tree SpellingCNN weights
+    (reference: micro/models/spelling_cnn_mel.onnx; published captured-set
+    score 90.91% top-1 — micro/models/README.md)."""
+    from ..models.spelling import SpellingOnnx
+
+    model = SpellingOnnx.from_onnx(onnx_path)
+    per_class: dict[str, dict] = {}
+    confusions: dict[str, int] = {}
+    correct = total = 0
+    for label, audio in iter_clips(clips_root):
+        pred = model.predict(audio)
+        stats = per_class.setdefault(label, {"correct": 0, "total": 0})
+        stats["total"] += 1
+        total += 1
+        if pred.raw_class == label:
+            stats["correct"] += 1
+            correct += 1
+        else:
+            key = f"{label}->{pred.raw_class}"
+            confusions[key] = confusions.get(key, 0) + 1
+    for stats in per_class.values():
+        stats["accuracy"] = stats["correct"] / max(stats["total"], 1)
+    return {
+        "accuracy": correct / max(total, 1),
+        "correct": correct,
+        "total": total,
+        "per_class": per_class,
+        "confusions": dict(sorted(confusions.items(), key=lambda kv: -kv[1])),
+    }
+
+
+def main() -> None:  # pragma: no cover - CLI
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("clips_root", nargs="?", default="/root/reference/test-assets/alphanumeric")
-    args = p.parse_args()
-
-    # Matcher-only run with a trivial "transcription" of the class label is
-    # a tautology; a real run wires a loaded Transcriber here.
-    raise SystemExit(
-        "Wire a loaded ASR transcribe_fn (and optionally the spelling CNN) "
-        "through evaluate(); see tests/test_eval_alphanumeric.py"
+    p.add_argument(
+        "--onnx", default="/root/reference/micro/models/spelling_cnn_mel.onnx",
+        help="SpellingCNN ONNX weights (CNN-only eval)",
     )
+    args = p.parse_args()
+    report = evaluate_cnn(args.clips_root, args.onnx)
+    print(json.dumps({k: report[k] for k in ("accuracy", "correct", "total")}, indent=2))
+    print(json.dumps(report["confusions"], indent=2))
 
 
 if __name__ == "__main__":  # pragma: no cover

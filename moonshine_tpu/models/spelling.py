@@ -84,6 +84,83 @@ def forward(params: Params, audio: jnp.ndarray) -> jnp.ndarray:
     return dense(params["head"], pooled)
 
 
+# ---------------------------------------------------------------------------
+# Real-weight path: the reference's in-tree SpellingCNN ONNX export
+# (reference: micro/models/spelling_cnn_mel.onnx + spelling_cnn_meta.json,
+# micro/models/README.md — 51-way MobileNetV2-style classifier over
+# (B, 1, 64, 128) normalised log-mel; 90.91% top-1 on the captured set).
+# ---------------------------------------------------------------------------
+
+# Class order from spelling_cnn_meta.json (data, not code).
+CLASSES_51 = [
+    *"abcdefghijklmnopqrstuvwxyz",
+    "zero", "one", "two", "three", "four",
+    "five", "six", "seven", "eight", "nine",
+    "capital", "uppercase", "star", "dollar", "underscore",
+    "exclamation", "percent", "dash", "delete", "finish",
+    "cancel", "wifi", "ip", "yes", "no",
+]
+_WORD_TO_CHAR = {
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "star": "*", "dollar": "$", "underscore": "_", "exclamation": "!",
+    "percent": "%", "dash": "-",
+}
+
+
+def class_to_char_51(raw: str) -> str:
+    """Canonical single character for a class name (commands map to "")."""
+    if len(raw) == 1:
+        return raw
+    return _WORD_TO_CHAR.get(raw, "")
+
+
+class SpellingOnnx:
+    """SpellingCNN with the reference's real exported weights.
+
+    The ONNX graph is interpreted into one jitted XLA program
+    (ops/onnx_graph.py); features come from the exact-match Slaney log-mel
+    (ops/mel.log_mel_clip). Default clip prep mirrors the micro runtime's
+    1 s segmenter clip (reference: micro/stt/README.md).
+    """
+
+    def __init__(self, graph, classes: list[str] | None = None):
+        from ..ops.onnx_graph import compile_graph
+
+        self.graph = graph
+        self.classes = classes or CLASSES_51
+        self._fn = compile_graph(graph)
+
+    @classmethod
+    def from_onnx(cls, path: str, classes: list[str] | None = None) -> "SpellingOnnx":
+        from ..core.onnx_io import load_onnx
+
+        return cls(load_onnx(path), classes)
+
+    def logits(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """[B, <=16000] waveform batch -> [B, n_classes] logits."""
+        from ..ops.mel import log_mel_clip
+
+        feats = log_mel_clip(audio)  # [B, 1, 64, 128]
+        return self._fn(feats)
+
+    def predict(self, audio: np.ndarray) -> SpellingPrediction:
+        """One clip (any length; cropped/frame-padded to 1 s) -> top-1."""
+        audio = np.asarray(audio, np.float32)
+        if len(audio) > TARGET_SAMPLES:
+            off = (len(audio) - TARGET_SAMPLES) // 2
+            audio = audio[off : off + TARGET_SAMPLES]
+        logits = self.logits(jnp.asarray(audio)[None])
+        probs = np.asarray(jax.nn.softmax(logits[0]))
+        top = int(np.argmax(probs))
+        raw = self.classes[top]
+        return SpellingPrediction(
+            character=class_to_char_51(raw) or raw,
+            probability=float(probs[top]),
+            raw_class=raw,
+        )
+
+
 def predict(params: Params, audio: np.ndarray) -> SpellingPrediction:
     """One clip (any length; center-cropped/padded to 1 s) -> top-1."""
     audio = np.asarray(audio, np.float32)

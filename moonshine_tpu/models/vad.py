@@ -161,3 +161,92 @@ def predict_hops(p: Params, hops: jnp.ndarray, state: VadState) -> tuple[jnp.nda
 
 
 predict_hops_jit = jax.jit(predict_hops)
+
+
+# ---------------------------------------------------------------------------
+# Real-weight path: TinyVadCNN from the reference's in-tree ONNX export
+# (reference: micro/models/tinyvad_cnn_speech_mel.onnx +
+# tinyvad_cnn_speech_meta.json, micro/models/README.md — binary speech
+# classifier over a (B, 1, 32, 16) streaming log-mel window, one 512-sample
+# hop per frame; micro/vad/src runs it once per 32 ms hop).
+# ---------------------------------------------------------------------------
+
+TINYVAD_N_MELS = 32
+TINYVAD_WINDOW_FRAMES = 16
+
+
+class TinyVadState(NamedTuple):
+    """Ring of the previous window_frames-1 log-mel columns.
+
+    Initialised to log(eps) silence, matching MelStreamer::Reset
+    (reference: micro/feature-generation/src/mel_streamer.cc:38-51).
+    """
+
+    cols: jnp.ndarray  # [B, 15, 32]
+
+
+class TinyVad:
+    """TinyVadCNN with real weights, batched over hops AND streams.
+
+    Same call contract as predict_hops: all hops of an update in one jitted
+    program — mel columns for every hop (one matmul), sliding 16-frame
+    windows via gather, per-window standardisation, one batched CNN pass.
+    """
+
+    def __init__(self, graph):
+        from ..ops.onnx_graph import execute
+
+        self.graph = graph
+        (self._input_name, _), = graph.inputs
+
+        def run(hops: jnp.ndarray, cols_state: jnp.ndarray):
+            from ..ops.mel import mel_columns
+
+            b, n_hops, _ = hops.shape
+            new_cols = mel_columns(hops)  # [B, H, 32]
+            full = jnp.concatenate([cols_state, new_cols], axis=1)  # [B, 15+H, 32]
+            win = TINYVAD_WINDOW_FRAMES
+            idx = jnp.arange(n_hops)[:, None] + jnp.arange(win)[None, :]
+            windows = full[:, idx, :]  # [B, H, 16, 32]
+            x = windows.transpose(0, 1, 3, 2)  # [B, H, 32 mels, 16 frames]
+            mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+            std = jnp.std(x, axis=(2, 3), keepdims=True, ddof=1)
+            x = (x - mean) / jnp.maximum(std, 1e-3)
+            x = x.reshape(b * n_hops, 1, TINYVAD_N_MELS, win)
+            logit = execute(self.graph, {self._input_name: x})[0]  # [B*H, 1]
+            probs = jax.nn.sigmoid(logit).reshape(b, n_hops)
+            return probs, full[:, -(win - 1) :, :]
+
+        self._run = jax.jit(run)
+
+    @classmethod
+    def from_onnx(cls, path: str) -> "TinyVad":
+        from ..core.onnx_io import load_onnx
+
+        return cls(load_onnx(path))
+
+    def init_state(self, batch: int = 1) -> TinyVadState:
+        log_eps = float(np.log(1e-6))
+        return TinyVadState(
+            cols=jnp.full(
+                (batch, TINYVAD_WINDOW_FRAMES - 1, TINYVAD_N_MELS), log_eps, jnp.float32
+            )
+        )
+
+    def predict_hops(
+        self, hops: jnp.ndarray, state: TinyVadState
+    ) -> tuple[jnp.ndarray, TinyVadState]:
+        """[B, H, 512] hops -> ([B, H] speech probabilities, new state)."""
+        probs, cols = self._run(hops, state.cols)
+        return probs, TinyVadState(cols=cols)
+
+    def hop_prob_fn(self):
+        """Stateful [H, 512] -> [H] closure for pipeline.VadSegmenter."""
+        state = self.init_state(1)
+
+        def fn(hops: np.ndarray) -> np.ndarray:
+            nonlocal state
+            probs, state = self.predict_hops(jnp.asarray(hops, jnp.float32)[None], state)
+            return np.asarray(probs[0])
+
+        return fn
