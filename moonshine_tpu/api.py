@@ -183,10 +183,15 @@ class Transcriber:
             from .weights import import_hf_moonshine
 
             return import_hf_moonshine(str(self._weights), cfg)
-        raise NotImplementedError(
-            "streaming checkpoint import lands with the published streaming "
-            "safetensors layout"
-        )
+        # Streaming family: a checkpoint directory (reference layout:
+        # README.md:935) or a single flat safetensors file.
+        from .weights import import_streaming, load_streaming_checkpoint
+
+        path = Path(self._weights)
+        if path.is_dir():
+            params, _cfg = load_streaming_checkpoint(str(path))
+            return params
+        return import_streaming(str(path), cfg)
 
     def _load_vad(self) -> Optional[Callable]:
         if self.options.vad.threshold <= 0.0:

@@ -111,6 +111,276 @@ def import_hf_gemma3_text(sd: Mapping[str, np.ndarray] | str, cfg, dtype=jnp.flo
     return params
 
 
+# ---------------------------------------------------------------------------
+# Streaming-family checkpoints
+# ---------------------------------------------------------------------------
+#
+# A streaming checkpoint directory mirrors the reference's distribution
+# layout (reference: README.md:935 — "Model components: ['adapter.ort',
+# 'cross_kv.ort', 'decoder_kv.ort', 'encoder.ort', 'frontend.ort',
+# 'streaming_config.json', 'tokenizer.bin']"), with float weights as either
+# one `model.safetensors` / `model.onnx`, or the five per-session .onnx
+# files whose graph initializers carry the canonical names below.
+#
+# Canonical flat naming (torch layouts: Linear [out,in], Conv1d [out,in,k]),
+# modeled on the HF Moonshine conventions import_hf_moonshine consumes:
+#
+#   frontend.proj.{weight,bias}            [d_model,159] — 79-carry + 80 new
+#   frontend.conv1.{weight,bias}           [c1,d_model,5] causal conv
+#   frontend.conv2.{weight,bias}           [c2,c1,5]
+#   frontend.norm.{weight,bias}            layer norm
+#   encoder.in_proj.{weight,bias}
+#   encoder.layers.N.input_layernorm.weight
+#   encoder.layers.N.self_attn.{q,k,v,o}_proj.weight
+#   encoder.layers.N.post_attention_layernorm.weight
+#   encoder.layers.N.mlp.{fc1,fc2}.{weight,bias}
+#   encoder.layer_norm.weight
+#   adapter.proj.{weight,bias}; adapter.norm.{weight,bias}
+#   decoder.embed_tokens.weight            [vocab,decoder_dim]
+#   decoder.layers.N.input_layernorm.weight
+#   decoder.layers.N.self_attn.{q,k,v,o}_proj.weight
+#   decoder.layers.N.post_attention_layernorm.weight
+#   decoder.layers.N.encoder_attn.{q,k,v,o}_proj.weight
+#   decoder.layers.N.final_layernorm.weight
+#   decoder.layers.N.mlp.{fc1,fc2}.{weight,bias}   (fc1 is the SwiGLU double
+#                                                   projection [2*hidden,d])
+#   decoder.norm.weight
+#
+# The session split of the reference is a serving artifact (ONNX cannot hold
+# state); weight-wise the five sessions partition exactly these tensors
+# (frontend.* -> frontend.ort; encoder.* -> encoder.ort; adapter.* ->
+# adapter.ort; decoder.*.encoder_attn.{k,v} -> cross_kv.ort; the rest of
+# decoder.* -> decoder_kv.ort; reference: moonshine-streaming-model.cpp
+# 433-935), so merging the initializers of all five files recovers the flat
+# dict.
+
+
+def _norm_sd(prefix: str, p: Mapping[str, np.ndarray], out: dict) -> None:
+    out[f"{prefix}.weight"] = np.asarray(p["scale"])
+    if "bias" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _dense_sd(prefix: str, p: Mapping[str, np.ndarray], out: dict) -> None:
+    out[f"{prefix}.weight"] = _t(np.asarray(p["w"]))
+    if "b" in p:
+        out[f"{prefix}.bias"] = np.asarray(p["b"])
+
+
+def _unstack(stacked, n):
+    import jax
+
+    return [jax.tree.map(lambda x: np.asarray(x[i]), stacked) for i in range(n)]
+
+
+def export_streaming_state_dict(params: Mapping, cfg) -> dict[str, np.ndarray]:
+    """moonshine_tpu streaming params -> canonical flat state dict.
+
+    Inverse of import_streaming; used to publish checkpoints and to
+    round-trip-test the importer without network access.
+    """
+    out: dict[str, np.ndarray] = {}
+    fr = params["frontend"]
+    _dense_sd("frontend.proj", fr["proj"], out)
+    for name in ("conv1", "conv2"):
+        out[f"frontend.{name}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(fr[name]["w"]), (2, 1, 0))
+        )
+        out[f"frontend.{name}.bias"] = np.asarray(fr[name]["b"])
+    _norm_sd("frontend.norm", fr["norm"], out)
+
+    _dense_sd("encoder.in_proj", params["encoder"]["in_proj"], out)
+    enc_layers = _unstack(params["encoder"]["layers"], int(cfg.enc_depth))
+    for i, lp in enumerate(enc_layers):
+        pre = f"encoder.layers.{i}"
+        _norm_sd(f"{pre}.input_layernorm", lp["ln1"], out)
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("o", "o_proj")):
+            _dense_sd(f"{pre}.self_attn.{theirs}", lp["attn"][ours], out)
+        _norm_sd(f"{pre}.post_attention_layernorm", lp["ln2"], out)
+        _dense_sd(f"{pre}.mlp.fc1", lp["mlp"]["fc1"], out)
+        _dense_sd(f"{pre}.mlp.fc2", lp["mlp"]["fc2"], out)
+    _norm_sd("encoder.layer_norm", params["encoder"]["norm"], out)
+
+    _dense_sd("adapter.proj", params["adapter"]["proj"], out)
+    _norm_sd("adapter.norm", params["adapter"]["norm"], out)
+
+    out["decoder.embed_tokens.weight"] = np.asarray(params["decoder"]["embed"])
+    dec_layers = _unstack(params["decoder"]["layers"], int(cfg.depth))
+    for i, lp in enumerate(dec_layers):
+        pre = f"decoder.layers.{i}"
+        _norm_sd(f"{pre}.input_layernorm", lp["ln1"], out)
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("o", "o_proj")):
+            _dense_sd(f"{pre}.self_attn.{theirs}", lp["self_attn"][ours], out)
+        _norm_sd(f"{pre}.post_attention_layernorm", lp["ln2"], out)
+        for ours, theirs in (("q", "q_proj"), ("k", "k_proj"), ("v", "v_proj"), ("o", "o_proj")):
+            _dense_sd(f"{pre}.encoder_attn.{theirs}", lp["cross_attn"][ours], out)
+        _norm_sd(f"{pre}.final_layernorm", lp["ln3"], out)
+        _dense_sd(f"{pre}.mlp.fc1", lp["mlp"]["fc1"], out)
+        _dense_sd(f"{pre}.mlp.fc2", lp["mlp"]["fc2"], out)
+    _norm_sd("decoder.norm", params["decoder"]["norm"], out)
+    return out
+
+
+def _norm_from_sd(sd: Mapping[str, np.ndarray], prefix: str) -> dict:
+    p = {"scale": np.asarray(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def import_streaming(
+    sd: Mapping[str, np.ndarray] | str, cfg, dtype=jnp.float32
+) -> dict:
+    """Canonical streaming state dict (or .safetensors path) -> param pytree.
+
+    Layer math parity is pinned by the round-trip tests in
+    tests/test_streaming_import.py: export -> (safetensors|onnx) -> import
+    reproduces decode_full outputs exactly.
+    """
+    import jax
+
+    if isinstance(sd, str):
+        sd = load_safetensors(sd)
+    # Tolerate an optional leading "model." (HF *ForConditionalGeneration).
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):] if k.startswith("model.") else k: v for k, v in sd.items()}
+
+    def g(key: str) -> np.ndarray:
+        return np.asarray(sd[key])
+
+    def dense_p(prefix: str) -> dict:
+        p = {"w": _t(g(f"{prefix}.weight"))}
+        if f"{prefix}.bias" in sd:
+            p["b"] = g(f"{prefix}.bias")
+        return p
+
+    frontend = {
+        "proj": dense_p("frontend.proj"),
+        "conv1": {"w": _conv(g("frontend.conv1.weight")), "b": g("frontend.conv1.bias")},
+        "conv2": {"w": _conv(g("frontend.conv2.weight")), "b": g("frontend.conv2.bias")},
+        "norm": _norm_from_sd(sd, "frontend.norm"),
+    }
+    enc_layers = []
+    for i in range(cfg.enc_depth):
+        pre = f"encoder.layers.{i}"
+        enc_layers.append(
+            {
+                "ln1": _norm_from_sd(sd, f"{pre}.input_layernorm"),
+                "attn": _attn_from_sd(sd, f"{pre}.self_attn"),
+                "ln2": _norm_from_sd(sd, f"{pre}.post_attention_layernorm"),
+                "mlp": _mlp_from_sd(sd, f"{pre}.mlp"),
+            }
+        )
+    dec_layers = []
+    for i in range(cfg.depth):
+        pre = f"decoder.layers.{i}"
+        dec_layers.append(
+            {
+                "ln1": _norm_from_sd(sd, f"{pre}.input_layernorm"),
+                "self_attn": _attn_from_sd(sd, f"{pre}.self_attn"),
+                "ln2": _norm_from_sd(sd, f"{pre}.post_attention_layernorm"),
+                "cross_attn": _attn_from_sd(sd, f"{pre}.encoder_attn"),
+                "ln3": _norm_from_sd(sd, f"{pre}.final_layernorm"),
+                "mlp": _mlp_from_sd(sd, f"{pre}.mlp"),
+            }
+        )
+
+    def stack(layers):
+        return jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x, dtype) for x in xs]), *layers)
+
+    to = lambda tree: jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
+    return {
+        "frontend": to(frontend),
+        "encoder": {
+            "in_proj": to(dense_p("encoder.in_proj")),
+            "layers": stack(enc_layers),
+            "norm": to(_norm_from_sd(sd, "encoder.layer_norm")),
+        },
+        "adapter": {
+            "proj": to(dense_p("adapter.proj")),
+            "norm": to(_norm_from_sd(sd, "adapter.norm")),
+        },
+        "decoder": {
+            "embed": jnp.asarray(g("decoder.embed_tokens.weight"), dtype),
+            "layers": stack(dec_layers),
+            "norm": to(_norm_from_sd(sd, "decoder.norm")),
+        },
+    }
+
+
+# Session membership for the five-file distribution form (reference:
+# moonshine-streaming-model.cpp:433-935 — which weights each session holds).
+STREAMING_SESSIONS = ("frontend", "encoder", "adapter", "cross_kv", "decoder_kv")
+
+
+def _session_of(key: str) -> str:
+    if key.startswith("frontend."):
+        return "frontend"
+    if key.startswith("encoder."):
+        return "encoder"
+    if key.startswith("adapter."):
+        return "adapter"
+    if ".encoder_attn.k_proj" in key or ".encoder_attn.v_proj" in key:
+        return "cross_kv"
+    return "decoder_kv"
+
+
+def split_streaming_sessions(sd: Mapping[str, np.ndarray]) -> dict[str, dict[str, np.ndarray]]:
+    """Partition a flat state dict into the reference's five-session layout."""
+    out: dict[str, dict[str, np.ndarray]] = {s: {} for s in STREAMING_SESSIONS}
+    for k, v in sd.items():
+        out[_session_of(k)][k] = np.asarray(v)
+    return out
+
+
+def load_streaming_checkpoint(path: str, dtype=jnp.float32):
+    """Load a streaming checkpoint directory -> (params, StreamingConfig).
+
+    Accepts, in priority order inside `path`:
+      1. model.safetensors          — canonical flat state dict
+      2. model.onnx                 — same names as graph initializers
+      3. {frontend,encoder,adapter,cross_kv,decoder_kv}.onnx — the
+         reference's five-session split; initializers are merged.
+    streaming_config.json (reference field set, moonshine-streaming-model.h
+    :17-33) defines the architecture.
+    """
+    import os
+
+    from .core.config import StreamingConfig
+
+    cfg_path = os.path.join(path, "streaming_config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            cfg = StreamingConfig.from_json(f.read())
+    else:
+        cfg = StreamingConfig()
+
+    st = os.path.join(path, "model.safetensors")
+    if os.path.exists(st):
+        return import_streaming(st, cfg, dtype), cfg
+
+    from .core.onnx_io import load_onnx
+
+    single = os.path.join(path, "model.onnx")
+    if os.path.exists(single):
+        return import_streaming(load_onnx(single).initializers, cfg, dtype), cfg
+
+    merged: dict[str, np.ndarray] = {}
+    found = False
+    for session in STREAMING_SESSIONS:
+        p = os.path.join(path, f"{session}.onnx")
+        if os.path.exists(p):
+            merged.update(load_onnx(p).initializers)
+            found = True
+    if not found:
+        raise FileNotFoundError(
+            f"{path}: no model.safetensors, model.onnx or per-session .onnx "
+            "files found (note: .ort flatbuffer files are a quantized "
+            "serving artifact; convert from the float sources)"
+        )
+    return import_streaming(merged, cfg, dtype), cfg
+
+
 def import_hf_moonshine(
     sd: Mapping[str, np.ndarray] | str,
     cfg: MoonshineArchConfig,
