@@ -1,0 +1,493 @@
+"""Multi-stream batched streaming — ONE fused device program per update.
+
+The economic argument for a TPU build is one chip serving many live
+streams.  The reference multiplexes independent ``Stream``s over one loaded
+model with host threads (reference: core/transcriber.h:77-110, one ORT run
+per stage per stream); here the whole update for ALL streams is a single
+jitted program over state with a leading stream axis:
+
+    frontend (masked variable-length) -> windowed encode -> adapter/cross-KV
+    -> speculative verify + rollback + greedy continue (while_loop)
+
+Per-stream control (segment resets, final flags, variable new-sample
+counts, token budgets) enters as device arrays, so one compiled program
+serves every per-stream phase combination — no program-count explosion,
+no per-stream dispatch overhead (~2.5 ms/dispatch through the axon relay
+would otherwise bound a 0.5 s update loop at ~4 streams/chip).
+
+Design notes:
+- Variable work under static shapes: every stream pays the same padded
+  compute; masked rows write zeros into positions that later real frames
+  overwrite (write cursors only advance by the valid counts).
+- vmap over the single-stream building blocks (frontend math, encoder
+  window, decode step) gives batched matmuls [S, ...] that XLA maps onto
+  the MXU — the per-token decode step, memory-bound at S=1, becomes a
+  batch-S GEMM.
+- The greedy continuation is one while_loop over ALL streams with per-lane
+  done masks: iterations = max new tokens across the batch, which for
+  0.5 s updates is small and similar across lanes.
+
+Reference contracts preserved per stream: moonshine-streaming-model.cpp
+433-498 (frontend carry math), 596-740 (stable-frame arithmetic,
+left-context window, adapter), 1244-1316 (decode_full verify semantics).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import StreamingConfig
+from ..ops.rotary import apply_rotary, rotary_tables
+from .layers import ACTIVATIONS, Params, dense, layer_norm
+from .moonshine import _attention, _split_heads
+from .streaming import (
+    CONV_CARRY,
+    ENC_STEP,
+    ENC_WIN,
+    FEAT_CAP,
+    MEM_CAP,
+    SAMPLE_CTX,
+    StreamingState,
+    _causal_conv,
+    _sinusoid,
+    init_state,
+)
+
+# Default static caps for the service program (tunable per deployment).
+DRAFT_CAP = 256  # verified draft tokens per update (≈19 s at 13 tok/s)
+
+
+class BatchedStreamingState(NamedTuple):
+    """StreamingState with a leading stream axis [S, ...]."""
+
+    sample_ctx: jnp.ndarray  # [S, 79]
+    conv1_carry: jnp.ndarray  # [S, 4, d_model]
+    conv2_carry: jnp.ndarray  # [S, 4, c1]
+    frame_count: jnp.ndarray  # [S]
+    feats: jnp.ndarray  # [S, FEAT_CAP, c2]
+    feat_count: jnp.ndarray  # [S]
+    enc_emitted: jnp.ndarray  # [S]
+    memory: jnp.ndarray  # [S, MEM_CAP, decoder_dim]
+    mem_len: jnp.ndarray  # [S]
+    k_cross: jnp.ndarray  # [S, L, MEM_CAP, H, hd]
+    v_cross: jnp.ndarray
+    k_self: jnp.ndarray  # [S, L, max_seq_len, H, hd]
+    v_self: jnp.ndarray
+    cache_len: jnp.ndarray  # [S]
+
+
+def init_batch_state(
+    cfg: StreamingConfig, n_streams: int, dtype=jnp.float32, mem_cap: int = MEM_CAP
+) -> BatchedStreamingState:
+    L, H, hd = cfg.depth, cfg.nheads, cfg.head_dim
+    z = lambda *shape: jnp.zeros((n_streams, *shape), dtype)
+    zi = lambda: jnp.zeros((n_streams,), jnp.int32)
+    return BatchedStreamingState(
+        sample_ctx=z(SAMPLE_CTX),
+        conv1_carry=z(CONV_CARRY, cfg.d_model_frontend),
+        conv2_carry=z(CONV_CARRY, cfg.c1),
+        frame_count=zi(),
+        feats=z(FEAT_CAP, cfg.c2),
+        feat_count=zi(),
+        enc_emitted=zi(),
+        memory=z(mem_cap, cfg.decoder_dim),
+        mem_len=zi(),
+        k_cross=z(L, mem_cap, H, hd),
+        v_cross=z(L, mem_cap, H, hd),
+        k_self=z(L, cfg.max_seq_len, H, hd),
+        v_self=z(L, cfg.max_seq_len, H, hd),
+        cache_len=zi(),
+    )
+
+
+def _single(state: BatchedStreamingState, s: int) -> StreamingState:
+    """Extract stream ``s`` as a single-stream StreamingState (testing aid)."""
+    return StreamingState(*[jnp.asarray(x)[s] for x in state])
+
+
+def _mask_reset(state: BatchedStreamingState, reset: jnp.ndarray) -> BatchedStreamingState:
+    """Zero the state of streams flagged in ``reset`` [S] bool."""
+
+    def f(x):
+        m = reset.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(x), x)
+
+    return BatchedStreamingState(*[f(x) for x in state])
+
+
+# ---------------------------------------------------------------------------
+# Masked frontend: F padded frames per stream, n_valid real
+# ---------------------------------------------------------------------------
+
+
+def _frontend_one(
+    params: Params,
+    cfg: StreamingConfig,
+    chunk: jnp.ndarray,  # [F*80] padded new samples
+    n_valid: jnp.ndarray,  # scalar int32 — real frames in chunk
+    sample_ctx: jnp.ndarray,
+    conv1_carry: jnp.ndarray,
+    conv2_carry: jnp.ndarray,
+    feats: jnp.ndarray,
+    feat_count: jnp.ndarray,
+):
+    """Per-stream frontend with masked variable frame count.
+
+    Causality makes partial progress safe: frame i's output depends only on
+    samples ≤ (i+1)*80, so rows ≥ n_valid are garbage that the advancing
+    write cursor overwrites on the next update.  Carries roll forward by
+    exactly n_valid frames via dynamic slices at traced offsets.
+    """
+    F = chunk.shape[0] // cfg.frame_len
+    x = jnp.concatenate([sample_ctx, chunk])  # [79 + 80F]
+    idx = (
+        jnp.arange(F)[:, None] * cfg.frame_len
+        + jnp.arange(SAMPLE_CTX + cfg.frame_len)[None, :]
+    )
+    windows = x[idx]  # [F, 159]
+    p = params["frontend"]
+    h = ACTIVATIONS["gelu"](dense(p["proj"], windows))  # [F, d]
+
+    h1_in = jnp.concatenate([conv1_carry, h], axis=0)  # [4+F, d]
+    h1 = ACTIVATIONS["gelu"](_causal_conv(p["conv1"], h1_in, F))  # [F, c1]
+    h2_in = jnp.concatenate([conv2_carry, h1], axis=0)
+    h2 = ACTIVATIONS["gelu"](_causal_conv(p["conv2"], h2_in, F))
+    out = layer_norm(p["norm"], h2)  # [F, c2]
+
+    new_feats = jax.lax.dynamic_update_slice(feats, out.astype(feats.dtype), (feat_count, 0))
+    new_ctx = jax.lax.dynamic_slice(x, (n_valid * cfg.frame_len,), (SAMPLE_CTX,))
+    new_c1 = jax.lax.dynamic_slice(h1_in, (n_valid, 0), (CONV_CARRY, h1_in.shape[1]))
+    new_c2 = jax.lax.dynamic_slice(h2_in, (n_valid, 0), (CONV_CARRY, h2_in.shape[1]))
+    return new_ctx, new_c1, new_c2, new_feats, feat_count + n_valid
+
+
+# ---------------------------------------------------------------------------
+# Encoder window + adapter + incremental cross-KV (per stream, vmapped)
+# ---------------------------------------------------------------------------
+
+
+def _encode_one(
+    params: Params,
+    cfg: StreamingConfig,
+    feats: jnp.ndarray,  # [FEAT_CAP, c2]
+    feat_count: jnp.ndarray,
+    enc_emitted: jnp.ndarray,
+    memory: jnp.ndarray,
+    mem_len: jnp.ndarray,
+    k_cross: jnp.ndarray,
+    v_cross: jnp.ndarray,
+    n_new: jnp.ndarray,  # scalar int32, 0 <= n_new <= ENC_STEP
+):
+    """One ENC_STEP window re-encode; append n_new frames to memory.
+
+    Mirror of streaming.encode_step with traced (possibly zero) n_new.
+    """
+    left = cfg.left_context_frames
+    win_start = jnp.maximum(enc_emitted - left, 0)
+    win_valid = jnp.minimum(feat_count - win_start, ENC_WIN)
+
+    window = jax.lax.dynamic_slice(feats, (win_start, 0), (ENC_WIN, feats.shape[1]))
+    h = dense(params["encoder"]["in_proj"], window)
+
+    positions = jnp.arange(ENC_WIN)
+    rot_dim = cfg.head_dim - (cfg.head_dim % 2)
+    cos, sin = rotary_tables(positions, rot_dim, cfg.rope_theta)
+    mask = (positions < win_valid)[None, None, None, :]
+
+    def layer(carry, lp):
+        x = layer_norm(lp["ln1"], carry)
+        a = lp["attn"]
+        q = _split_heads(dense(a["q"], x)[None], cfg.nheads)[0]
+        k = _split_heads(dense(a["k"], x)[None], cfg.nheads)[0]
+        v = _split_heads(dense(a["v"], x)[None], cfg.nheads)[0]
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        o = _attention(q[None], k[None], v[None], mask)[0]
+        carry = carry + dense(a["o"], o.reshape(o.shape[0], -1))
+        x = layer_norm(lp["ln2"], carry)
+        carry = carry + dense(
+            lp["mlp"]["fc2"], ACTIVATIONS["gelu"](dense(lp["mlp"]["fc1"], x))
+        )
+        return carry, None
+
+    h, _ = jax.lax.scan(layer, h, params["encoder"]["layers"])
+    h = layer_norm(params["encoder"]["norm"], h)
+
+    rel = enc_emitted - win_start
+    new_block = jax.lax.dynamic_slice(h, (rel, 0), (ENC_STEP, h.shape[1]))
+    block_idx = jnp.arange(ENC_STEP)
+    new_mask = block_idx < n_new
+
+    pos = mem_len + block_idx
+    mem_new = dense(params["adapter"]["proj"], new_block)
+    mem_new = mem_new + _sinusoid(pos, mem_new.shape[-1]).astype(mem_new.dtype)
+    mem_new = layer_norm(params["adapter"]["norm"], mem_new)
+    mem_new = jnp.where(new_mask[:, None], mem_new, 0.0)
+
+    memory = jax.lax.dynamic_update_slice(memory, mem_new.astype(memory.dtype), (mem_len, 0))
+
+    def ckv(carry, lp):
+        a = lp["cross_attn"]
+        k = _split_heads(dense(a["k"], mem_new)[None], cfg.nheads)[0]
+        v = _split_heads(dense(a["v"], mem_new)[None], cfg.nheads)[0]
+        return carry, (k, v)
+
+    _, (k_new, v_new) = jax.lax.scan(ckv, None, params["decoder"]["layers"])
+    k_cross = jax.lax.dynamic_update_slice(
+        k_cross, k_new.astype(k_cross.dtype), (0, mem_len, 0, 0)
+    )
+    v_cross = jax.lax.dynamic_update_slice(
+        v_cross, v_new.astype(v_cross.dtype), (0, mem_len, 0, 0)
+    )
+    return memory, mem_len + n_new, k_cross, v_cross, enc_emitted + n_new
+
+
+# ---------------------------------------------------------------------------
+# Batched decoder step (explicit batch axis — shared by verify and continue)
+# ---------------------------------------------------------------------------
+
+
+def _decode_step_batch(
+    params: Params,
+    cfg: StreamingConfig,
+    tokens: jnp.ndarray,  # [S, s] int32
+    cache_len: jnp.ndarray,  # [S]
+    k_self: jnp.ndarray,  # [S, L, max_seq, H, hd]
+    v_self: jnp.ndarray,
+    k_cross: jnp.ndarray,  # [S, L, M, H, hd]
+    v_cross: jnp.ndarray,
+    mem_len: jnp.ndarray,  # [S]
+    mem_bucket: int,
+):
+    """Decoder over s tokens for all S streams; returns (logits, k, v).
+
+    Equivalent math to streaming.decode_tokens with a stream axis; the
+    KV update uses per-stream write offsets (vmapped dynamic_update_slice).
+    """
+    dec = params["decoder"]
+    S, s = tokens.shape
+    h = dec["embed"][tokens]  # [S, s, d]
+    positions = cache_len[:, None] + jnp.arange(s)[None, :]  # [S, s]
+    rot_dim = cfg.head_dim - (cfg.head_dim % 2)
+    cos, sin = jax.vmap(lambda p: rotary_tables(p, rot_dim, cfg.rope_theta))(positions)
+
+    key_pos = jnp.arange(cfg.max_seq_len)
+    self_mask = key_pos[None, None, None, :] <= positions[:, None, :, None]  # [S,1,s,K]
+    mem_pos = jnp.arange(mem_bucket)
+    cross_mask = (mem_pos[None, :] < mem_len[:, None])[:, None, None, :]  # [S,1,1,M]
+    kc_b = k_cross[:, :, :mem_bucket]
+    vc_b = v_cross[:, :, :mem_bucket]
+
+    def body(carry, xs):
+        h = carry  # [S, s, d]
+        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [S, max_seq, H, hd]
+        x = layer_norm(lp["ln1"], h)
+        a = lp["self_attn"]
+        q = _split_heads(dense(a["q"], x), cfg.nheads)  # [S, s, H, hd]
+        k_new = _split_heads(dense(a["k"], x), cfg.nheads)
+        v_new = _split_heads(dense(a["v"], x), cfg.nheads)
+        q = jax.vmap(apply_rotary)(q, cos, sin)
+        k_new = jax.vmap(apply_rotary)(k_new, cos, sin)
+        k_l = jax.vmap(
+            lambda buf, val, off: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (off, 0, 0)
+            )
+        )(k_l, k_new, cache_len)
+        v_l = jax.vmap(
+            lambda buf, val, off: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (off, 0, 0)
+            )
+        )(v_l, v_new, cache_len)
+        o = _attention(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+        h = h + dense(a["o"], o.reshape(S, s, -1))
+        x = layer_norm(lp["ln2"], h)
+        c = lp["cross_attn"]
+        qc = _split_heads(dense(c["q"], x), cfg.nheads)
+        oc = _attention(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
+        h = h + dense(c["o"], oc.reshape(S, s, -1))
+        x = layer_norm(lp["ln3"], h)
+        up = dense(lp["mlp"]["fc1"], x)
+        hh, gate = jnp.split(up, 2, axis=-1)
+        h = h + dense(lp["mlp"]["fc2"], ACTIVATIONS["silu"](gate) * hh)
+        return h, (k_l, v_l)
+
+    # Layer axis leads for scan: [L, S, ...].
+    swap = lambda x: jnp.swapaxes(x, 0, 1)
+    h, (k_out, v_out) = jax.lax.scan(
+        body, h, (dec["layers"], swap(k_self), swap(v_self), swap(kc_b), swap(vc_b))
+    )
+    h = layer_norm(dec["norm"], h)
+    logits = jnp.dot(h, dec["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32)
+    return logits, swap(k_out), swap(v_out)
+
+
+# ---------------------------------------------------------------------------
+# The fused service update
+# ---------------------------------------------------------------------------
+
+
+class ServiceUpdateOut(NamedTuple):
+    tokens: jnp.ndarray  # [S, max_seq_len] int32, EOS-padded hypotheses
+    counts: jnp.ndarray  # [S] int32
+    state: BatchedStreamingState
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "mem_bucket", "draft_cap", "enc_passes", "decode"),
+)
+def service_update(
+    params: Params,
+    cfg: StreamingConfig,
+    state: BatchedStreamingState,
+    chunk: jnp.ndarray,  # [S, F*frame_len] padded new segment samples
+    n_frames: jnp.ndarray,  # [S] int32 — valid new frames per stream
+    reset: jnp.ndarray,  # [S] bool — reset state before ingesting (new segment)
+    is_final: jnp.ndarray,  # [S] bool — segment ended; release lookahead
+    draft: jnp.ndarray,  # [S, draft_cap] int32 EOS-padded previous hypotheses
+    draft_len: jnp.ndarray,  # [S] int32
+    budget: jnp.ndarray,  # [S] int32 token caps
+    decode_mask: jnp.ndarray,  # [S] bool — streams that need a decode this update
+    mem_bucket: int = 2048,
+    draft_cap: int = DRAFT_CAP,
+    enc_passes: int = 2,
+    decode: bool = True,
+) -> ServiceUpdateOut:
+    """ONE device program: reset + frontend + encode + decode for S streams.
+
+    Masked streams still pay padded compute; their outputs are ignored and
+    their state advances by zero (all cursors move by masked amounts).
+    """
+    state = _mask_reset(state, reset)
+
+    # Frontend (vmapped masked variable-length ingest).
+    ctx, c1, c2, feats, feat_count = jax.vmap(
+        lambda ch, nv, sc, cc1, cc2, f, fc: _frontend_one(
+            params, cfg, ch, nv, sc, cc1, cc2, f, fc
+        )
+    )(
+        chunk, n_frames, state.sample_ctx, state.conv1_carry, state.conv2_carry,
+        state.feats, state.feat_count,
+    )
+    state = state._replace(
+        sample_ctx=ctx, conv1_carry=c1, conv2_carry=c2,
+        feats=feats, feat_count=feat_count,
+        frame_count=state.frame_count + n_frames,
+    )
+
+    # Stable-frame arithmetic on device (reference: cpp:596-615).
+    lookahead = jnp.where(is_final, 0, cfg.total_lookahead)
+    for _ in range(enc_passes):
+        stable = jnp.maximum(state.feat_count - lookahead, 0)
+        n_new = jnp.clip(stable - state.enc_emitted, 0, ENC_STEP)
+        memory, mem_len, k_cross, v_cross, enc_emitted = jax.vmap(
+            lambda f, fc, ee, m, ml, kc, vc, nn: _encode_one(
+                params, cfg, f, fc, ee, m, ml, kc, vc, nn
+            )
+        )(
+            state.feats, state.feat_count, state.enc_emitted, state.memory,
+            state.mem_len, state.k_cross, state.v_cross, n_new,
+        )
+        state = state._replace(
+            memory=memory, mem_len=mem_len, k_cross=k_cross, v_cross=v_cross,
+            enc_emitted=enc_emitted,
+        )
+
+    if not decode:
+        S = chunk.shape[0]
+        return ServiceUpdateOut(
+            tokens=jnp.full((S, cfg.max_seq_len), cfg.eos_id, jnp.int32),
+            counts=jnp.zeros((S,), jnp.int32),
+            state=state,
+        )
+
+    # ---- speculative verify (decoder reset: clear self cache) -----------
+    S = chunk.shape[0]
+    zero_len = jnp.zeros((S,), jnp.int32)
+    seq = jnp.concatenate(
+        [jnp.full((S, 1), cfg.bos_id, jnp.int32), draft[:, :draft_cap]], axis=1
+    )  # [S, 1 + draft_cap]
+    logits, k_self, v_self = _decode_step_batch(
+        params, cfg, seq, zero_len, state.k_self, state.v_self,
+        state.k_cross, state.v_cross, state.mem_len, mem_bucket,
+    )
+    preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, 1 + draft_cap]
+
+    idx = jnp.arange(draft_cap)[None, :]
+    eff_budget = jnp.where(decode_mask, budget, 0)
+    valid = idx < jnp.minimum(draft_len, eff_budget)[:, None]
+    agree = (preds[:, :draft_cap] == draft) & valid & (draft != cfg.eos_id)
+    n_accept = jnp.argmin(
+        jnp.concatenate([agree, jnp.zeros((S, 1), bool)], axis=1).astype(jnp.int32),
+        axis=1,
+    )  # [S]
+    correction = jnp.take_along_axis(preds, n_accept[:, None], axis=1)[:, 0]
+
+    max_seq = cfg.max_seq_len
+    out_idx = jnp.arange(max_seq)[None, :]
+    draft_pad = jnp.concatenate(
+        [draft, jnp.full((S, max_seq - draft_cap), cfg.eos_id, jnp.int32)], axis=1
+    )
+    tokens0 = jnp.where(out_idx < n_accept[:, None], draft_pad, cfg.eos_id)
+    corr_is_token = (correction != cfg.eos_id) & (n_accept < eff_budget) & decode_mask
+    tokens0 = jnp.where(
+        (out_idx == n_accept[:, None]) & corr_is_token[:, None], correction[:, None], tokens0
+    )
+    count0 = n_accept + corr_is_token.astype(jnp.int32)
+    cache_len0 = 1 + n_accept  # [bos, accepted...]
+    done0 = ~corr_is_token | (count0 >= eff_budget)
+
+    # ---- greedy continuation: one while_loop over all streams -----------
+    class Carry(NamedTuple):
+        k_self: jnp.ndarray
+        v_self: jnp.ndarray
+        cache_len: jnp.ndarray
+        tokens: jnp.ndarray
+        last: jnp.ndarray
+        count: jnp.ndarray
+        done: jnp.ndarray
+
+    def cond(c: Carry):
+        return jnp.any(~c.done)
+
+    def body(c: Carry):
+        lg, k_s, v_s = _decode_step_batch(
+            params, cfg, c.last[:, None], c.cache_len, c.k_self, c.v_self,
+            state.k_cross, state.v_cross, state.mem_len, mem_bucket,
+        )
+        nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+        act = ~c.done
+        is_eos = nxt == cfg.eos_id
+        cache_full = c.cache_len + 1 >= max_seq - 1
+        write = act & ~is_eos
+        tokens = jnp.where(
+            (out_idx == c.count[:, None]) & write[:, None], nxt[:, None], c.tokens
+        )
+        count = c.count + write.astype(jnp.int32)
+        done = c.done | is_eos | cache_full | (count >= eff_budget)
+        # Frozen lanes keep their caches/cursors (their KV write was at a
+        # stale cache_len and is voided by not advancing the cursor).
+        sel = lambda new, old: jnp.where(
+            act.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        return Carry(
+            k_self=sel(k_s, c.k_self),
+            v_self=sel(v_s, c.v_self),
+            cache_len=jnp.where(act, c.cache_len + 1, c.cache_len),
+            tokens=tokens,
+            last=jnp.where(act, nxt, c.last),
+            count=count,
+            done=done,
+        )
+
+    init = Carry(k_self, v_self, cache_len0, tokens0, correction, count0, done0)
+    out = jax.lax.while_loop(cond, body, init)
+
+    new_state = state._replace(
+        k_self=out.k_self, v_self=out.v_self, cache_len=out.cache_len
+    )
+    return ServiceUpdateOut(tokens=out.tokens, counts=out.count, state=new_state)

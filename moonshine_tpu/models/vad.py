@@ -219,6 +219,34 @@ class TinyVad:
 
         self._run = jax.jit(run)
 
+        def run_masked(hops: jnp.ndarray, n_valid: jnp.ndarray, cols_state: jnp.ndarray):
+            """Like run, but each stream advances by only n_valid hops —
+            padded hops produce garbage probs the caller ignores, and the
+            ring rolls forward by the true count per stream."""
+            b, n_hops, _ = hops.shape
+            from ..ops.mel import mel_columns
+
+            new_cols = mel_columns(hops)  # [B, H, 32]
+            full = jnp.concatenate([cols_state, new_cols], axis=1)
+            win = TINYVAD_WINDOW_FRAMES
+            idx = jnp.arange(n_hops)[:, None] + jnp.arange(win)[None, :]
+            windows = full[:, idx, :]
+            x = windows.transpose(0, 1, 3, 2)
+            mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+            std = jnp.std(x, axis=(2, 3), keepdims=True, ddof=1)
+            x = (x - mean) / jnp.maximum(std, 1e-3)
+            x = x.reshape(b * n_hops, 1, TINYVAD_N_MELS, win)
+            logit = execute(self.graph, {self._input_name: x})[0]
+            probs = jax.nn.sigmoid(logit).reshape(b, n_hops)
+            new_ring = jax.vmap(
+                lambda f, nv: jax.lax.dynamic_slice(
+                    f, (nv, 0), (win - 1, TINYVAD_N_MELS)
+                )
+            )(full, n_valid)
+            return probs, new_ring
+
+        self._run_masked = jax.jit(run_masked)
+
     @classmethod
     def from_onnx(cls, path: str) -> "TinyVad":
         from ..core.onnx_io import load_onnx
@@ -238,6 +266,17 @@ class TinyVad:
     ) -> tuple[jnp.ndarray, TinyVadState]:
         """[B, H, 512] hops -> ([B, H] speech probabilities, new state)."""
         probs, cols = self._run(hops, state.cols)
+        return probs, TinyVadState(cols=cols)
+
+    def predict_hops_masked(
+        self, hops: jnp.ndarray, n_valid: jnp.ndarray, state: TinyVadState
+    ) -> tuple[jnp.ndarray, TinyVadState]:
+        """[B, H, 512] padded hops with per-stream valid counts [B].
+
+        probs[b, i] is meaningful for i < n_valid[b]; each stream's mel ring
+        advances by exactly its valid count (service multiplexing path).
+        """
+        probs, cols = self._run_masked(hops, n_valid, state.cols)
         return probs, TinyVadState(cols=cols)
 
     def hop_prob_fn(self):

@@ -1,0 +1,343 @@
+"""Multi-stream streaming service: N live streams on one chip.
+
+Host-side orchestration over models/streaming_batch.service_update — the
+TPU-native answer to the reference's thread-per-stream multiplexing
+(reference: core/transcriber.h:77-110).  Every update is ONE device
+program for all slots: masked frontend ingest, windowed encode, batched
+speculative verify + greedy continue.  Optional voice-activity detection
+runs the real-weight TinyVad batched over all slots in one call, feeding
+per-slot hysteresis segmenters.
+
+Flow per slot (mirrors the reference's stream semantics):
+  add_audio() -> [VAD segmenter ->] current segment's pending samples
+  update()    -> feed whole frames (cap per update), decode with the
+                 previous hypothesis as speculative draft, emit
+                 partial/final TranscriptEvents with per-update latency.
+
+Segments are bounded by VAD force-split (15 s, reference:
+voice-activity-detector.cpp:159-170) or by the same cap in always-voice
+mode (vad=None == the reference's vad_threshold=0 contract).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .core.config import StreamingConfig
+from .core.tokenizer import BinTokenizer
+from .models import streaming_batch as sb
+
+FRAME_LEN = 80
+HOP = 512
+
+
+@dataclass
+class StreamEvent:
+    slot: int
+    segment_id: int
+    text: str
+    is_final: bool
+    start_time: float
+    end_time: float
+    latency_ms: float  # wall time of the device update that produced this
+
+
+@dataclass
+class _Slot:
+    active: bool = False
+    segment_id: int = 0
+    # Current segment feed state
+    pending: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+    fed_samples: int = 0
+    seg_start_time: float = 0.0
+    seg_final_queued: bool = False  # all segment audio known; flush + finalize
+    needs_reset: bool = True
+    # Hypothesis
+    tokens: list = field(default_factory=list)
+    last_text: str = ""
+    # Always-voice bookkeeping
+    stream_samples: int = 0
+    # Segment queue (from VAD): list of (audio, start_time, is_complete)
+    raw_buffer: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
+
+
+class StreamingService:
+    """Batched streaming transcription over a fixed number of slots."""
+
+    def __init__(
+        self,
+        params,
+        cfg: StreamingConfig,
+        tokenizer: BinTokenizer | None,
+        n_streams: int,
+        update_frames: int = 128,  # frames ingested per slot per update (0.64 s)
+        mem_bucket: int = 2048,
+        draft_cap: int = sb.DRAFT_CAP,
+        max_tokens_per_second: float = 6.5,
+        max_segment_seconds: float = 15.0,
+        vad=None,  # models.vad.TinyVad or None (always-voice)
+        vad_threshold: float = 0.5,
+    ):
+        import jax.numpy as jnp
+
+        self._jnp = jnp
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.S = n_streams
+        self.F = update_frames
+        self.mem_bucket = mem_bucket
+        self.draft_cap = draft_cap
+        self.max_tps = max_tokens_per_second
+        self.max_segment_samples = int(max_segment_seconds * 16000)
+        self.state = sb.init_batch_state(cfg, n_streams, mem_cap=mem_bucket)
+        self.slots = [_Slot() for _ in range(n_streams)]
+        self.vad = vad
+        self.vad_threshold = vad_threshold
+        if vad is not None:
+            from .pipeline.vad_segmenter import VadSegmenter
+
+            self._vad_state = vad.init_state(n_streams)
+            self._vad_probs: dict[int, np.ndarray] = {}
+            self._segmenters = [
+                VadSegmenter(self._prob_reader(i), threshold=vad_threshold)
+                for i in range(n_streams)
+            ]
+            for seg in self._segmenters:
+                seg.start()
+            self._seg_consumed = [0] * n_streams
+
+    # -- public API ---------------------------------------------------------
+
+    def open_slot(self, slot: int) -> None:
+        s = self.slots[slot]
+        self.slots[slot] = _Slot(active=True)
+        self.slots[slot].needs_reset = True
+
+    def close_slot(self, slot: int) -> None:
+        """Mark end-of-stream: the current segment finalizes on next update."""
+        s = self.slots[slot]
+        if s.active and (s.fed_samples > 0 or len(s.pending) > 0):
+            s.seg_final_queued = True
+        if self.vad is not None:
+            self._segmenters[slot].stop()
+            self._drain_segments(slot)
+        s.active = False
+
+    def add_audio(self, slot: int, audio: np.ndarray) -> None:
+        s = self.slots[slot]
+        if not s.active:
+            raise ValueError(f"slot {slot} is not open")
+        audio = np.asarray(audio, np.float32)
+        if self.vad is None:
+            self._ingest_always_voice(slot, audio)
+        else:
+            s.raw_buffer = np.concatenate([s.raw_buffer, audio])
+
+    def update(self) -> list[StreamEvent]:
+        """One fused device call for all slots; returns transcript events."""
+        jnp = self._jnp
+        t0 = time.monotonic()
+        if self.vad is not None:
+            self._run_vad_batched()
+
+        S, F = self.S, self.F
+        chunk = np.zeros((S, F * FRAME_LEN), np.float32)
+        n_frames = np.zeros(S, np.int32)
+        reset = np.zeros(S, bool)
+        is_final = np.zeros(S, bool)
+        draft = np.full((S, self.draft_cap), self.cfg.eos_id, np.int32)
+        draft_len = np.zeros(S, np.int32)
+        budget = np.zeros(S, np.int32)
+        decode_mask = np.zeros(S, bool)
+        finals: list[int] = []
+
+        for i, s in enumerate(self.slots):
+            if len(s.pending) == 0 and not s.seg_final_queued and s.fed_samples == 0:
+                continue
+            nf = min(len(s.pending) // FRAME_LEN, F)
+            if s.needs_reset and (nf > 0 or s.seg_final_queued):
+                reset[i] = True
+                s.needs_reset = False
+                s.tokens = []
+                s.last_text = ""
+            if nf > 0:
+                chunk[i, : nf * FRAME_LEN] = s.pending[: nf * FRAME_LEN]
+                s.pending = s.pending[nf * FRAME_LEN :]
+                s.fed_samples += nf * FRAME_LEN
+                n_frames[i] = nf
+            flushed = len(s.pending) < FRAME_LEN
+            if s.seg_final_queued and flushed:
+                is_final[i] = True
+                finals.append(i)
+            if s.fed_samples > 0 and (nf > 0 or is_final[i]):
+                decode_mask[i] = True
+                dl = min(len(s.tokens), self.draft_cap)
+                if dl:
+                    draft[i, :dl] = s.tokens[:dl]
+                draft_len[i] = dl
+                budget[i] = min(
+                    int(self.max_tps * (s.fed_samples / 16000.0)) + 1,
+                    self.cfg.max_seq_len - 2,
+                )
+
+        out = sb.service_update(
+            self.params, self.cfg, self.state,
+            jnp.asarray(chunk), jnp.asarray(n_frames), jnp.asarray(reset),
+            jnp.asarray(is_final), jnp.asarray(draft), jnp.asarray(draft_len),
+            jnp.asarray(budget), jnp.asarray(decode_mask),
+            mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+        )
+        self.state = out.state
+        # Host transfer is the device fence (axon: block_until_ready is not).
+        tokens = np.asarray(out.tokens)
+        counts = np.asarray(out.counts)
+        latency_ms = (time.monotonic() - t0) * 1000.0
+
+        events: list[StreamEvent] = []
+        for i, s in enumerate(self.slots):
+            if not decode_mask[i]:
+                continue
+            toks = [int(t) for t in tokens[i, : int(counts[i])]]
+            s.tokens = toks
+            text = self.tokenizer.tokens_to_text(toks) if self.tokenizer else str(toks)
+            final = bool(is_final[i])
+            if final or text != s.last_text:
+                events.append(
+                    StreamEvent(
+                        slot=i, segment_id=s.segment_id, text=text, is_final=final,
+                        start_time=s.seg_start_time,
+                        end_time=s.seg_start_time + s.fed_samples / 16000.0,
+                        latency_ms=latency_ms,
+                    )
+                )
+                s.last_text = text
+            if final:
+                self._finish_segment(i)
+        return events
+
+    def warmup(self) -> float:
+        """Compile the update program (and VAD) with representative inputs.
+
+        Returns compile wall seconds.  Call once at load; afterwards every
+        update() reuses the cached executable.
+        """
+        t0 = time.monotonic()
+        for i in range(self.S):
+            if not self.slots[i].active:
+                self.open_slot(i)
+        silence = np.zeros(self.F * FRAME_LEN, np.float32)
+        for i in range(self.S):
+            self.add_audio(i, silence)
+        self.update()
+        self.update()
+        # Reset everything after the warm pass.
+        self.state = sb.init_batch_state(self.cfg, self.S, mem_cap=self.mem_bucket)
+        for i in range(self.S):
+            self.slots[i] = _Slot(active=True)
+        if self.vad is not None:
+            self._vad_state = self.vad.init_state(self.S)
+            for seg in self._segmenters:
+                seg.start()
+            self._seg_consumed = [0] * self.S
+        return time.monotonic() - t0
+
+    # -- always-voice segmentation (reference vad_threshold=0 contract) -----
+
+    def _ingest_always_voice(self, slot: int, audio: np.ndarray) -> None:
+        s = self.slots[slot]
+        s.raw_buffer = np.concatenate([s.raw_buffer, audio])
+        self._fill_segment(slot)
+
+    def _fill_segment(self, slot: int) -> None:
+        """Route buffered raw audio into the current segment up to the
+        force-split cap (always-voice mode)."""
+        s = self.slots[slot]
+        if s.seg_final_queued or len(s.raw_buffer) == 0:
+            return
+        if s.fed_samples == 0 and len(s.pending) == 0:
+            s.seg_start_time = s.stream_samples / 16000.0
+        room = self.max_segment_samples - (s.fed_samples + len(s.pending))
+        take = min(len(s.raw_buffer), max(room, 0))
+        s.pending = np.concatenate([s.pending, s.raw_buffer[:take]])
+        s.stream_samples += take
+        s.raw_buffer = s.raw_buffer[take:]
+        if len(s.raw_buffer) > 0:  # segment full: force-split
+            s.seg_final_queued = True
+
+    def _finish_segment(self, slot: int) -> None:
+        s = self.slots[slot]
+        s.segment_id += 1
+        s.fed_samples = 0
+        s.seg_final_queued = False
+        s.needs_reset = True
+        s.tokens = []
+        s.last_text = ""
+        if self.vad is None:
+            self._fill_segment(slot)
+
+    # -- VAD path ------------------------------------------------------------
+
+    def _prob_reader(self, slot: int):
+        def fn(hops: np.ndarray) -> np.ndarray:
+            probs = self._vad_probs.pop(slot)
+            assert len(probs) == len(hops), (len(probs), len(hops))
+            return probs
+
+        return fn
+
+    def _run_vad_batched(self) -> None:
+        """One batched TinyVad call for all slots' new audio, then advance
+        each slot's segmenter and pull out fresh segment samples."""
+        import jax.numpy as jnp
+
+        counts = [len(self.slots[i].raw_buffer) // HOP for i in range(self.S)]
+        H = max(counts, default=0)
+        if H == 0:
+            return
+        # Bucket the hop axis so only O(log) VAD programs compile.
+        Hb = 1
+        while Hb < H:
+            Hb *= 2
+        hops = np.zeros((self.S, Hb, HOP), np.float32)
+        for i, c in enumerate(counts):
+            if c:
+                hops[i, :c] = self.slots[i].raw_buffer[: c * HOP].reshape(c, HOP)
+        probs, self._vad_state = self.vad.predict_hops_masked(
+            jnp.asarray(hops), jnp.asarray(np.asarray(counts, np.int32)), self._vad_state
+        )
+        probs = np.asarray(probs)
+        for i, c in enumerate(counts):
+            if c == 0:
+                continue
+            s = self.slots[i]
+            audio = s.raw_buffer[: c * HOP]
+            s.raw_buffer = s.raw_buffer[c * HOP :]
+            self._vad_probs[i] = probs[i, :c]
+            self._segmenters[i].process_audio(audio)
+            s.stream_samples += len(audio)
+            self._drain_segments(i)
+
+    def _drain_segments(self, slot: int) -> None:
+        """Move new/updated segmenter output into the slot's feed state."""
+        s = self.slots[slot]
+        segs = self._segmenters[slot].segments
+        k = self._seg_consumed[slot]
+        if k >= len(segs):
+            return
+        seg = segs[k]
+        new_total = len(seg.audio_data)
+        already = s.fed_samples + len(s.pending)
+        if new_total > already:
+            s.pending = np.concatenate(
+                [s.pending, seg.audio_data[already:new_total]]
+            )
+            if already == 0:
+                s.seg_start_time = seg.start_time
+        if seg.is_complete:
+            s.seg_final_queued = True
+            self._seg_consumed[slot] += 1
+            seg.clear_audio()

@@ -1,0 +1,177 @@
+"""Multi-stream batched streaming service tests (CPU).
+
+The service's one-fused-program update must reproduce the single-stream
+streaming path exactly: same frontend carries, same stable-frame windowed
+encode, same speculative verify + greedy continue results — for every
+stream in the batch, regardless of the other streams' phases.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moonshine_tpu.core.config import StreamingConfig
+from moonshine_tpu.models import streaming as ms
+from moonshine_tpu.models import streaming_batch as sb
+from moonshine_tpu.serving import StreamingService
+
+CFG = StreamingConfig(
+    encoder_dim=64, decoder_dim=64, depth=2, nheads=4, head_dim=16,
+    vocab_size=96, d_model_frontend=32, c1=48, c2=64, max_seq_len=64,
+    encoder_depth=2,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return ms.init_params(CFG, jax.random.PRNGKey(3))
+
+
+def _audio(seed: int, seconds: float) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return (rng.randn(int(16000 * seconds)) * 0.1).astype(np.float32)
+
+
+def _single_stream_reference(params, audio: np.ndarray, updates: list[np.ndarray]):
+    """Single-stream path: frontend/encode per update, decode_full at each
+    update, final decode with is_final=True."""
+    state = ms.init_state(CFG)
+    hyp: list[int] = []
+    fed = 0
+    for i, chunk in enumerate(updates):
+        n = (len(chunk) // CFG.frame_len) * CFG.frame_len
+        state = ms.frontend_step(params, CFG, jnp.asarray(chunk[:n]), state)
+        fed += n
+        is_final = i == len(updates) - 1
+        state, _ = ms.encode(params, CFG, state, is_final=is_final)
+        budget = min(int(6.5 * fed / 16000.0) + 1, CFG.max_seq_len - 2)
+        hyp, state = ms.decode_full(params, CFG, state, speculative_tokens=hyp,
+                                    max_tokens=budget)
+    return hyp
+
+
+def test_service_matches_single_stream(params):
+    """3 slots with different audio; batched results == per-stream results."""
+    seconds = [1.2, 0.8, 1.2]
+    audios = [_audio(10 + i, s) for i, s in enumerate(seconds)]
+
+    svc = StreamingService(params, CFG, tokenizer=None, n_streams=3,
+                           update_frames=64, mem_bucket=512, draft_cap=32)
+    for i in range(3):
+        svc.open_slot(i)
+    # Feed in 0.32 s updates (64 frames), then close.
+    step = 64 * 80
+    max_updates = max(len(a) for a in audios) // step + 1
+    final_texts: dict[int, str] = {}
+    for u in range(max_updates + 3):
+        for i, a in enumerate(audios):
+            part = a[u * step : (u + 1) * step]
+            if len(part):
+                svc.add_audio(i, part)
+            if (u + 1) * step >= len(a) and svc.slots[i].active:
+                svc.close_slot(i)
+        for ev in svc.update():
+            if ev.is_final:
+                final_texts[ev.slot] = ev.text
+    assert set(final_texts) == {0, 1, 2}
+
+    for i, a in enumerate(audios):
+        chunks = [a[u * step : (u + 1) * step] for u in range(len(a) // step + 1)]
+        chunks = [c for c in chunks if len(c)]
+        ref = _single_stream_reference(params, a, chunks)
+        got = final_texts[i]
+        assert got == str(ref), f"slot {i}: {got} != {ref}"
+
+
+def test_service_force_split_rolls_segments(params):
+    svc = StreamingService(params, CFG, tokenizer=None, n_streams=1,
+                           update_frames=64, mem_bucket=512, draft_cap=32,
+                           max_segment_seconds=0.6)
+    svc.open_slot(0)
+    svc.add_audio(0, _audio(42, 1.5))
+    finals = []
+    for _ in range(12):
+        for ev in svc.update():
+            if ev.is_final:
+                finals.append((ev.segment_id, ev.start_time, ev.end_time))
+    svc.close_slot(0)
+    for _ in range(4):
+        for ev in svc.update():
+            if ev.is_final:
+                finals.append((ev.segment_id, ev.start_time, ev.end_time))
+    # 1.5 s at a 0.6 s cap -> 3 segments (0.6, 0.6, 0.3).
+    assert len(finals) == 3
+    assert [f[0] for f in finals] == [0, 1, 2]
+    np.testing.assert_allclose(finals[0][2], 0.6, atol=0.01)
+    np.testing.assert_allclose(finals[1][1], 0.6, atol=0.01)
+    np.testing.assert_allclose(finals[2][2], 1.5, atol=0.01)
+
+
+def test_masked_frontend_matches_unmasked(params):
+    """Partial-chunk ingest (n_valid < F) reproduces full-chunk state."""
+    audio = _audio(7, 0.8)
+    n_frames_total = len(audio) // 80
+
+    # Reference: single-stream frontend over all frames at once.
+    ref = ms.frontend_step(
+        params, CFG, jnp.asarray(audio[: n_frames_total * 80]), ms.init_state(CFG)
+    )
+
+    # Batched: two updates of 80 padded frames with uneven valid counts.
+    st = sb.init_batch_state(CFG, 1, mem_cap=512)
+    F = 80
+    for lo, hi in ((0, 53), (53, 106), (106, n_frames_total)):
+        chunk = np.zeros((1, F * 80), np.float32)
+        nv = hi - lo
+        chunk[0, : nv * 80] = audio[lo * 80 : hi * 80]
+        out = sb.service_update(
+            params, CFG, st, jnp.asarray(chunk),
+            jnp.asarray([nv], jnp.int32), jnp.asarray([False]),
+            jnp.asarray([False]), jnp.full((1, 16), CFG.eos_id, jnp.int32),
+            jnp.asarray([0], jnp.int32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([False]), mem_bucket=512, draft_cap=16, decode=False,
+        )
+        st = out.state
+    np.testing.assert_allclose(
+        np.asarray(st.sample_ctx[0]), np.asarray(ref.sample_ctx), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.conv1_carry[0]), np.asarray(ref.conv1_carry), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st.feats[0, :n_frames_total]),
+        np.asarray(ref.feats[:n_frames_total]), atol=1e-4,
+    )
+    assert int(st.feat_count[0]) == int(ref.feat_count)
+
+
+def test_vad_masked_matches_unmasked():
+    """TinyVad masked batched path == per-stream unmasked path."""
+    import os
+
+    path = "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
+    if not os.path.exists(path):
+        pytest.skip("reference assets not mounted")
+    from moonshine_tpu.models.vad import TinyVad
+
+    vad = TinyVad.from_onnx(path)
+    rng = np.random.RandomState(0)
+    a = rng.randn(2, 12, 512).astype(np.float32) * 0.1
+    n_valid = np.asarray([12, 5], np.int32)
+    hops = a.copy()
+    hops[1, 5:] = 0.0
+
+    probs_m, st_m = vad.predict_hops_masked(
+        jnp.asarray(hops), jnp.asarray(n_valid), vad.init_state(2)
+    )
+    # Unmasked per stream
+    p0, s0 = vad.predict_hops(jnp.asarray(a[:1]), vad.init_state(1))
+    p1, s1 = vad.predict_hops(jnp.asarray(a[1:2, :5]), vad.init_state(1))
+    np.testing.assert_allclose(np.asarray(probs_m[0]), np.asarray(p0[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(probs_m[1, :5]), np.asarray(p1[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_m.cols[0]), np.asarray(s0.cols[0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st_m.cols[1]), np.asarray(s1.cols[0]), atol=1e-5)
