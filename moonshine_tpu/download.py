@@ -67,7 +67,18 @@ def download_file(
         dest.unlink()
 
     part = dest.with_suffix(dest.suffix + ".part")
+    validator_file = dest.with_suffix(dest.suffix + ".part.etag")
     offset = part.stat().st_size if part.exists() else 0
+    validator = None
+    if offset:
+        if validator_file.exists():
+            validator = validator_file.read_text().strip() or None
+        if validator is None and not expected_size and not expected_crc32c:
+            # Nothing can validate a stitched file (no If-Range validator,
+            # no catalog size/checksum): resuming could silently corrupt it
+            # if the remote changed.  Start over.
+            part.unlink()
+            offset = 0
 
     if expected_size:
         need = expected_size - offset + min_free_bytes_margin
@@ -79,6 +90,10 @@ def download_file(
     req = urllib.request.Request(url)
     if offset:
         req.add_header("Range", f"bytes={offset}-")
+        if validator:
+            # If the remote changed since the first attempt, If-Range makes
+            # the server return 200 + full body instead of a mismatched 206.
+            req.add_header("If-Range", validator)
     try:
         resp = urllib.request.urlopen(req)
     except urllib.error.HTTPError as e:
@@ -92,11 +107,15 @@ def download_file(
     with resp:
         status = resp.status
         if offset and status != 206:
-            # Server ignored the Range header: restart from zero.
+            # Server ignored the Range header (or If-Range detected a
+            # changed file): restart from zero.
             offset = 0
             mode = "wb"
         else:
             mode = "ab" if offset else "wb"
+        etag = resp.headers.get("ETag") or resp.headers.get("Last-Modified")
+        if etag:
+            validator_file.write_text(etag)
         total = expected_size
         if not total:
             length = resp.headers.get("Content-Length")
@@ -123,6 +142,7 @@ def download_file(
         raise DownloadError(f"Checksum mismatch for {name}; removed")
 
     part.replace(dest)  # atomic
+    validator_file.unlink(missing_ok=True)
     if progress:
         progress(1.0, name)
     return dest

@@ -386,7 +386,19 @@ def decoder_apply(
     query_abs = positions[None, None, :, None]
     self_mask = key_pos <= query_abs  # [1, 1, s, S_max]
     if token_mask is not None:
+        # Query rows of padded tokens are masked AND their K/V entries are
+        # hidden from every query: key positions inside the current block
+        # carry the block's token validity, so interior padding cannot leak
+        # into attention.  (Cache rows below cur_len from *previous* calls
+        # are assumed valid — pad only within a single call.)
         self_mask = jnp.logical_and(self_mask, token_mask[:, None, :, None])
+        rel = jnp.arange(max_len) - cache.cur_len  # [S_max]
+        in_block = (rel >= 0) & (rel < s)
+        blk_valid = jnp.take_along_axis(
+            token_mask, jnp.clip(rel, 0, s - 1)[None, :].repeat(b, 0), axis=1
+        )  # [B, S_max]
+        key_valid = jnp.where(in_block[None, :], blk_valid, True)
+        self_mask = jnp.logical_and(self_mask, key_valid[:, None, None, :])
 
     cross_mask = cache.memory_mask[:, None, None, :]  # [B, 1, 1, T]
 

@@ -61,6 +61,19 @@ from .streaming import (
 DRAFT_CAP = 256  # verified draft tokens per update (≈19 s at 13 tok/s)
 
 
+def cast_params(params: Params, dtype) -> Params:
+    """Cast encoder/adapter/decoder params to ``dtype``; frontend stays f32
+    (weight-norm per-channel magnitudes span ~17x on Tiny — reference
+    README.md quantization section keeps the frontend in float too)."""
+    out = dict(params)
+    for k in ("encoder", "adapter", "decoder"):
+        out[k] = jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params[k],
+        )
+    return out
+
+
 class BatchedStreamingState(NamedTuple):
     """StreamingState with a leading stream axis [S, ...]."""
 
@@ -83,13 +96,18 @@ class BatchedStreamingState(NamedTuple):
 def init_batch_state(
     cfg: StreamingConfig, n_streams: int, dtype=jnp.float32, mem_cap: int = MEM_CAP
 ) -> BatchedStreamingState:
+    """dtype applies to features/memory/KV; frontend carries stay f32
+    (the learned frontend's per-channel dynamic range is extreme — the
+    reference keeps it above int8 for the same reason, README.md
+    quantization notes)."""
     L, H, hd = cfg.depth, cfg.nheads, cfg.head_dim
+    zf = lambda *shape: jnp.zeros((n_streams, *shape), jnp.float32)
     z = lambda *shape: jnp.zeros((n_streams, *shape), dtype)
     zi = lambda: jnp.zeros((n_streams,), jnp.int32)
     return BatchedStreamingState(
-        sample_ctx=z(SAMPLE_CTX),
-        conv1_carry=z(CONV_CARRY, cfg.d_model_frontend),
-        conv2_carry=z(CONV_CARRY, cfg.c1),
+        sample_ctx=zf(SAMPLE_CTX),
+        conv1_carry=zf(CONV_CARRY, cfg.d_model_frontend),
+        conv2_carry=zf(CONV_CARRY, cfg.c1),
         frame_count=zi(),
         feats=z(FEAT_CAP, cfg.c2),
         feat_count=zi(),
@@ -256,9 +274,9 @@ def _decode_step_batch(
     cfg: StreamingConfig,
     tokens: jnp.ndarray,  # [S, s] int32
     cache_len: jnp.ndarray,  # [S]
-    k_self: jnp.ndarray,  # [S, L, max_seq, H, hd]
+    k_self: jnp.ndarray,  # [L, S, max_seq, H, hd] — LAYER-MAJOR
     v_self: jnp.ndarray,
-    k_cross: jnp.ndarray,  # [S, L, M, H, hd]
+    k_cross: jnp.ndarray,  # [L, S, <=M, H, hd] — LAYER-MAJOR, pre-sliced
     v_cross: jnp.ndarray,
     mem_len: jnp.ndarray,  # [S]
     mem_bucket: int,
@@ -267,6 +285,10 @@ def _decode_step_batch(
 
     Equivalent math to streaming.decode_tokens with a stream axis; the
     KV update uses per-stream write offsets (vmapped dynamic_update_slice).
+
+    KV caches are LAYER-MAJOR so lax.scan consumes them directly — a
+    stream-major layout would insert a full-cache transpose (hundreds of
+    MB) on every while_loop iteration of the greedy continuation.
     """
     dec = params["decoder"]
     S, s = tokens.shape
@@ -279,8 +301,8 @@ def _decode_step_batch(
     self_mask = key_pos[None, None, None, :] <= positions[:, None, :, None]  # [S,1,s,K]
     mem_pos = jnp.arange(mem_bucket)
     cross_mask = (mem_pos[None, :] < mem_len[:, None])[:, None, None, :]  # [S,1,1,M]
-    kc_b = k_cross[:, :, :mem_bucket]
-    vc_b = v_cross[:, :, :mem_bucket]
+    kc_b = k_cross[:, :, :mem_bucket] if k_cross.shape[2] > mem_bucket else k_cross
+    vc_b = v_cross[:, :, :mem_bucket] if v_cross.shape[2] > mem_bucket else v_cross
 
     def body(carry, xs):
         h = carry  # [S, s, d]
@@ -315,14 +337,12 @@ def _decode_step_batch(
         h = h + dense(lp["mlp"]["fc2"], ACTIVATIONS["silu"](gate) * hh)
         return h, (k_l, v_l)
 
-    # Layer axis leads for scan: [L, S, ...].
-    swap = lambda x: jnp.swapaxes(x, 0, 1)
     h, (k_out, v_out) = jax.lax.scan(
-        body, h, (dec["layers"], swap(k_self), swap(v_self), swap(kc_b), swap(vc_b))
+        body, h, (dec["layers"], k_self, v_self, kc_b, vc_b)
     )
     h = layer_norm(dec["norm"], h)
     logits = jnp.dot(h, dec["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32)
-    return logits, swap(k_out), swap(v_out)
+    return logits, k_out, v_out
 
 
 # ---------------------------------------------------------------------------
@@ -406,14 +426,19 @@ def service_update(
         )
 
     # ---- speculative verify (decoder reset: clear self cache) -----------
+    # One transpose to layer-major here; the greedy while_loop then scans
+    # the caches without any per-iteration relayout.
     S = chunk.shape[0]
+    swap = lambda x: jnp.swapaxes(x, 0, 1)
+    kc_lm = swap(state.k_cross[:, :, :mem_bucket])
+    vc_lm = swap(state.v_cross[:, :, :mem_bucket])
     zero_len = jnp.zeros((S,), jnp.int32)
     seq = jnp.concatenate(
         [jnp.full((S, 1), cfg.bos_id, jnp.int32), draft[:, :draft_cap]], axis=1
     )  # [S, 1 + draft_cap]
     logits, k_self, v_self = _decode_step_batch(
-        params, cfg, seq, zero_len, state.k_self, state.v_self,
-        state.k_cross, state.v_cross, state.mem_len, mem_bucket,
+        params, cfg, seq, zero_len, swap(state.k_self), swap(state.v_self),
+        kc_lm, vc_lm, state.mem_len, mem_bucket,
     )
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, 1 + draft_cap]
 
@@ -457,7 +482,7 @@ def service_update(
     def body(c: Carry):
         lg, k_s, v_s = _decode_step_batch(
             params, cfg, c.last[:, None], c.cache_len, c.k_self, c.v_self,
-            state.k_cross, state.v_cross, state.mem_len, mem_bucket,
+            kc_lm, vc_lm, state.mem_len, mem_bucket,
         )
         nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
         act = ~c.done
@@ -474,9 +499,13 @@ def service_update(
         sel = lambda new, old: jnp.where(
             act.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
         )
+        # Layer-major caches: the stream axis is axis 1.
+        sel_lm = lambda new, old: jnp.where(
+            act.reshape((1, -1) + (1,) * (new.ndim - 2)), new, old
+        )
         return Carry(
-            k_self=sel(k_s, c.k_self),
-            v_self=sel(v_s, c.v_self),
+            k_self=sel_lm(k_s, c.k_self),
+            v_self=sel_lm(v_s, c.v_self),
             cache_len=jnp.where(act, c.cache_len + 1, c.cache_len),
             tokens=tokens,
             last=jnp.where(act, nxt, c.last),
@@ -488,6 +517,6 @@ def service_update(
     out = jax.lax.while_loop(cond, body, init)
 
     new_state = state._replace(
-        k_self=out.k_self, v_self=out.v_self, cache_len=out.cache_len
+        k_self=swap(out.k_self), v_self=swap(out.v_self), cache_len=out.cache_len
     )
     return ServiceUpdateOut(tokens=out.tokens, counts=out.count, state=new_state)

@@ -167,7 +167,10 @@ class VadSegmenter:
             self._on_voice_end()
             self.current_segment = []
             self.current_segment_len = 0
-            self.look_behind = np.zeros(self.look_behind_sample_count, np.float32)
+            # The look-behind buffer is RETAINED across voice end: the
+            # reference's resize at voice-activity-detector.cpp:186 is a
+            # same-size no-op, so a segment starting within the look-behind
+            # window of a prior one gets real audio pre-roll, not silence.
         elif current_is_voice and self.previous_is_voice:
             self._append_hop(hop)
             self._on_voice_continuing()

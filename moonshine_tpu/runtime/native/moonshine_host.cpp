@@ -253,7 +253,8 @@ extern "C" void mt_segmenter_process_hop(mt_segmenter *s, const float *hop,
     s->current_segment.insert(s->current_segment.end(), hop, hop + n);
     on_voice_end(s);
     s->current_segment.clear();
-    std::fill(s->look_behind.begin(), s->look_behind.end(), 0.0f);
+    // look_behind retained across voice end (the reference's resize at
+    // voice-activity-detector.cpp:186 is a same-size no-op).
   } else if (is_voice && s->previous_is_voice) {
     s->current_segment.insert(s->current_segment.end(), hop, hop + n);
     Segment &seg = s->segments.back();

@@ -30,10 +30,14 @@ _load_attempted = False
 def build_native(force: bool = False) -> Path | None:
     """Compile the shared library with g++ (no cmake needed)."""
     out = _BUILD_DIR / "libmoonshine_host.so"
-    if out.exists() and not force:
+    src = _NATIVE_DIR / "moonshine_host.cpp"
+    if (
+        out.exists()
+        and not force
+        and out.stat().st_mtime >= src.stat().st_mtime
+    ):
         return out
     _BUILD_DIR.mkdir(exist_ok=True)
-    src = _NATIVE_DIR / "moonshine_host.cpp"
     cmd = [
         "g++", "-O3", "-std=c++17", "-fPIC", "-shared",
         "-fvisibility=hidden", str(src), "-o", str(out),
@@ -51,13 +55,13 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     if _lib is not None or (_load_attempted and not auto_build):
         return _lib
     _load_attempted = True
+    if auto_build:
+        build_native()  # mtime-aware: rebuilds when the source is newer
     for name in _LIB_NAMES:
         p = _BUILD_DIR / name
         if p.exists():
             _lib = _bind(ctypes.CDLL(str(p)))
             return _lib
-    if auto_build and build_native() is not None:
-        return load(auto_build=False)
     return None
 
 

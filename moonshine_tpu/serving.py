@@ -80,10 +80,14 @@ class StreamingService:
         max_segment_seconds: float = 15.0,
         vad=None,  # models.vad.TinyVad or None (always-voice)
         vad_threshold: float = 0.5,
+        compute_dtype=None,  # e.g. jnp.bfloat16 for the encode/decode path
     ):
         import jax.numpy as jnp
 
         self._jnp = jnp
+        self.compute_dtype = compute_dtype or jnp.float32
+        if self.compute_dtype != jnp.float32:
+            params = sb.cast_params(params, self.compute_dtype)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -93,7 +97,9 @@ class StreamingService:
         self.draft_cap = draft_cap
         self.max_tps = max_tokens_per_second
         self.max_segment_samples = int(max_segment_seconds * 16000)
-        self.state = sb.init_batch_state(cfg, n_streams, mem_cap=mem_bucket)
+        self.state = sb.init_batch_state(
+            cfg, n_streams, dtype=self.compute_dtype, mem_cap=mem_bucket
+        )
         self.slots = [_Slot() for _ in range(n_streams)]
         self.vad = vad
         self.vad_threshold = vad_threshold
@@ -235,7 +241,9 @@ class StreamingService:
         self.update()
         self.update()
         # Reset everything after the warm pass.
-        self.state = sb.init_batch_state(self.cfg, self.S, mem_cap=self.mem_bucket)
+        self.state = sb.init_batch_state(
+            self.cfg, self.S, dtype=self.compute_dtype, mem_cap=self.mem_bucket
+        )
         for i in range(self.S):
             self.slots[i] = _Slot(active=True)
         if self.vad is not None:
