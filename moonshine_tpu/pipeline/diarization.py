@@ -115,6 +115,9 @@ class SpeakerDiarizer:
         analyze_cadence: float = 1.0,
         cluster_window_sec: float = 120.0,
         cluster_threshold: float = 0.7,
+        plda=None,  # vbx.PldaModel -> VBx clustering (the reference's
+        # quality core, cpp-annote clustering_vbx); None -> plain AHC
+        vbx_params=None,
     ):
         self.activities_fn = activities_fn
         self.embedding_fn = embedding_fn
@@ -122,6 +125,8 @@ class SpeakerDiarizer:
         self.analyze_cadence = max(analyze_cadence, 0.1)
         self.cluster_window_sec = cluster_window_sec
         self.cluster_threshold = cluster_threshold
+        self.plda = plda
+        self.vbx_params = vbx_params
         self._streams: dict[int, _StreamState] = {}
         self._next_id = 0
 
@@ -253,7 +258,12 @@ class SpeakerDiarizer:
         if not active:
             return
         embs = np.stack([seg.embedding for seg in active])
-        labels = cluster_embeddings(embs, self.cluster_threshold)
+        if self.plda is not None:
+            from .vbx import vbx_labels
+
+            labels = vbx_labels(embs, self.plda, self.vbx_params)
+        else:
+            labels = cluster_embeddings(embs, self.cluster_threshold)
 
         # Merge per-cluster segments into turns on the stream timeline.
         new_turns: list[tuple[int, float, float]] = []  # (label, start, end)
