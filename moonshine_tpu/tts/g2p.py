@@ -260,19 +260,51 @@ class GraphemeToPhonemizer:
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
         normalized = normalize_text(text)
+        tokens = re.findall(r"[\w']+|[.,!?;:]", normalized)
+        words = [t for t in tokens if t not in _PUNCT_PAUSE]
         out: list[str] = []
-        for token in re.findall(r"[\w']+|[.,!?;:]", normalized):
+        wi = 0
+        for token in tokens:
             if token in _PUNCT_PAUSE:
                 if with_pauses and out:
                     out.append(_PUNCT_PAUSE[token])
                 continue
-            ipa = self.engine.word_to_ipa(token)
+            ipa = None
+            if self.language.startswith("en"):
+                from .lang_rules import resolve_heteronym
+
+                prev_w = words[wi - 1] if wi > 0 else ""
+                next_w = words[wi + 1] if wi + 1 < len(words) else ""
+                ipa = resolve_heteronym(token, prev_w, next_w)
+            if ipa is None:
+                ipa = self.engine.word_to_ipa(token)
+            wi += 1
             if ipa:
                 out.append(ipa)
         return " ".join(out)
 
     def word_to_ipa(self, word: str) -> str:
         return self.engine.word_to_ipa(word)
+
+
+def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
+    def make():
+        from . import lang_rules as lr
+
+        return {
+            "ru": lambda: RuleG2P(lr._RU_RULES, lr.RU_LEXICON),
+            "uk": lambda: RuleG2P(lr._UK_RULES),
+            "tr": lambda: RuleG2P(lr._TR_RULES),
+            "nl": lambda: RuleG2P(lr._NL_RULES),
+            "vi": lambda: lr.VietnameseG2P(),
+            "hi": lambda: lr.DevanagariG2P(),
+            "ar": lambda: lr.ArabicG2P(),
+            "ja": lambda: lr.KanaG2P(),
+            "ko": lambda: lr.HangulG2P(),
+            "zh": lambda: lr.PinyinG2P(),
+        }[name]()
+
+    return make
 
 
 _ENGINES: dict[str, Callable[[], RuleG2P]] = {
@@ -282,6 +314,9 @@ _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "de": lambda: RuleG2P(_DE_RULES),
     "it": lambda: RuleG2P(_IT_RULES),
     "pt": lambda: RuleG2P(_PT_RULES),
+    # The reference's remaining ten languages (reference:
+    # core/moonshine-tts/src/lang-specific/) — rules in tts/lang_rules.py.
+    **{k: _lang_engine(k) for k in ("ru", "uk", "tr", "nl", "vi", "hi", "ar", "ja", "ko", "zh")},
 }
 
 SUPPORTED_LANGUAGES = tuple(sorted(_ENGINES))

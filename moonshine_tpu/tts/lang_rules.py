@@ -1,0 +1,621 @@
+"""Per-language G2P engines beyond the Latin-European six.
+
+Capability mirror of the reference's lang-specific rule engines
+(reference: core/moonshine-tts/src/lang-specific/{arabic,chinese,dutch,
+hindi,japanese,korean,russian,turkish,ukrainian,vietnamese}* and
+chinese-numbers*).  Each engine exposes the RuleG2P interface
+(word_to_ipa / add_lexicon) used by tts.g2p.GraphemeToPhonemizer.
+
+Design per script family:
+- **Hangul (ko)**: fully algorithmic — syllables decompose arithmetically
+  into lead/vowel/tail jamo; the jamo→IPA tables below give deterministic
+  pronunciations (the reference's korean rules do the same decomposition).
+- **Kana (ja)**: a longest-match kana table covers hiragana/katakana
+  exactly; kanji requires the reference's tokenizer-POS ONNX helpers and
+  is skipped here (documented gap — words pass through the lexicon only).
+- **Pinyin + numbers (zh)**: toned-pinyin syllables map through an
+  initial/final table; digit strings expand through the hanzi number
+  reading (reference: chinese-numbers.cpp) and a hanzi lexicon covers the
+  numerals and common particles.
+- **Cyrillic (ru/uk)**: near-phonemic mapping with palatalization,
+  iotated vowels and Russian final-obstruent devoicing.
+- **tr/nl/vi/hi/ar**: ordered rewrite rules (same machinery as en/es/…);
+  Vietnamese covers the full diacritic inventory (tones carried as IPA
+  tone letters), Hindi does Devanagari with inherent-schwa and final
+  schwa deletion, Arabic maps the abjad with long vowels and the definite
+  article (full vocalization needs the reference's diacritizer ONNX).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# ---------------------------------------------------------------------------
+# Korean — algorithmic Hangul decomposition
+# ---------------------------------------------------------------------------
+
+_KO_LEADS = [
+    "k", "k͈", "n", "t", "t͈", "ɾ", "m", "p", "p͈", "s", "s͈", "", "tɕ",
+    "t͈ɕ", "tɕʰ", "kʰ", "tʰ", "pʰ", "h",
+]
+_KO_VOWELS = [
+    "a", "ɛ", "ja", "jɛ", "ʌ", "e", "jʌ", "je", "o", "wa", "wɛ", "ø",
+    "jo", "u", "wʌ", "we", "wi", "ju", "ɯ", "ɰi", "i",
+]
+_KO_TAILS = [
+    "", "k", "k", "k", "n", "n", "n", "t", "l", "k", "m", "l", "l", "l",
+    "p", "l", "m", "p", "p", "t", "t", "ŋ", "t", "t", "k", "t", "p", "t",
+]
+
+
+class HangulG2P:
+    """Deterministic Hangul syllable → IPA (reference: korean rules)."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if w in self.lexicon:
+            return self.lexicon[w]
+        out: list[str] = []
+        for ch in word:
+            code = ord(ch)
+            if 0xAC00 <= code <= 0xD7A3:
+                idx = code - 0xAC00
+                lead = idx // (21 * 28)
+                vowel = (idx % (21 * 28)) // 28
+                tail = idx % 28
+                out.append(_KO_LEADS[lead] + _KO_VOWELS[vowel] + _KO_TAILS[tail])
+        return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Japanese — kana table (longest match); kanji via lexicon only
+# ---------------------------------------------------------------------------
+
+_KANA: dict[str, str] = {
+    # digraphs first (longest-match)
+    "きゃ": "kʲa", "きゅ": "kʲɯ", "きょ": "kʲo", "しゃ": "ɕa", "しゅ": "ɕɯ",
+    "しょ": "ɕo", "ちゃ": "tɕa", "ちゅ": "tɕɯ", "ちょ": "tɕo", "にゃ": "ɲa",
+    "にゅ": "ɲɯ", "にょ": "ɲo", "ひゃ": "ça", "ひゅ": "çɯ", "ひょ": "ço",
+    "みゃ": "mʲa", "みゅ": "mʲɯ", "みょ": "mʲo", "りゃ": "ɾʲa", "りゅ": "ɾʲɯ",
+    "りょ": "ɾʲo", "ぎゃ": "ɡʲa", "ぎゅ": "ɡʲɯ", "ぎょ": "ɡʲo", "じゃ": "dʑa",
+    "じゅ": "dʑɯ", "じょ": "dʑo", "びゃ": "bʲa", "びゅ": "bʲɯ", "びょ": "bʲo",
+    "ぴゃ": "pʲa", "ぴゅ": "pʲɯ", "ぴょ": "pʲo",
+    # monographs
+    "あ": "a", "い": "i", "う": "ɯ", "え": "e", "お": "o",
+    "か": "ka", "き": "ki", "く": "kɯ", "け": "ke", "こ": "ko",
+    "さ": "sa", "し": "ɕi", "す": "sɯ", "せ": "se", "そ": "so",
+    "た": "ta", "ち": "tɕi", "つ": "tsɯ", "て": "te", "と": "to",
+    "な": "na", "に": "ɲi", "ぬ": "nɯ", "ね": "ne", "の": "no",
+    "は": "ha", "ひ": "çi", "ふ": "ɸɯ", "へ": "he", "ほ": "ho",
+    "ま": "ma", "み": "mi", "む": "mɯ", "め": "me", "も": "mo",
+    "や": "ja", "ゆ": "jɯ", "よ": "jo",
+    "ら": "ɾa", "り": "ɾi", "る": "ɾɯ", "れ": "ɾe", "ろ": "ɾo",
+    "わ": "ɰa", "を": "o", "ん": "ɴ",
+    "が": "ɡa", "ぎ": "ɡi", "ぐ": "ɡɯ", "げ": "ɡe", "ご": "ɡo",
+    "ざ": "dza", "じ": "dʑi", "ず": "dzɯ", "ぜ": "dze", "ぞ": "dzo",
+    "だ": "da", "ぢ": "dʑi", "づ": "dzɯ", "で": "de", "ど": "do",
+    "ば": "ba", "び": "bi", "ぶ": "bɯ", "べ": "be", "ぼ": "bo",
+    "ぱ": "pa", "ぴ": "pi", "ぷ": "pɯ", "ぺ": "pe", "ぽ": "po",
+    "ー": "ː", "っ": "Q",  # gemination marker resolved below
+}
+
+
+def _kata_to_hira(text: str) -> str:
+    out = []
+    for ch in text:
+        code = ord(ch)
+        if 0x30A1 <= code <= 0x30F6:
+            out.append(chr(code - 0x60))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+# Lexicalized readings the kana rules can't know (topic-particle は etc.).
+_JA_LEXICON = {
+    "こんにちは": "koɴɲitɕiwa",
+    "こんばんは": "koɴbaɴwa",
+}
+
+
+class KanaG2P:
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(_JA_LEXICON)
+        self.lexicon.update(lexicon or {})
+        self._keys = sorted(_KANA, key=len, reverse=True)
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if w in self.lexicon:
+            return self.lexicon[w]
+        text = _kata_to_hira(word)
+        out: list[str] = []
+        i = 0
+        while i < len(text):
+            for k in self._keys:
+                if text.startswith(k, i):
+                    out.append(_KANA[k])
+                    i += len(k)
+                    break
+            else:
+                i += 1  # kanji or unknown: skipped (ONNX helper gap)
+        ipa = "".join(out)
+        # Sokuon (っ) geminates the following consonant.
+        ipa = re.sub(r"Q(.)", r"\1\1", ipa)
+        return ipa.replace("Q", "")
+
+
+# ---------------------------------------------------------------------------
+# Chinese — toned pinyin + hanzi numbers (reference: chinese-numbers.cpp)
+# ---------------------------------------------------------------------------
+
+_ZH_INITIALS = [
+    ("zh", "ʈʂ"), ("ch", "ʈʂʰ"), ("sh", "ʂ"), ("b", "p"), ("p", "pʰ"),
+    ("m", "m"), ("f", "f"), ("d", "t"), ("t", "tʰ"), ("n", "n"), ("l", "l"),
+    ("g", "k"), ("k", "kʰ"), ("h", "x"), ("j", "tɕ"), ("q", "tɕʰ"),
+    ("x", "ɕ"), ("r", "ʐ"), ("z", "ts"), ("c", "tsʰ"), ("s", "s"),
+    ("y", "j"), ("w", "w"),
+]
+_ZH_FINALS = [
+    ("iang", "jaŋ"), ("iong", "jʊŋ"), ("uang", "waŋ"), ("ueng", "wəŋ"),
+    ("ang", "aŋ"), ("eng", "əŋ"), ("ong", "ʊŋ"), ("ing", "iŋ"),
+    ("iao", "jaʊ"), ("uai", "waɪ"), ("ian", "jɛn"), ("uan", "wan"),
+    ("iu", "joʊ"), ("ui", "weɪ"), ("un", "wən"), ("ün", "yn"),
+    ("ai", "aɪ"), ("ei", "eɪ"), ("ao", "aʊ"), ("ou", "oʊ"),
+    ("an", "an"), ("en", "ən"), ("er", "ɚ"), ("ia", "ja"), ("ie", "jɛ"),
+    ("ua", "wa"), ("uo", "wo"), ("üe", "yɛ"), ("ue", "yɛ"),
+    ("a", "a"), ("o", "o"), ("e", "ɤ"), ("i", "i"), ("u", "u"), ("ü", "y"),
+    ("v", "y"),
+]
+_ZH_TONES = {"1": "˥", "2": "˧˥", "3": "˨˩˦", "4": "˥˩", "5": "", "0": ""}
+
+_ZH_DIGITS = "零一二三四五六七八九"
+_ZH_HANZI_IPA = {
+    "零": "liŋ˧˥", "一": "i˥", "二": "ɚ˥˩", "三": "san˥", "四": "sɿ˥˩",
+    "五": "u˨˩˦", "六": "ljoʊ˥˩", "七": "tɕʰi˥", "八": "pa˥", "九": "tɕjoʊ˨˩˦",
+    "十": "ʂʐ̩˧˥", "百": "paɪ˨˩˦", "千": "tɕʰjɛn˥", "万": "wan˥˩",
+    "亿": "i˥˩", "点": "tjɛn˨˩˦", "的": "tɤ", "是": "ʂʐ̩˥˩", "不": "pu˥˩",
+    "我": "wo˨˩˦", "你": "ni˨˩˦", "他": "tʰa˥", "好": "xaʊ˨˩˦",
+}
+
+_TONE_MARKS = {
+    "ā": ("a", "1"), "á": ("a", "2"), "ǎ": ("a", "3"), "à": ("a", "4"),
+    "ē": ("e", "1"), "é": ("e", "2"), "ě": ("e", "3"), "è": ("e", "4"),
+    "ī": ("i", "1"), "í": ("i", "2"), "ǐ": ("i", "3"), "ì": ("i", "4"),
+    "ō": ("o", "1"), "ó": ("o", "2"), "ǒ": ("o", "3"), "ò": ("o", "4"),
+    "ū": ("u", "1"), "ú": ("u", "2"), "ǔ": ("u", "3"), "ù": ("u", "4"),
+    "ǖ": ("ü", "1"), "ǘ": ("ü", "2"), "ǚ": ("ü", "3"), "ǜ": ("ü", "4"),
+}
+
+
+def chinese_number_to_hanzi(digits: str) -> str:
+    """Integer digit string → hanzi reading (reference:
+    chinese-numbers.cpp semantics; supports up to 亿 blocks)."""
+    n = int(digits)
+    if n == 0:
+        return "零"
+    units = [(100000000, "亿"), (10000, "万"), (1000, "千"), (100, "百"), (10, "十")]
+
+    def below_10000(x: int, leading: bool) -> str:
+        out = ""
+        need_zero = False
+        for val, name in ((1000, "千"), (100, "百"), (10, "十")):
+            d = x // val
+            x %= val
+            if d:
+                if need_zero:
+                    out += "零"
+                    need_zero = False
+                # 一十 -> 十 only at the very front of the whole number.
+                drop_one = val == 10 and d == 1 and not out and leading
+                out += ("" if drop_one else _ZH_DIGITS[d]) + name
+            elif out:
+                need_zero = True
+        if x:
+            if need_zero:
+                out += "零"
+            out += _ZH_DIGITS[x]
+        return out
+
+    out = ""
+    for val, name in ((100000000, "亿"), (10000, "万")):
+        d = n // val
+        n %= val
+        if d:
+            out += below_10000(d, leading=not out) + name
+    if n:
+        if out and n < 1000:
+            out += "零"
+        out += below_10000(n, leading=not out)
+    return out
+
+
+class PinyinG2P:
+    """zh engine: hanzi lexicon, toned pinyin syllables, digit expansion."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(_ZH_HANZI_IPA)
+        self.lexicon.update(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def _pinyin_syllable(self, syl: str, tone: str) -> str:
+        out = ""
+        rest = syl
+        for p, ipa in _ZH_INITIALS:
+            if rest.startswith(p):
+                out += ipa
+                rest = rest[len(p):]
+                break
+        while rest:
+            for p, ipa in _ZH_FINALS:
+                if rest.startswith(p):
+                    out += ipa
+                    rest = rest[len(p):]
+                    break
+            else:
+                rest = rest[1:]
+        return out + _ZH_TONES.get(tone, "")
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if w in self.lexicon:
+            return self.lexicon[w]
+        if w.isdigit():
+            return self.word_to_ipa(chinese_number_to_hanzi(w))
+        # Hanzi string: per-character lexicon.
+        if all(0x4E00 <= ord(c) <= 0x9FFF for c in w):
+            return "".join(self.lexicon.get(c, "") for c in w)
+        # Toned pinyin: tone digits or diacritics.
+        text, tones = _strip_pinyin_tones(w)
+        if tones:  # diacritic form: segment syllables, distribute tones
+            sylls = re.findall(
+                r"(?:zh|ch|sh|[bpmfdtnlgkhjqxrzcsyw])?[aeiouü]+(?:ng|n(?![aeiouü])|r(?![aeiouü]))?",
+                text,
+            )
+            return "".join(
+                self._pinyin_syllable(s, t) for s, t in zip(sylls, tones)
+            )
+        res = []
+        for s in re.findall(r"[a-zü]+[0-5]?", text):
+            if s and s[-1].isdigit():
+                res.append(self._pinyin_syllable(s[:-1], s[-1]))
+            else:
+                res.append(self._pinyin_syllable(s, "5"))
+        return "".join(res)
+
+
+def _strip_pinyin_tones(w: str) -> tuple[str, list[str]]:
+    tones: list[str] = []
+    out = []
+    for ch in w:
+        if ch in _TONE_MARKS:
+            base, tone = _TONE_MARKS[ch]
+            out.append(base)
+            tones.append(tone)
+        else:
+            out.append(ch)
+    return "".join(out), tones
+
+
+# ---------------------------------------------------------------------------
+# Cyrillic — Russian / Ukrainian
+# ---------------------------------------------------------------------------
+
+# Orthographic exceptions (reference keeps per-language lexicons).
+RU_LEXICON = {
+    "что": "ʂto", "чтобы": "ʂtobɨ", "его": "jevo", "сегодня": "sʲevodnʲa",
+    "конечно": "konʲeʂno", "здравствуйте": "zdrastvujtʲe",
+}
+
+_RU_RULES: list[tuple[str, str]] = [
+    # iotated vowels after vowels/word start vs after consonants
+    (r"(?<=[#аеёиоуыэюя])е", "je"), (r"(?<=[#аеёиоуыэюя])ё", "jo"),
+    (r"(?<=[#аеёиоуыэюя])ю", "ju"), (r"(?<=[#аеёиоуыэюя])я", "ja"),
+    (r"е", "ʲe"), (r"ё", "ʲo"), (r"ю", "ʲu"), (r"я", "ʲa"),
+    # final devoicing
+    (r"б(?=#)", "p"), (r"в(?=#)", "f"), (r"г(?=#)", "k"), (r"д(?=#)", "t"),
+    (r"ж(?=#)", "ʂ"), (r"з(?=#)", "s"),
+    (r"щ", "ɕː"), (r"ш", "ʂ"), (r"ж", "ʐ"), (r"ч", "tɕ"), (r"ц", "ts"),
+    (r"а", "a"), (r"б", "b"), (r"в", "v"), (r"г", "ɡ"), (r"д", "d"),
+    (r"з", "z"), (r"и", "i"), (r"й", "j"), (r"к", "k"), (r"л", "l"),
+    (r"м", "m"), (r"н", "n"), (r"о", "o"), (r"п", "p"), (r"р", "r"),
+    (r"с", "s"), (r"т", "t"), (r"у", "u"), (r"ф", "f"), (r"х", "x"),
+    (r"ы", "ɨ"), (r"ь", "ʲ"), (r"ъ", ""), (r"э", "e"),
+]
+
+_UK_RULES: list[tuple[str, str]] = [
+    (r"(?<=[#аеєиіоуюя])ї", "ji"), (r"ї", "ji"),
+    (r"(?<=[#аеєиіоуюя])є", "je"), (r"є", "ʲe"),
+    (r"(?<=[#аеєиіоуюя])ю", "ju"), (r"ю", "ʲu"),
+    (r"(?<=[#аеєиіоуюя])я", "ja"), (r"я", "ʲa"),
+    (r"щ", "ʃtʃ"), (r"ш", "ʃ"), (r"ж", "ʒ"), (r"ч", "tʃ"), (r"ц", "ts"),
+    (r"дж", "dʒ"), (r"дз", "dz"),
+    (r"а", "a"), (r"б", "b"), (r"в", "ʋ"), (r"г", "ɦ"), (r"ґ", "ɡ"),
+    (r"д", "d"), (r"е", "e"), (r"з", "z"), (r"и", "ɪ"), (r"і", "i"),
+    (r"й", "j"), (r"к", "k"), (r"л", "l"), (r"м", "m"), (r"н", "n"),
+    (r"о", "o"), (r"п", "p"), (r"р", "r"), (r"с", "s"), (r"т", "t"),
+    (r"у", "u"), (r"ф", "f"), (r"х", "x"), (r"ь", "ʲ"),
+]
+
+# ---------------------------------------------------------------------------
+# Turkish — fully phonemic Latin orthography
+# ---------------------------------------------------------------------------
+
+_TR_RULES: list[tuple[str, str]] = [
+    (r"ğ", "ː"),  # yumuşak g lengthens the preceding vowel
+    (r"c", "dʒ"), (r"ç", "tʃ"), (r"ş", "ʃ"), (r"j", "ʒ"), (r"y", "j"),
+    (r"ı", "ɯ"), (r"i", "i"), (r"ö", "ø"), (r"ü", "y"), (r"â", "a"),
+    (r"a", "a"), (r"e", "e"), (r"o", "o"), (r"u", "u"),
+    (r"b", "b"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"), (r"h", "h"),
+    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
+    (r"r", "ɾ"), (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"z", "z"),
+]
+
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_RULES: list[tuple[str, str]] = [
+    (r"sch(?=#)", "s"), (r"sch", "sx"), (r"ch", "x"), (r"ng(?=#)", "ŋ"),
+    (r"ng", "ŋ"), (r"nk", "ŋk"),
+    (r"ij", "ɛi"), (r"ei", "ɛi"), (r"ui", "œy"), (r"ou", "ʌu"), (r"au", "ʌu"),
+    (r"oe", "u"), (r"eu", "ø"), (r"ie", "i"),
+    (r"aa", "aː"), (r"ee(?=#)", "eː"), (r"ee", "eː"), (r"oo", "oː"), (r"uu", "yː"),
+    (r"e(?=#)", "ə"), (r"en(?=#)", "ən"), (r"er(?=#)", "ər"), (r"el(?=#)", "əl"),
+    (r"a", "ɑ"), (r"e", "ɛ"), (r"i", "ɪ"), (r"o", "ɔ"), (r"u", "ʏ"), (r"y", "i"),
+    (r"g", "ɣ"), (r"v", "v"), (r"w", "ʋ"), (r"z", "z"), (r"j", "j"),
+    (r"b", "b"), (r"c", "k"), (r"d(?=#)", "t"), (r"d", "d"), (r"f", "f"),
+    (r"h", "ɦ"), (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"),
+    (r"p", "p"), (r"r", "r"), (r"s", "s"), (r"t", "t"), (r"x", "ks"),
+]
+
+# ---------------------------------------------------------------------------
+# Vietnamese — full diacritic inventory, tones as IPA tone letters
+# ---------------------------------------------------------------------------
+
+_VI_TONES = {
+    "́": "˧˥",  # sắc (acute)
+    "̀": "˨˩",  # huyền (grave)
+    "̉": "˧˩˧",  # hỏi (hook)
+    "̃": "˧ˀ˥",  # ngã (tilde)
+    "̣": "˨ˀ˩",  # nặng (dot below)
+}
+
+_VI_RULES: list[tuple[str, str]] = [
+    (r"ngh", "ŋ"), (r"ng", "ŋ"), (r"nh", "ɲ"), (r"gh", "ɣ"),
+    (r"gi(?=[aeiouyâăơôêư])", "z"), (r"gi", "zi"),
+    (r"kh", "x"), (r"ph", "f"), (r"th", "tʰ"), (r"tr", "ʈ"), (r"ch", "tɕ"),
+    (r"qu", "kw"),
+    (r"ươ", "ɨə"), (r"uô", "uə"), (r"iê", "iə"), (r"yê", "iə"),
+    (r"ư", "ɨ"), (r"ơ", "əː"), (r"ô", "o"), (r"ê", "e"), (r"â", "ə"),
+    (r"ă", "a"), (r"đ", "ɗ"), (r"y", "i"),
+    (r"a", "aː"), (r"e", "ɛ"), (r"i", "i"), (r"o", "ɔ"), (r"u", "u"),
+    (r"b", "ɓ"), (r"c", "k"), (r"d", "z"), (r"g", "ɣ"), (r"h", "h"),
+    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
+    (r"r", "z"), (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"x", "s"),
+]
+
+class VietnameseG2P:
+    """Tone marks are stripped from the NFD form (keeping the phonemic
+    vowel diacritics), the segmental rules run, and the tone letter is
+    appended per word (reference: vietnamese rules carry tones)."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        from .g2p import RuleG2P
+
+        self.lexicon = dict(lexicon or {})
+        self._rules = RuleG2P(_VI_RULES)
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if w in self.lexicon:
+            return self.lexicon[w]
+        decomp = unicodedata.normalize("NFD", w)
+        tone = ""
+        kept = []
+        for ch in decomp:
+            if ch in _VI_TONES:
+                tone = _VI_TONES[ch]
+            else:
+                kept.append(ch)
+        base = unicodedata.normalize("NFC", "".join(kept))
+        seg = self._rules.word_to_ipa(base)
+        return seg + (tone or "˧") if seg else ""
+
+
+# ---------------------------------------------------------------------------
+# Hindi — Devanagari with inherent schwa + final schwa deletion
+# ---------------------------------------------------------------------------
+
+_HI_CONSONANTS = {
+    "क": "k", "ख": "kʰ", "ग": "ɡ", "घ": "ɡʱ", "ङ": "ŋ",
+    "च": "tʃ", "छ": "tʃʰ", "ज": "dʒ", "झ": "dʒʱ", "ञ": "ɲ",
+    "ट": "ʈ", "ठ": "ʈʰ", "ड": "ɖ", "ढ": "ɖʱ", "ण": "ɳ",
+    "त": "t̪", "थ": "t̪ʰ", "द": "d̪", "ध": "d̪ʱ", "न": "n",
+    "प": "p", "फ": "pʰ", "ब": "b", "भ": "bʱ", "म": "m",
+    "य": "j", "र": "ɾ", "ल": "l", "व": "ʋ", "श": "ʃ",
+    "ष": "ʂ", "स": "s", "ह": "ɦ", "ज़": "z", "फ़": "f",
+    "क़": "q", "ख़": "x", "ग़": "ɣ", "ड़": "ɽ", "ढ़": "ɽʱ",
+}
+_HI_VOWELS = {
+    "अ": "ə", "आ": "aː", "इ": "ɪ", "ई": "iː", "उ": "ʊ", "ऊ": "uː",
+    "ऋ": "ɾɪ", "ए": "eː", "ऐ": "ɛː", "ओ": "oː", "औ": "ɔː",
+}
+_HI_MATRAS = {
+    "ा": "aː", "ि": "ɪ", "ी": "iː", "ु": "ʊ", "ू": "uː", "ृ": "ɾɪ",
+    "े": "eː", "ै": "ɛː", "ो": "oː", "ौ": "ɔː",
+}
+_HI_VIRAMA = "्"
+_HI_ANUSVARA = "ं"
+_HI_CHANDRABINDU = "ँ"
+_HI_VISARGA = "ः"
+
+
+def _normalize_nukta_keys(d: dict[str, str]) -> dict[str, str]:
+    """Index consonants under both precomposed and base+nukta forms."""
+    out = dict(d)
+    for k, v in list(d.items()):
+        nfd = unicodedata.normalize("NFD", k)
+        nfc = unicodedata.normalize("NFC", k)
+        out[nfd] = v
+        out[nfc] = v
+    return out
+
+
+class DevanagariG2P:
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+        self._consonants = _normalize_nukta_keys(_HI_CONSONANTS)
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        if word in self.lexicon:
+            return self.lexicon[word]
+        # Merge consonant+nukta (U+093C) into single units so ड़/ज़/…
+        # behave as one consonant regardless of (de)composition.
+        merged: list[str] = []
+        for ch in word:
+            if ch == "़" and merged:
+                merged[-1] = merged[-1] + ch
+            else:
+                merged.append(ch)
+        chars = merged
+        out: list[str] = []
+        n = len(chars)
+        i = 0
+        while i < n:
+            ch = chars[i]
+            nxt = chars[i + 1] if i + 1 < n else ""
+            if ch in self._consonants:
+                out.append(self._consonants[ch])
+                if nxt == _HI_VIRAMA:
+                    i += 2
+                    continue
+                if nxt in _HI_MATRAS:
+                    out.append(_HI_MATRAS[nxt])
+                    i += 2
+                    continue
+                # inherent schwa, deleted word-finally
+                is_last_consonant = all(
+                    c in (_HI_ANUSVARA, _HI_CHANDRABINDU, _HI_VISARGA)
+                    for c in chars[i + 1 :]
+                )
+                if not is_last_consonant:
+                    out.append("ə")
+                i += 1
+            elif ch in _HI_VOWELS:
+                out.append(_HI_VOWELS[ch])
+                i += 1
+            elif ch == _HI_ANUSVARA or ch == _HI_CHANDRABINDU:
+                if out:
+                    out.append("̃")
+                i += 1
+            elif ch == _HI_VISARGA:
+                out.append("h")
+                i += 1
+            elif ch in _HI_MATRAS:  # stray matra (e.g. after a nukta form)
+                out.append(_HI_MATRAS[ch])
+                i += 1
+            else:
+                i += 1
+        return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Arabic — abjad mapping (full vocalization needs the diacritizer ONNX)
+# ---------------------------------------------------------------------------
+
+_AR_MAP = {
+    "ا": "aː", "أ": "ʔa", "إ": "ʔi", "آ": "ʔaː", "ء": "ʔ", "ؤ": "ʔ", "ئ": "ʔ",
+    "ب": "b", "ت": "t", "ث": "θ", "ج": "dʒ", "ح": "ħ", "خ": "x",
+    "د": "d", "ذ": "ð", "ر": "r", "ز": "z", "س": "s", "ش": "ʃ",
+    "ص": "sˤ", "ض": "dˤ", "ط": "tˤ", "ظ": "ðˤ", "ع": "ʕ", "غ": "ɣ",
+    "ف": "f", "ق": "q", "ك": "k", "ل": "l", "م": "m", "ن": "n",
+    "ه": "h", "و": "uː", "ي": "iː", "ى": "aː", "ة": "a",
+    # short-vowel diacritics (when present)
+    "َ": "a", "ُ": "u", "ِ": "i", "ْ": "", "ّ": "ː", "ً": "an", "ٌ": "un", "ٍ": "in",
+}
+
+
+class ArabicG2P:
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        if word in self.lexicon:
+            return self.lexicon[word]
+        w = word
+        out: list[str] = []
+        # Definite article: assimilation skipped (diacritizer territory).
+        if w.startswith("ال") and len(w) > 2:
+            out.append("al")
+            w = w[2:]
+        for i, ch in enumerate(w):
+            if i == 0 and ch == "و":
+                out.append("w")
+            elif i == 0 and ch == "ي":
+                out.append("j")
+            else:
+                out.append(_AR_MAP.get(ch, ""))
+        return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# English heteronyms — context disambiguation
+# ---------------------------------------------------------------------------
+
+# word -> (default_ipa, alternate_ipa, alternate_cue_words_in_context)
+HETERONYMS: dict[str, tuple[str, str, frozenset[str]]] = {
+    # "read": default present /ɹid/, past-tense cues -> /ɹɛd/
+    "read": ("ɹid", "ɹɛd", frozenset({"had", "has", "have", "was", "were", "already", "been", "yesterday", "i"})),
+    "lead": ("lid", "lɛd", frozenset({"pencil", "pipe", "heavy", "metal", "poisoning"})),
+    "live": ("lɪv", "laɪv", frozenset({"broadcast", "concert", "stream", "music", "show", "watch", "a", "the"})),
+    "wind": ("wɪnd", "waɪnd", frozenset({"up", "down", "clock", "road", "to"})),
+    "tear": ("tɪɹ", "tɛɹ", frozenset({"paper", "up", "apart", "down", "muscle"})),
+    "bow": ("boʊ", "baʊ", frozenset({"took", "take", "deep", "audience", "head"})),
+    "close": ("kloʊs", "kloʊz", frozenset({"door", "window", "eyes", "to", "please", "will", "would"})),
+    "record": ("ɹɛkɝd", "ɹɪkɔɹd", frozenset({"to", "will", "can", "please", "button"})),
+    "present": ("pɹɛzənt", "pɹɪzɛnt", frozenset({"to", "will", "may", "shall"})),
+    "object": ("ɑbdʒɛkt", "əbdʒɛkt", frozenset({"to", "i", "we", "they", "must", "strongly"})),
+    "minute": ("mɪnɪt", "maɪnut", frozenset({"detail", "amount", "particles", "quantities"})),
+    "desert": ("dɛzɝt", "dɪzɝt", frozenset({"to", "will", "never", "army", "post"})),
+    "produce": ("pɹədus", "pɹoʊdus", frozenset({"fresh", "local", "organic", "farm", "aisle"})),
+    "content": ("kɑntɛnt", "kəntɛnt", frozenset({"am", "is", "are", "was", "feel", "quite", "very"})),
+    "refuse": ("ɹɪfjuz", "ɹɛfjus", frozenset({"collection", "bin", "pile", "dump"})),
+}
+
+
+def resolve_heteronym(word: str, prev_word: str, next_word: str) -> str | None:
+    """Context-sensitive pronunciation for known heteronyms, or None.
+
+    Compact analog of the reference's per-heteronym context rules
+    (reference: lang-specific english heteronym handling): the alternate
+    reading fires when an adjacent word is one of its cues.
+    """
+    entry = HETERONYMS.get(word.lower())
+    if entry is None:
+        return None
+    default, alternate, cues = entry
+    if prev_word.lower() in cues or next_word.lower() in cues:
+        return alternate
+    return default
