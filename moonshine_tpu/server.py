@@ -1,0 +1,226 @@
+"""WebSocket streaming transcription server.
+
+The serving analog of the reference's on-device bindings (the repo's
+PARITY.md names a remote client API as the pod-service replacement for
+Swift/Android/WASM): remote clients hold one live stream each; the server
+multiplexes every connected stream onto ONE batched device program per
+update tick (serving.StreamingService).
+
+Protocol (one WebSocket per stream):
+  client -> server:  {"type": "start", "sample_rate": 16000}   (JSON)
+                      <binary frames: float32 little-endian PCM>
+                      {"type": "stop"}
+  server -> client:  {"type": "partial"|"final", "text": ..., "segment": N,
+                      "start": s, "end": s, "latency_ms": f}
+                     {"type": "stopped"}   after the final flush
+
+The device loop runs in one thread at the service cadence; asyncio
+handlers only move bytes — audio into slots, events out to sockets.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .serving import StreamingService
+
+
+@dataclass
+class _Conn:
+    slot: int
+    sample_rate: int
+    queue: "asyncio.Queue"
+    stopping: bool = False
+    last_segment_final: int = -1
+
+
+class TranscriptionServer:
+    """Bridges WebSocket connections to StreamingService slots."""
+
+    def __init__(
+        self,
+        service: StreamingService,
+        tick_seconds: float = 0.25,
+        host: str = "127.0.0.1",
+        port: int = 8765,
+    ):
+        self.service = service
+        self.tick = tick_seconds
+        self.host = host
+        self.port = port
+        self._free = list(range(service.S))[::-1]
+        self._conns: dict[int, _Conn] = {}
+        self._lock = threading.Lock()
+        self._running = False
+        self._loop: asyncio.AbstractEventLoop | None = None
+        self._update_thread: threading.Thread | None = None
+
+    # -- slot management ------------------------------------------------------
+
+    def _acquire_slot(self) -> int | None:
+        with self._lock:
+            if not self._free:
+                return None
+            slot = self._free.pop()
+            self.service.open_slot(slot)
+            return slot
+
+    def _release_slot(self, slot: int) -> None:
+        with self._lock:
+            self._conns.pop(slot, None)
+            self._free.append(slot)
+
+    # -- device update loop -----------------------------------------------------
+
+    def _update_loop(self) -> None:
+        while self._running:
+            t0 = time.monotonic()
+            with self._lock:
+                events = self.service.update() if self._conns else []
+                conns = dict(self._conns)
+            for ev in events:
+                conn = conns.get(ev.slot)
+                if conn is None:
+                    continue
+                payload = {
+                    "type": "final" if ev.is_final else "partial",
+                    "text": ev.text,
+                    "segment": ev.segment_id,
+                    "start": round(ev.start_time, 3),
+                    "end": round(ev.end_time, 3),
+                    "latency_ms": round(ev.latency_ms, 1),
+                }
+                if ev.is_final:
+                    conn.last_segment_final = ev.segment_id
+                if self._loop is not None:
+                    self._loop.call_soon_threadsafe(conn.queue.put_nowait, payload)
+            # Stopping conns flush once their final segment lands.
+            for slot, conn in conns.items():
+                if conn.stopping and not self._slot_busy(slot):
+                    if self._loop is not None:
+                        self._loop.call_soon_threadsafe(
+                            conn.queue.put_nowait, {"type": "stopped"}
+                        )
+                    conn.stopping = False
+            elapsed = time.monotonic() - t0
+            time.sleep(max(self.tick - elapsed, 0.0))
+
+    def _slot_busy(self, slot: int) -> bool:
+        s = self.service.slots[slot]
+        return s.fed_samples > 0 or len(s.pending) > 0 or s.seg_final_queued
+
+    # -- websocket handler ------------------------------------------------------
+
+    async def _handle(self, websocket) -> None:
+        slot = self._acquire_slot()
+        if slot is None:
+            await websocket.send(json.dumps({"type": "error", "error": "server full"}))
+            await websocket.close()
+            return
+        conn = _Conn(slot=slot, sample_rate=16000, queue=asyncio.Queue())
+        with self._lock:
+            self._conns[slot] = conn
+
+        async def sender():
+            while True:
+                msg = await conn.queue.get()
+                await websocket.send(json.dumps(msg))
+                if msg.get("type") == "stopped":
+                    return
+
+        send_task = asyncio.create_task(sender())
+        try:
+            async for message in websocket:
+                if isinstance(message, (bytes, bytearray)):
+                    audio = np.frombuffer(message, np.float32)
+                    if conn.sample_rate != 16000:
+                        from .audio.resample import resample_audio
+
+                        audio = resample_audio(audio, conn.sample_rate, 16000)
+                    with self._lock:
+                        self.service.add_audio(slot, audio)
+                else:
+                    msg = json.loads(message)
+                    if msg.get("type") == "start":
+                        conn.sample_rate = int(msg.get("sample_rate", 16000))
+                    elif msg.get("type") == "stop":
+                        with self._lock:
+                            self.service.close_slot(slot)
+                        conn.stopping = True
+            await asyncio.wait_for(send_task, timeout=30.0)
+        except Exception:
+            send_task.cancel()
+        finally:
+            if not send_task.done():
+                send_task.cancel()
+            with self._lock:
+                if not self.service.slots[slot].active:
+                    pass
+                else:
+                    self.service.close_slot(slot)
+            self._release_slot(slot)
+
+    # -- lifecycle ----------------------------------------------------------------
+
+    async def serve(self, ready: asyncio.Event | None = None) -> None:
+        """Run until cancelled (asyncio entry point)."""
+        import websockets
+
+        self._loop = asyncio.get_running_loop()
+        self._running = True
+        self._update_thread = threading.Thread(target=self._update_loop, daemon=True)
+        self._update_thread.start()
+        try:
+            async with websockets.serve(self._handle, self.host, self.port) as server:
+                self.port = server.sockets[0].getsockname()[1] if server.sockets else self.port
+                if ready is not None:
+                    ready.set()
+                await asyncio.Future()  # until cancelled
+        except asyncio.CancelledError:
+            pass
+        finally:
+            self._running = False
+            if self._update_thread is not None:
+                self._update_thread.join(timeout=10.0)
+
+
+def main() -> None:  # pragma: no cover - CLI
+    import argparse
+
+    import jax
+
+    from .core.config import STREAMING_ARCHS
+    from .core.tokenizer import BinTokenizer
+    from .models import streaming as ms
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="tiny_streaming")
+    p.add_argument("--weights", default=None, help="streaming checkpoint dir")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--streams", type=int, default=16)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    args = p.parse_args()
+
+    cfg = STREAMING_ARCHS[args.model]
+    if args.weights:
+        from .weights import load_streaming_checkpoint
+
+        params, cfg = load_streaming_checkpoint(args.weights)
+    else:
+        params = ms.init_params(cfg, jax.random.PRNGKey(0))
+    tok = BinTokenizer.from_file(args.tokenizer) if args.tokenizer else None
+    svc = StreamingService(params, cfg, tok, n_streams=args.streams)
+    print(f"warmup: {svc.warmup():.1f}s; serving ws://{args.host}:{args.port}")
+    server = TranscriptionServer(svc, host=args.host, port=args.port)
+    asyncio.run(server.serve())
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
