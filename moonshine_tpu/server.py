@@ -113,7 +113,12 @@ class TranscriptionServer:
 
     def _slot_busy(self, slot: int) -> bool:
         s = self.service.slots[slot]
-        return s.fed_samples > 0 or len(s.pending) > 0 or s.seg_final_queued
+        return (
+            s.fed_samples > 0
+            or len(s.pending) > 0
+            or len(s.raw_buffer) > 0
+            or s.seg_final_queued
+        )
 
     # -- websocket handler ------------------------------------------------------
 

@@ -48,6 +48,7 @@ class StreamEvent:
 @dataclass
 class _Slot:
     active: bool = False
+    eos: bool = False  # end-of-stream: finalize every remaining segment
     segment_id: int = 0
     # Current segment feed state
     pending: np.ndarray = field(default_factory=lambda: np.zeros(0, np.float32))
@@ -124,13 +125,19 @@ class StreamingService:
         self.slots[slot].needs_reset = True
 
     def close_slot(self, slot: int) -> None:
-        """Mark end-of-stream: the current segment finalizes on next update."""
+        """Mark end-of-stream: every remaining segment (including audio still
+        queued in raw_buffer behind an in-flight force-split) finalizes on
+        subsequent updates."""
         s = self.slots[slot]
-        if s.active and (s.fed_samples > 0 or len(s.pending) > 0):
-            s.seg_final_queued = True
-        if self.vad is not None:
-            self._segmenters[slot].stop()
-            self._drain_segments(slot)
+        if s.active:
+            s.eos = True
+            if self.vad is None:
+                self._fill_segment(slot)
+                if s.fed_samples > 0 or len(s.pending) > 0:
+                    s.seg_final_queued = True
+            else:
+                self._segmenters[slot].stop()
+                self._drain_segments(slot)
         s.active = False
 
     def add_audio(self, slot: int, audio: np.ndarray) -> None:
@@ -274,6 +281,9 @@ class StreamingService:
         s.stream_samples += take
         s.raw_buffer = s.raw_buffer[take:]
         if len(s.raw_buffer) > 0:  # segment full: force-split
+            s.seg_final_queued = True
+        elif s.eos and (s.fed_samples > 0 or len(s.pending) > 0):
+            # Stream closed: nothing more is coming, flush this segment too.
             s.seg_final_queued = True
 
     def _finish_segment(self, slot: int) -> None:

@@ -111,6 +111,28 @@ def test_service_force_split_rolls_segments(params):
     np.testing.assert_allclose(finals[2][2], 1.5, atol=0.01)
 
 
+def test_close_before_updates_flushes_all_segments(params):
+    """Regression: closing a slot while audio is still queued behind an
+    in-flight force-split must finalize EVERY remaining segment (the
+    trailing sub-cap remainder used to form a segment that never
+    finalized, wedging the serving layer's stop flush)."""
+    svc = StreamingService(params, CFG, tokenizer=None, n_streams=1,
+                           update_frames=64, mem_bucket=512, draft_cap=32,
+                           max_segment_seconds=0.6)
+    svc.open_slot(0)
+    svc.add_audio(0, _audio(43, 1.5))
+    svc.close_slot(0)  # no update() has run yet: everything still queued
+    finals = []
+    for _ in range(16):
+        for ev in svc.update():
+            if ev.is_final:
+                finals.append((ev.segment_id, ev.end_time))
+    assert [f[0] for f in finals] == [0, 1, 2]
+    np.testing.assert_allclose(finals[2][1], 1.5, atol=0.01)
+    s = svc.slots[0]
+    assert s.fed_samples == 0 and len(s.pending) == 0 and len(s.raw_buffer) == 0
+
+
 def test_masked_frontend_matches_unmasked(params):
     """Partial-chunk ingest (n_valid < F) reproduces full-chunk state."""
     audio = _audio(7, 0.8)
