@@ -162,3 +162,251 @@ def speculative_decode(
     idx = jnp.arange(buf)
     tokens = jnp.where(idx < out.count, out.tokens, eos)[:max_tokens]
     return SpecResult(tokens, out.count, out.accepted_draft, out.verify_calls)
+
+
+# =========================================================================
+# Batched cross-model speculative decoding (B > 1)
+# =========================================================================
+#
+# Lanes accept different prefix lengths each round, so cache cursors
+# diverge per lane: ``cur_len`` becomes a vector and K/V writes become
+# vmapped per-lane dynamic_update_slice (the same mechanism the batched
+# streaming service uses, models/streaming_batch.py).  Rounds run in
+# lockstep across lanes; finished lanes are masked (their cursors stop
+# advancing, which voids any writes beyond them).  Acceptance is greedy,
+# so per-lane output is bit-identical to the verifier's own greedy decode
+# (BASELINE config 4: tiny-draft/base-verify as a measured configuration;
+# reference: core/speculative-decode-bench.cpp).
+
+
+class BatchSpecResult(NamedTuple):
+    tokens: jnp.ndarray  # [B, max_tokens] int32, EOS-padded
+    lengths: jnp.ndarray  # [B] int32
+    accepted_draft_tokens: jnp.ndarray  # [B]
+    rounds: jnp.ndarray  # scalar int32 — verify passes (shared, lockstep)
+
+
+def _decoder_apply_vec(
+    dec: dict,
+    cfg: MoonshineArchConfig,
+    tokens: jnp.ndarray,  # [B, s]
+    cur_len: jnp.ndarray,  # [B] per-lane cache cursors
+    k_self: jnp.ndarray,  # [L, B, cap, H, hd]
+    v_self: jnp.ndarray,
+    k_cross: jnp.ndarray,  # [L, B, T, H, hd]
+    v_cross: jnp.ndarray,
+    memory_mask: jnp.ndarray,  # [B, T]
+):
+    """moonshine.decoder_apply with a per-lane cache cursor vector.
+
+    Same layer math (rotary causal self-attn over the cache, rope-free
+    cross-attn, SwiGLU MLP, tied unembedding); K/V writes land at each
+    lane's own offset via vmapped dynamic_update_slice.
+    """
+    from ..models.layers import ACTIVATIONS, dense, layer_norm
+    from ..models.moonshine import _attention, _split_heads
+    from ..ops.rotary import apply_rotary, rotary_tables
+
+    b, s = tokens.shape
+    cap = k_self.shape[2]
+    eps = cfg.layer_norm_eps
+    embed = dec["embed"]
+    h = embed[tokens]
+
+    positions = cur_len[:, None] + jnp.arange(s)[None, :]  # [B, s]
+    cos, sin = jax.vmap(lambda p: rotary_tables(p, cfg.rotary_dim, cfg.rope_theta))(positions)
+
+    key_pos = jnp.arange(cap)
+    self_mask = key_pos[None, None, None, :] <= positions[:, None, :, None]  # [B,1,s,cap]
+    cross_mask = memory_mask[:, None, None, :]
+
+    def body(carry, xs):
+        h = carry
+        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [B, cap, H, hd]
+        x = layer_norm(lp["ln1"], h, eps)
+        a = lp["self_attn"]
+        q = _split_heads(dense(a["q"], x), cfg.decoder_heads)
+        k_new = _split_heads(dense(a["k"], x), cfg.decoder_kv_heads)
+        v_new = _split_heads(dense(a["v"], x), cfg.decoder_kv_heads)
+        q = jax.vmap(apply_rotary)(q, cos, sin)
+        k_new = jax.vmap(apply_rotary)(k_new, cos, sin)
+        upd = jax.vmap(
+            lambda buf, val, off: jax.lax.dynamic_update_slice(
+                buf, val.astype(buf.dtype), (off, 0, 0)
+            )
+        )
+        k_l = upd(k_l, k_new, cur_len)
+        v_l = upd(v_l, v_new, cur_len)
+        o = _attention(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+        h = h + dense(a["o"], o.reshape(b, s, -1))
+        x = layer_norm(lp["ln2"], h, eps)
+        c = lp["cross_attn"]
+        qc = _split_heads(dense(c["q"], x), cfg.decoder_heads)
+        oc = _attention(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
+        h = h + dense(c["o"], oc.reshape(b, s, -1))
+        x = layer_norm(lp["ln3"], h, eps)
+        up = dense(lp["mlp"]["fc1"], x)
+        hh, gate = jnp.split(up, 2, axis=-1)
+        h = h + dense(lp["mlp"]["fc2"], ACTIVATIONS[cfg.decoder_hidden_act](gate) * hh)
+        return h, (k_l, v_l)
+
+    h, (k_out, v_out) = jax.lax.scan(body, h, (dec["layers"], k_self, v_self, k_cross, v_cross))
+    h = layer_norm(dec["norm"], h, eps)
+    logits = jnp.dot(h, embed.T.astype(h.dtype), preferred_element_type=jnp.float32)
+    return logits, k_out, v_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("draft_cfg", "verify_cfg", "gamma", "max_tokens"),
+)
+def speculative_decode_batched(
+    draft_params: dict,
+    draft_cfg: MoonshineArchConfig,
+    verify_params: dict,
+    verify_cfg: MoonshineArchConfig,
+    draft_memory: jnp.ndarray,  # [B, Td, Dd]
+    draft_mask: jnp.ndarray,  # [B, Td]
+    verify_memory: jnp.ndarray,  # [B, Tv, Dv]
+    verify_mask: jnp.ndarray,  # [B, Tv]
+    gamma: int = 4,
+    max_tokens: int = 64,
+    token_caps: jnp.ndarray | None = None,  # [B] optional per-lane caps
+) -> BatchSpecResult:
+    """Batched tiny-draft / large-verify greedy speculative decoding."""
+    assert draft_cfg.eos_token_id == verify_cfg.eos_token_id
+    eos = verify_cfg.eos_token_id
+    bos = verify_cfg.decoder_start_token_id
+    B = draft_memory.shape[0]
+    caps = (
+        jnp.full((B,), max_tokens, jnp.int32)
+        if token_caps is None
+        else jnp.minimum(token_caps.astype(jnp.int32), max_tokens)
+    )
+
+    ddec, vdec = draft_params["decoder"], verify_params["decoder"]
+    cap = max_tokens + gamma + 2
+
+    dk, dv = mm.compute_cross_kv(ddec, draft_cfg, draft_memory)
+    vk, vv = mm.compute_cross_kv(vdec, verify_cfg, verify_memory)
+    mkd = lambda c, n: jnp.zeros(
+        (c.decoder_layers, B, n, c.decoder_kv_heads, c.head_dim), draft_memory.dtype
+    )
+    dks, dvs = mkd(draft_cfg, cap), mkd(draft_cfg, cap)
+    mkv = lambda c, n: jnp.zeros(
+        (c.decoder_layers, B, n, c.decoder_kv_heads, c.head_dim), verify_memory.dtype
+    )
+    vks, vvs = mkv(verify_cfg, cap), mkv(verify_cfg, cap)
+
+    buf = max_tokens + gamma + 1
+    out_idx = jnp.arange(buf)[None, :]
+
+    class Carry(NamedTuple):
+        dks: jnp.ndarray
+        dvs: jnp.ndarray
+        vks: jnp.ndarray
+        vvs: jnp.ndarray
+        tokens: jnp.ndarray  # [B, buf]
+        count: jnp.ndarray  # [B]
+        done: jnp.ndarray  # [B]
+        accepted: jnp.ndarray  # [B]
+        rounds: jnp.ndarray
+
+    def get_last(tokens, count):
+        idx = jnp.maximum(count - 1, 0)
+        last = jnp.take_along_axis(tokens, idx[:, None], axis=1)[:, 0]
+        return jnp.where(count > 0, last, bos)
+
+    def cond(c: Carry):
+        return jnp.any(~c.done)
+
+    def body(c: Carry):
+        act = ~c.done
+        last = get_last(c.tokens, c.count)
+
+        # ---- draft proposes gamma tokens per lane ---------------------
+        def draft_step(i, st):
+            dks, dvs, proposals, nxt = st
+            lg, dks, dvs = _decoder_apply_vec(
+                ddec, draft_cfg, nxt[:, None], c.count + i, dks, dvs, dk, dv, draft_mask
+            )
+            pred = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+            proposals = jnp.where(
+                (jnp.arange(gamma)[None, :] == i), pred[:, None], proposals
+            )
+            return (dks, dvs, proposals, pred)
+
+        dks, dvs, proposals, last_pred = jax.lax.fori_loop(
+            0, gamma, draft_step, (c.dks, c.dvs, jnp.zeros((B, gamma), jnp.int32), last)
+        )
+        # Consume the final proposal so the draft cache covers position
+        # count+gamma (needed when all proposals + correction are accepted).
+        _, dks, dvs = _decoder_apply_vec(
+            ddec, draft_cfg, last_pred[:, None], c.count + gamma, dks, dvs, dk, dv, draft_mask
+        )
+
+        # ---- verifier scores [last, p0..p_{g-1}] per lane in one pass --
+        seq = jnp.concatenate([last[:, None], proposals], axis=1)  # [B, g+1]
+        lg, vks, vvs = _decoder_apply_vec(
+            vdec, verify_cfg, seq, c.count, c.vks, c.vvs, vk, vv, verify_mask
+        )
+        preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, g+1]
+        agree = preds[:, :gamma] == proposals
+        n_accept = jnp.argmin(
+            jnp.concatenate([agree, jnp.zeros((B, 1), bool)], axis=1).astype(jnp.int32),
+            axis=1,
+        )
+        correction = jnp.take_along_axis(preds, n_accept[:, None], axis=1)[:, 0]
+
+        eos_pos = jnp.argmax(
+            jnp.concatenate([proposals == eos, jnp.ones((B, 1), bool)], axis=1).astype(
+                jnp.int32
+            ),
+            axis=1,
+        )
+        eos_in_accept = eos_pos < n_accept
+        n_keep = jnp.where(eos_in_accept, eos_pos, n_accept)
+        n_keep = jnp.minimum(n_keep, jnp.maximum(caps - c.count, 0))
+
+        rel = out_idx - c.count[:, None]  # [B, buf]
+        corr_is_token = (
+            act
+            & jnp.logical_not(eos_in_accept)
+            & (correction != eos)
+            & (c.count + n_keep < caps)
+        )
+        prop_at = jnp.take_along_axis(
+            proposals, jnp.clip(rel, 0, gamma - 1), axis=1
+        )  # [B, buf]
+        write_prop = act[:, None] & (rel >= 0) & (rel < n_keep[:, None])
+        write_corr = (rel == n_keep[:, None]) & corr_is_token[:, None]
+        new_tokens = jnp.where(
+            write_prop, prop_at, jnp.where(write_corr, correction[:, None], c.tokens)
+        )
+        n_keep = jnp.where(act, n_keep, 0)
+        count = c.count + n_keep + corr_is_token.astype(jnp.int32)
+        done = c.done | eos_in_accept | (correction == eos) | (count >= caps)
+
+        return Carry(
+            dks=dks,
+            dvs=dvs,
+            vks=vks,
+            vvs=vvs,
+            tokens=new_tokens,
+            count=count,
+            done=done,
+            accepted=c.accepted + n_keep,
+            rounds=c.rounds + 1,
+        )
+
+    init = Carry(
+        dks=dks, dvs=dvs, vks=vks, vvs=vvs,
+        tokens=jnp.full((B, buf), eos, jnp.int32),
+        count=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), bool),
+        accepted=jnp.zeros((B,), jnp.int32),
+        rounds=jnp.zeros((), jnp.int32),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    tokens = jnp.where(out_idx < out.count[:, None], out.tokens, eos)[:, :max_tokens]
+    return BatchSpecResult(tokens, out.count, out.accepted, out.rounds)

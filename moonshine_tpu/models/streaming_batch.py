@@ -74,8 +74,23 @@ def cast_params(params: Params, dtype) -> Params:
     return out
 
 
+# KV fields live in LAYER-MAJOR, DIM-MAJOR layout [L, S, H, hd, T]:
+#   layer-major — lax.scan over decoder layers consumes them directly (a
+#                 stream-major layout would transpose the full multi-GB
+#                 cache on every while_loop iteration);
+#   dim-major   — TPU bf16 arrays are tiled (16 sublanes, 128 lanes) on the
+#                 LAST TWO dims.  A cache ending in head_dim=40 pads every
+#                 lane row 40 -> 128: 3.2x physical bytes on what is a pure
+#                 KV-streaming loop (measured 197 GB/s useful = ~630 GB/s
+#                 physical, the HBM ceiling).  With [hd, T] the lane dim is
+#                 the 128-aligned time axis and hd only pads 40 -> 48
+#                 sublanes: measured 519 GB/s useful on the same attention
+#                 step, 2.6x faster.  The layout IS the kernel.
+_KV_FIELDS = ("k_cross", "v_cross", "k_self", "v_self")
+
+
 class BatchedStreamingState(NamedTuple):
-    """StreamingState with a leading stream axis [S, ...]."""
+    """StreamingState with a stream axis (KV caches layer/dim-major)."""
 
     sample_ctx: jnp.ndarray  # [S, 79]
     conv1_carry: jnp.ndarray  # [S, 4, d_model]
@@ -86,9 +101,9 @@ class BatchedStreamingState(NamedTuple):
     enc_emitted: jnp.ndarray  # [S]
     memory: jnp.ndarray  # [S, MEM_CAP, decoder_dim]
     mem_len: jnp.ndarray  # [S]
-    k_cross: jnp.ndarray  # [S, L, MEM_CAP, H, hd]
+    k_cross: jnp.ndarray  # [L, S, H, hd, MEM_CAP]
     v_cross: jnp.ndarray
-    k_self: jnp.ndarray  # [S, L, max_seq_len, H, hd]
+    k_self: jnp.ndarray  # [L, S, H, hd, max_seq_len]
     v_self: jnp.ndarray
     cache_len: jnp.ndarray  # [S]
 
@@ -103,6 +118,7 @@ def init_batch_state(
     L, H, hd = cfg.depth, cfg.nheads, cfg.head_dim
     zf = lambda *shape: jnp.zeros((n_streams, *shape), jnp.float32)
     z = lambda *shape: jnp.zeros((n_streams, *shape), dtype)
+    zkv = lambda t: jnp.zeros((L, n_streams, H, hd, t), dtype)
     zi = lambda: jnp.zeros((n_streams,), jnp.int32)
     return BatchedStreamingState(
         sample_ctx=zf(SAMPLE_CTX),
@@ -114,27 +130,38 @@ def init_batch_state(
         enc_emitted=zi(),
         memory=z(mem_cap, cfg.decoder_dim),
         mem_len=zi(),
-        k_cross=z(L, mem_cap, H, hd),
-        v_cross=z(L, mem_cap, H, hd),
-        k_self=z(L, cfg.max_seq_len, H, hd),
-        v_self=z(L, cfg.max_seq_len, H, hd),
+        k_cross=zkv(mem_cap),
+        v_cross=zkv(mem_cap),
+        k_self=zkv(cfg.max_seq_len),
+        v_self=zkv(cfg.max_seq_len),
         cache_len=zi(),
     )
 
 
 def _single(state: BatchedStreamingState, s: int) -> StreamingState:
-    """Extract stream ``s`` as a single-stream StreamingState (testing aid)."""
-    return StreamingState(*[jnp.asarray(x)[s] for x in state])
+    """Extract stream ``s`` as a single-stream StreamingState (testing aid:
+    converts the KV caches back to the single-stream sequence-major
+    [L, T, H, hd] layout)."""
+    vals = {}
+    for name, x in zip(BatchedStreamingState._fields, state):
+        x = jnp.asarray(x)
+        vals[name] = x[:, s].transpose(0, 3, 1, 2) if name in _KV_FIELDS else x[s]
+    return StreamingState(**vals)
 
 
 def _mask_reset(state: BatchedStreamingState, reset: jnp.ndarray) -> BatchedStreamingState:
     """Zero the state of streams flagged in ``reset`` [S] bool."""
 
-    def f(x):
-        m = reset.reshape((-1,) + (1,) * (x.ndim - 1))
+    def f(name, x):
+        if name in _KV_FIELDS:  # stream axis is axis 1
+            m = reset.reshape((1, -1) + (1,) * (x.ndim - 2))
+        else:
+            m = reset.reshape((-1,) + (1,) * (x.ndim - 1))
         return jnp.where(m, jnp.zeros_like(x), x)
 
-    return BatchedStreamingState(*[f(x) for x in state])
+    return BatchedStreamingState(
+        *[f(n, x) for n, x in zip(BatchedStreamingState._fields, state)]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -250,16 +277,20 @@ def _encode_one(
 
     def ckv(carry, lp):
         a = lp["cross_attn"]
-        k = _split_heads(dense(a["k"], mem_new)[None], cfg.nheads)[0]
-        v = _split_heads(dense(a["v"], mem_new)[None], cfg.nheads)[0]
+        # [ENC_STEP, H, hd] -> dim-major [H, hd, ENC_STEP] (the new block is
+        # tiny; transposing here keeps the multi-GB cache in its native
+        # dim-major layout with no relayout at decode time).
+        k = _split_heads(dense(a["k"], mem_new)[None], cfg.nheads)[0].transpose(1, 2, 0)
+        v = _split_heads(dense(a["v"], mem_new)[None], cfg.nheads)[0].transpose(1, 2, 0)
         return carry, (k, v)
 
     _, (k_new, v_new) = jax.lax.scan(ckv, None, params["decoder"]["layers"])
+    # k_cross per stream: [L, H, hd, M]; write the new frames at mem_len.
     k_cross = jax.lax.dynamic_update_slice(
-        k_cross, k_new.astype(k_cross.dtype), (0, mem_len, 0, 0)
+        k_cross, k_new.astype(k_cross.dtype), (0, 0, 0, mem_len)
     )
     v_cross = jax.lax.dynamic_update_slice(
-        v_cross, v_new.astype(v_cross.dtype), (0, mem_len, 0, 0)
+        v_cross, v_new.astype(v_cross.dtype), (0, 0, 0, mem_len)
     )
     return memory, mem_len + n_new, k_cross, v_cross, enc_emitted + n_new
 
@@ -269,14 +300,32 @@ def _encode_one(
 # ---------------------------------------------------------------------------
 
 
+def _attention_dm(
+    q: jnp.ndarray,  # [B, s, H, hd]
+    k: jnp.ndarray,  # [B, H, hd, T] — dim-major
+    v: jnp.ndarray,  # [B, H, hd, T]
+    mask: jnp.ndarray,  # broadcastable to [B, H, s, T]
+) -> jnp.ndarray:
+    """Attention over dim-major K/V (lane axis = 128-aligned time axis; a
+    trailing head_dim lane axis would pad 40 -> 128 and triple the HBM
+    traffic of this bandwidth-bound step — see _KV_FIELDS)."""
+    from .moonshine import NEG_INF
+
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bhdt->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bhdt->bshd", weights, v, preferred_element_type=q.dtype)
+
+
 def _decode_step_batch(
     params: Params,
     cfg: StreamingConfig,
     tokens: jnp.ndarray,  # [S, s] int32
     cache_len: jnp.ndarray,  # [S]
-    k_self: jnp.ndarray,  # [L, S, max_seq, H, hd] — LAYER-MAJOR
+    k_self: jnp.ndarray,  # [L, S, H, hd, max_seq] — layer/dim-major
     v_self: jnp.ndarray,
-    k_cross: jnp.ndarray,  # [L, S, <=M, H, hd] — LAYER-MAJOR, pre-sliced
+    k_cross: jnp.ndarray,  # [L, S, H, hd, <=M] — layer/dim-major, pre-sliced
     v_cross: jnp.ndarray,
     mem_len: jnp.ndarray,  # [S]
     mem_bucket: int,
@@ -286,9 +335,9 @@ def _decode_step_batch(
     Equivalent math to streaming.decode_tokens with a stream axis; the
     KV update uses per-stream write offsets (vmapped dynamic_update_slice).
 
-    KV caches are LAYER-MAJOR so lax.scan consumes them directly — a
-    stream-major layout would insert a full-cache transpose (hundreds of
-    MB) on every while_loop iteration of the greedy continuation.
+    KV caches are LAYER-MAJOR (lax.scan consumes them without a transpose
+    on every while_loop iteration) and DIM-MAJOR (128-aligned lane reads —
+    see the note on _KV_FIELDS).
     """
     dec = params["decoder"]
     S, s = tokens.shape
@@ -301,12 +350,18 @@ def _decode_step_batch(
     self_mask = key_pos[None, None, None, :] <= positions[:, None, :, None]  # [S,1,s,K]
     mem_pos = jnp.arange(mem_bucket)
     cross_mask = (mem_pos[None, :] < mem_len[:, None])[:, None, None, :]  # [S,1,1,M]
-    kc_b = k_cross[:, :, :mem_bucket] if k_cross.shape[2] > mem_bucket else k_cross
-    vc_b = v_cross[:, :, :mem_bucket] if v_cross.shape[2] > mem_bucket else v_cross
+    kc_b = k_cross[..., :mem_bucket] if k_cross.shape[4] > mem_bucket else k_cross
+    vc_b = v_cross[..., :mem_bucket] if v_cross.shape[4] > mem_bucket else v_cross
+
+    upd = jax.vmap(
+        lambda buf, val, off: jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype), (0, 0, off)
+        )
+    )  # buf [H, hd, T], val [H, hd, s]
 
     def body(carry, xs):
         h = carry  # [S, s, d]
-        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [S, max_seq, H, hd]
+        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [S, H, max_seq, hd]
         x = layer_norm(lp["ln1"], h)
         a = lp["self_attn"]
         q = _split_heads(dense(a["q"], x), cfg.nheads)  # [S, s, H, hd]
@@ -314,22 +369,14 @@ def _decode_step_batch(
         v_new = _split_heads(dense(a["v"], x), cfg.nheads)
         q = jax.vmap(apply_rotary)(q, cos, sin)
         k_new = jax.vmap(apply_rotary)(k_new, cos, sin)
-        k_l = jax.vmap(
-            lambda buf, val, off: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (off, 0, 0)
-            )
-        )(k_l, k_new, cache_len)
-        v_l = jax.vmap(
-            lambda buf, val, off: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (off, 0, 0)
-            )
-        )(v_l, v_new, cache_len)
-        o = _attention(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+        k_l = upd(k_l, k_new.transpose(0, 2, 3, 1), cache_len)
+        v_l = upd(v_l, v_new.transpose(0, 2, 3, 1), cache_len)
+        o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
         h = h + dense(a["o"], o.reshape(S, s, -1))
         x = layer_norm(lp["ln2"], h)
         c = lp["cross_attn"]
         qc = _split_heads(dense(c["q"], x), cfg.nheads)
-        oc = _attention(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
+        oc = _attention_dm(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
         h = h + dense(c["o"], oc.reshape(S, s, -1))
         x = layer_norm(lp["ln3"], h)
         up = dense(lp["mlp"]["fc1"], x)
@@ -359,6 +406,10 @@ class ServiceUpdateOut(NamedTuple):
 @partial(
     jax.jit,
     static_argnames=("cfg", "mem_bucket", "draft_cap", "enc_passes", "decode"),
+    # The caller always replaces its state with the returned one; donating
+    # lets XLA update the multi-hundred-MB KV caches in place instead of
+    # copying them every update.
+    donate_argnames=("state",),
 )
 def service_update(
     params: Params,
@@ -407,7 +458,10 @@ def service_update(
         memory, mem_len, k_cross, v_cross, enc_emitted = jax.vmap(
             lambda f, fc, ee, m, ml, kc, vc, nn: _encode_one(
                 params, cfg, f, fc, ee, m, ml, kc, vc, nn
-            )
+            ),
+            # KV caches carry the stream axis at position 1 (layer-major).
+            in_axes=(0, 0, 0, 0, 0, 1, 1, 0),
+            out_axes=(0, 0, 1, 1, 0),
         )(
             state.feats, state.feat_count, state.enc_emitted, state.memory,
             state.mem_len, state.k_cross, state.v_cross, n_new,
@@ -426,18 +480,17 @@ def service_update(
         )
 
     # ---- speculative verify (decoder reset: clear self cache) -----------
-    # One transpose to layer-major here; the greedy while_loop then scans
-    # the caches without any per-iteration relayout.
+    # Caches are already layer/head-major: no relayout here or inside the
+    # greedy while_loop.
     S = chunk.shape[0]
-    swap = lambda x: jnp.swapaxes(x, 0, 1)
-    kc_lm = swap(state.k_cross[:, :, :mem_bucket])
-    vc_lm = swap(state.v_cross[:, :, :mem_bucket])
+    kc_lm = state.k_cross[..., :mem_bucket]
+    vc_lm = state.v_cross[..., :mem_bucket]
     zero_len = jnp.zeros((S,), jnp.int32)
     seq = jnp.concatenate(
         [jnp.full((S, 1), cfg.bos_id, jnp.int32), draft[:, :draft_cap]], axis=1
     )  # [S, 1 + draft_cap]
     logits, k_self, v_self = _decode_step_batch(
-        params, cfg, seq, zero_len, swap(state.k_self), swap(state.v_self),
+        params, cfg, seq, zero_len, state.k_self, state.v_self,
         kc_lm, vc_lm, state.mem_len, mem_bucket,
     )
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, 1 + draft_cap]
@@ -494,18 +547,13 @@ def service_update(
         )
         count = c.count + write.astype(jnp.int32)
         done = c.done | is_eos | cache_full | (count >= eff_budget)
-        # Frozen lanes keep their caches/cursors (their KV write was at a
-        # stale cache_len and is voided by not advancing the cursor).
-        sel = lambda new, old: jnp.where(
-            act.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
-        )
-        # Layer-major caches: the stream axis is axis 1.
-        sel_lm = lambda new, old: jnp.where(
-            act.reshape((1, -1) + (1,) * (new.ndim - 2)), new, old
-        )
+        # Frozen lanes keep their cursors; their KV write landed at the
+        # stale cache_len row (>= cursor, i.e. the invalid region) and is
+        # voided by not advancing — no need to where-copy the caches back,
+        # which would re-materialize the full self-KV every iteration.
         return Carry(
-            k_self=sel_lm(k_s, c.k_self),
-            v_self=sel_lm(v_s, c.v_self),
+            k_self=k_s,
+            v_self=v_s,
             cache_len=jnp.where(act, c.cache_len + 1, c.cache_len),
             tokens=tokens,
             last=jnp.where(act, nxt, c.last),
@@ -517,6 +565,6 @@ def service_update(
     out = jax.lax.while_loop(cond, body, init)
 
     new_state = state._replace(
-        k_self=swap(out.k_self), v_self=swap(out.v_self), cache_len=out.cache_len
+        k_self=out.k_self, v_self=out.v_self, cache_len=out.cache_len
     )
     return ServiceUpdateOut(tokens=out.tokens, counts=out.count, state=new_state)

@@ -82,6 +82,67 @@ def test_self_draft_accepts_everything(setup):
     assert int(s.accepted_draft_tokens) >= n - calls
 
 
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_batched_matches_per_lane_greedy(gamma):
+    """B=3 lanes with different audio lengths: every lane's output is
+    bit-identical to the verifier's own greedy decode of that lane."""
+    from moonshine_tpu.decoding.speculative import speculative_decode_batched
+
+    vparams = mm.init_params(VERIFY_CFG, jax.random.PRNGKey(0))
+    dparams = mm.init_params(DRAFT_CFG, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(2)
+    audio = jnp.asarray(rng.standard_normal((3, 6000)).astype(np.float32) * 0.1)
+    lengths = jnp.asarray([6000, 4000, 2500], jnp.int32)
+    v_mem, v_mask = mm.encode(vparams, VERIFY_CFG, audio, lengths)
+    d_mem, d_mask = mm.encode(dparams, DRAFT_CFG, audio, lengths)
+
+    g = greedy_decode(vparams, VERIFY_CFG, v_mem, v_mask, max_tokens=16)
+    s = speculative_decode_batched(
+        dparams, DRAFT_CFG, vparams, VERIFY_CFG,
+        d_mem, d_mask, v_mem, v_mask, gamma=gamma, max_tokens=16,
+    )
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+    np.testing.assert_array_equal(np.asarray(s.lengths), np.asarray(g.lengths))
+
+
+def test_batched_self_draft_accepts_everything():
+    """Draft == verifier at B=2: near-perfect acceptance, few rounds."""
+    from moonshine_tpu.decoding.speculative import speculative_decode_batched
+
+    vparams = mm.init_params(VERIFY_CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    v_mem, v_mask = mm.encode(vparams, VERIFY_CFG, audio)
+    s = speculative_decode_batched(
+        vparams, VERIFY_CFG, vparams, VERIFY_CFG,
+        v_mem, v_mask, v_mem, v_mask, gamma=4, max_tokens=16,
+    )
+    g = greedy_decode(vparams, VERIFY_CFG, v_mem, v_mask, max_tokens=16)
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+    n_max = int(np.max(np.asarray(s.lengths)))
+    # Perfect acceptance: ceil(n / (gamma+1)) lockstep rounds suffice.
+    assert int(s.rounds) <= -(-n_max // 4) + 1
+
+
+def test_batched_respects_token_caps():
+    from moonshine_tpu.decoding.speculative import speculative_decode_batched
+
+    vparams = mm.init_params(VERIFY_CFG, jax.random.PRNGKey(0))
+    dparams = mm.init_params(DRAFT_CFG, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(4)
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    v_mem, v_mask = mm.encode(vparams, VERIFY_CFG, audio)
+    d_mem, d_mask = mm.encode(dparams, DRAFT_CFG, audio)
+    caps = jnp.asarray([3, 9], jnp.int32)
+    s = speculative_decode_batched(
+        dparams, DRAFT_CFG, vparams, VERIFY_CFG,
+        d_mem, d_mask, v_mem, v_mask, gamma=4, max_tokens=16, token_caps=caps,
+    )
+    g = greedy_decode(vparams, VERIFY_CFG, v_mem, v_mask, max_tokens=16, token_caps=caps)
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+    assert np.all(np.asarray(s.lengths) <= np.asarray(caps))
+
+
 def test_telemetry_consistent(setup):
     vparams, dparams, v_mem, v_mask, d_mem, d_mask = setup
     s = speculative_decode(
