@@ -191,9 +191,9 @@ def _decoder_apply_vec(
     cfg: MoonshineArchConfig,
     tokens: jnp.ndarray,  # [B, s]
     cur_len: jnp.ndarray,  # [B] per-lane cache cursors
-    k_self: jnp.ndarray,  # [L, B, cap, H, hd]
+    k_self: jnp.ndarray,  # [L, B, H, hd, cap] — dim-major (see DecoderCache)
     v_self: jnp.ndarray,
-    k_cross: jnp.ndarray,  # [L, B, T, H, hd]
+    k_cross: jnp.ndarray,  # [L, B, H, hd, T] — dim-major
     v_cross: jnp.ndarray,
     memory_mask: jnp.ndarray,  # [B, T]
 ):
@@ -204,11 +204,11 @@ def _decoder_apply_vec(
     lane's own offset via vmapped dynamic_update_slice.
     """
     from ..models.layers import ACTIVATIONS, dense, layer_norm
-    from ..models.moonshine import _attention, _split_heads
+    from ..models.moonshine import _attention_dm, _split_heads
     from ..ops.rotary import apply_rotary, rotary_tables
 
     b, s = tokens.shape
-    cap = k_self.shape[2]
+    cap = k_self.shape[4]
     eps = cfg.layer_norm_eps
     embed = dec["embed"]
     h = embed[tokens]
@@ -222,7 +222,7 @@ def _decoder_apply_vec(
 
     def body(carry, xs):
         h = carry
-        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [B, cap, H, hd]
+        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [B, H, hd, cap]
         x = layer_norm(lp["ln1"], h, eps)
         a = lp["self_attn"]
         q = _split_heads(dense(a["q"], x), cfg.decoder_heads)
@@ -232,17 +232,17 @@ def _decoder_apply_vec(
         k_new = jax.vmap(apply_rotary)(k_new, cos, sin)
         upd = jax.vmap(
             lambda buf, val, off: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (off, 0, 0)
+                buf, val.astype(buf.dtype), (0, 0, off)
             )
-        )
-        k_l = upd(k_l, k_new, cur_len)
-        v_l = upd(v_l, v_new, cur_len)
-        o = _attention(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+        )  # buf [H, hd, cap], val [H, hd, s]
+        k_l = upd(k_l, k_new.transpose(0, 2, 3, 1), cur_len)
+        v_l = upd(v_l, v_new.transpose(0, 2, 3, 1), cur_len)
+        o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
         h = h + dense(a["o"], o.reshape(b, s, -1))
         x = layer_norm(lp["ln2"], h, eps)
         c = lp["cross_attn"]
         qc = _split_heads(dense(c["q"], x), cfg.decoder_heads)
-        oc = _attention(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
+        oc = _attention_dm(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
         h = h + dense(c["o"], oc.reshape(b, s, -1))
         x = layer_norm(lp["ln3"], h, eps)
         up = dense(lp["mlp"]["fc1"], x)
@@ -290,11 +290,11 @@ def speculative_decode_batched(
     dk, dv = mm.compute_cross_kv(ddec, draft_cfg, draft_memory)
     vk, vv = mm.compute_cross_kv(vdec, verify_cfg, verify_memory)
     mkd = lambda c, n: jnp.zeros(
-        (c.decoder_layers, B, n, c.decoder_kv_heads, c.head_dim), draft_memory.dtype
+        (c.decoder_layers, B, c.decoder_kv_heads, c.head_dim, n), draft_memory.dtype
     )
     dks, dvs = mkd(draft_cfg, cap), mkd(draft_cfg, cap)
     mkv = lambda c, n: jnp.zeros(
-        (c.decoder_layers, B, n, c.decoder_kv_heads, c.head_dim), verify_memory.dtype
+        (c.decoder_layers, B, c.decoder_kv_heads, c.head_dim, n), verify_memory.dtype
     )
     vks, vvs = mkv(verify_cfg, cap), mkv(verify_cfg, cap)
 

@@ -165,9 +165,20 @@ def frontend_apply(
             f"Audio too short: {audio.shape[-1]} samples yields no encoder "
             f"frames (minimum {cfg.min_samples()} samples at 16 kHz)"
         )
-    x = audio[..., None].astype(p["conv1"]["w"].dtype)  # [B, N, 1]
     s1, s2, s3 = cfg.conv_strides
-    h = jnp.tanh(conv1d(p["conv1"], x, s1))
+    k1 = cfg.conv_kernels[0]
+    # Stage 1 has ONE input channel: as a conv the MXU pads channels to 128
+    # and runs at ~1% utilization (measured 41 ms of a 322 ms pipeline at
+    # B=128x10s).  As im2col windows x a [k1, D] matmul it is a dense GEMM.
+    n_frames1 = (audio.shape[-1] - k1) // s1 + 1
+    idx = jnp.arange(n_frames1)[:, None] * s1 + jnp.arange(k1)[None, :]
+    w1 = p["conv1"]["w"]  # [k1, 1, D]
+    windows = audio.astype(w1.dtype)[:, idx]  # [B, T1, k1]
+    h = jnp.tanh(
+        jnp.dot(windows, w1[:, 0, :], preferred_element_type=jnp.float32)
+    ).astype(w1.dtype)
+    if "b" in p["conv1"]:
+        h = h + p["conv1"]["b"].astype(h.dtype)
     if lengths is not None:
         k1 = cfg.conv_kernels[0]
         l1 = jnp.maximum((lengths - k1) // s1 + 1, 0)
@@ -254,13 +265,20 @@ class DecoderCache(NamedTuple):
     (reference: core/moonshine-streaming-model.h:54-67) as fixed-capacity
     device arrays: self-KV is a ring-capacity buffer indexed by ``cur_len``;
     cross-KV is precomputed once per memory update.
+
+    Layout is DIM-MAJOR [L, B, H, hd, T]: TPU bf16 arrays tile (16, 128)
+    on the last two dims, so a trailing head_dim (40/52/64) pads every
+    lane row to 128 — up to ~5x physical HBM traffic on the
+    bandwidth-bound decode steps.  Dim-major puts the long time axis on
+    lanes; measured 2.6x faster attention streaming on-chip (see
+    models/streaming_batch.py for the batched-service twin).
     """
 
-    k_self: jnp.ndarray  # [L, B, S_max, H, hd]
-    v_self: jnp.ndarray  # [L, B, S_max, H, hd]
+    k_self: jnp.ndarray  # [L, B, H, hd, S_max]
+    v_self: jnp.ndarray  # [L, B, H, hd, S_max]
     cur_len: jnp.ndarray  # scalar int32
-    k_cross: jnp.ndarray  # [L, B, T, H, hd]
-    v_cross: jnp.ndarray  # [L, B, T, H, hd]
+    k_cross: jnp.ndarray  # [L, B, H, hd, T]
+    v_cross: jnp.ndarray  # [L, B, H, hd, T]
     memory_mask: jnp.ndarray  # [B, T] bool
 
 
@@ -273,9 +291,9 @@ def init_cache(
     memory_mask: jnp.ndarray,
     dtype=jnp.float32,
 ) -> DecoderCache:
-    # [L, B, S, H, hd]: sequence-major so attention reads the cache without
-    # a materialized transpose (the transpose was ~3x HBM traffic per step).
-    shape = (cfg.decoder_layers, batch, max_len, cfg.decoder_kv_heads, cfg.head_dim)
+    # [L, B, H, hd, S]: dim-major — the 128-aligned time axis on lanes
+    # (see DecoderCache docstring).
+    shape = (cfg.decoder_layers, batch, cfg.decoder_kv_heads, cfg.head_dim, max_len)
     return DecoderCache(
         k_self=jnp.zeros(shape, dtype),
         v_self=jnp.zeros(shape, dtype),
@@ -292,25 +310,48 @@ def compute_cross_kv(
     """Precompute cross-attention K/V for all layers from encoder memory.
 
     Counterpart of the reference's ``cross_kv.ort`` session (reference:
-    core/moonshine-streaming-model.cpp:744-806).  Returns [L, B, T, H, hd]
-    (sequence-major, matching the attention einsum's native layout).
+    core/moonshine-streaming-model.cpp:744-806).  Returns [L, B, H, hd, T]
+    (dim-major, matching the decode attention's native layout).
     """
 
     def body(_, lp):
         a = lp["cross_attn"]
-        k = _split_heads(dense(a["k"], memory), cfg.decoder_kv_heads)
-        v = _split_heads(dense(a["v"], memory), cfg.decoder_kv_heads)
+        k = _split_heads(dense(a["k"], memory), cfg.decoder_kv_heads).transpose(0, 2, 3, 1)
+        v = _split_heads(dense(a["v"], memory), cfg.decoder_kv_heads).transpose(0, 2, 3, 1)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, p["layers"])
     return ks, vs
 
 
+def _attention_dm(q, k, v, mask):
+    """Attention over dim-major K/V [B, H, hd, T] (see DecoderCache)."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bhdt->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhst,bhdt->bshd", weights, v, preferred_element_type=q.dtype)
+
+
+def _attention_dm_with_weights(q, k, v, mask):
+    """_attention_dm returning the softmax weights [B, H, s, T] too."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bshd,bhdt->bhst", q, k, preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhst,bhdt->bshd", weights.astype(q.dtype), v, preferred_element_type=q.dtype
+    )
+    return out, weights
+
+
 def _decoder_layer_apply(cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cur_len, eps):
     """One decoder layer over s new tokens with cache update.
 
-    k_l/v_l: [B, H, S_max, hd] self-KV cache slices for this layer.
-    Returns (h, k_l, v_l).
+    k_l/v_l: [B, H, hd, S_max] dim-major self-KV cache slices for this
+    layer.  Returns (h, k_l, v_l).
     """
     b, s, _ = h.shape
     heads = cfg.decoder_heads
@@ -323,9 +364,13 @@ def _decoder_layer_apply(cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, 
     q = apply_rotary(q, cos, sin)
     k_new = apply_rotary(k_new, cos, sin)
     # Write new K/V into the cache at [cur_len, cur_len + s).
-    k_l = jax.lax.dynamic_update_slice(k_l, k_new.astype(k_l.dtype), (0, cur_len, 0, 0))
-    v_l = jax.lax.dynamic_update_slice(v_l, v_new.astype(v_l.dtype), (0, cur_len, 0, 0))
-    o = _attention(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+    k_l = jax.lax.dynamic_update_slice(
+        k_l, k_new.transpose(0, 2, 3, 1).astype(k_l.dtype), (0, 0, 0, cur_len)
+    )
+    v_l = jax.lax.dynamic_update_slice(
+        v_l, v_new.transpose(0, 2, 3, 1).astype(v_l.dtype), (0, 0, 0, cur_len)
+    )
+    o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
     h = h + dense(a["o"], o.reshape(b, s, -1))
     return h, k_l, v_l
 
@@ -336,12 +381,12 @@ def _decoder_cross_mlp_apply(cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_we
     x = layer_norm(lp["ln2"], h, eps)
     a = lp["cross_attn"]
     q = _split_heads(dense(a["q"], x), heads)
-    kc = kc_l.astype(q.dtype)  # [B, T, H, hd]
+    kc = kc_l.astype(q.dtype)  # [B, H, hd, T] dim-major
     vc = vc_l.astype(q.dtype)
     if collect_weights:
-        o, w = _attention_with_weights(q, kc, vc, cross_mask)
+        o, w = _attention_dm_with_weights(q, kc, vc, cross_mask)
     else:
-        o = _attention(q, kc, vc, cross_mask)
+        o = _attention_dm(q, kc, vc, cross_mask)
         w = None
     h = h + dense(a["o"], o.reshape(b, s, -1))
     # SwiGLU MLP: fc1 -> (h, gate) -> silu(gate) * h -> fc2
@@ -372,7 +417,7 @@ def decoder_apply(
     [L, B, H, s, T]).
     """
     b, s = tokens.shape
-    max_len = cache.k_self.shape[2]  # [L, B, S, H, hd]
+    max_len = cache.k_self.shape[4]  # [L, B, H, hd, S]
     eps = cfg.layer_norm_eps
     embed = p["embed"]
     h = embed[tokens]  # compute dtype follows the param dtype (fp32 or bf16)
