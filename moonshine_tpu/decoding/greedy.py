@@ -25,7 +25,7 @@ class GreedyResult(NamedTuple):
     lengths: jnp.ndarray  # [B] int32 tokens emitted before EOS (exclusive)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_tokens"))
+@partial(jax.jit, static_argnames=("cfg", "max_tokens", "kv_int8"))
 def greedy_decode(
     params: dict,
     cfg: MoonshineArchConfig,
@@ -33,11 +33,15 @@ def greedy_decode(
     memory_mask: jnp.ndarray,  # [B, T]
     max_tokens: int,
     token_caps: jnp.ndarray | None = None,  # [B] per-utterance cap
+    kv_int8: bool = False,  # int8 KV caches with fused dequant (ops/int8_kv.py)
 ) -> GreedyResult:
     b = memory.shape[0]
     dec = params["decoder"]
     k_cross, v_cross = mm.compute_cross_kv(dec, cfg, memory)
-    cache = mm.init_cache(cfg, b, max_tokens + 1, k_cross, v_cross, memory_mask, dtype=memory.dtype)
+    cache = mm.init_cache(
+        cfg, b, max_tokens + 1, k_cross, v_cross, memory_mask,
+        dtype=memory.dtype, kv_int8=kv_int8,
+    )
 
     if token_caps is None:
         token_caps = jnp.full((b,), max_tokens, jnp.int32)

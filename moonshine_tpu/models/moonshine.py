@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import MoonshineArchConfig
+from ..ops.int8_kv import attention_dm_q8, attention_dm_q8_with_weights, quantize_kv
 from ..ops.rotary import apply_rotary, rotary_tables
 from .layers import (
     ACTIVATIONS,
@@ -203,7 +204,8 @@ def _frames_for_samples_traced(cfg: MoonshineArchConfig, n: jnp.ndarray) -> jnp.
     return jnp.maximum(n, 0)
 
 
-def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask, eps):
+def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask, eps,
+                         frame_mask=None, attn_impl: str = "xla"):
     x = layer_norm(lp["ln1"], h, eps)
     a = lp["attn"]
     q = _split_heads(dense(a["q"], x), cfg.encoder_heads)
@@ -211,7 +213,12 @@ def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask
     v = _split_heads(dense(a["v"], x), cfg.encoder_kv_heads)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
-    o = _attention(q, k, v, mask)
+    if attn_impl == "pallas":
+        from ..ops.encoder_attention import encoder_attention
+
+        o = encoder_attention(q, k, v, frame_mask)
+    else:
+        o = _attention(q, k, v, mask)
     h = h + dense(a["o"], o.reshape(o.shape[0], o.shape[1], -1))
     x = layer_norm(lp["ln2"], h, eps)
     act = ACTIVATIONS[cfg.encoder_hidden_act]
@@ -219,13 +226,28 @@ def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask
     return h
 
 
+def _resolve_attn_impl(attn_impl: str) -> str:
+    """"auto" -> the Pallas VMEM-logits kernel on a single TPU backend
+    (measured 1.33x on the bench encode, docs/PERF.md), XLA elsewhere.
+    Sharded (pjit/GSPMD) callers should stay on "xla": a pallas_call is an
+    opaque custom call that GSPMD cannot repartition across a mesh."""
+    if attn_impl != "auto":
+        return attn_impl
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def encoder_apply(
     p: Params,
     cfg: MoonshineArchConfig,
     features: jnp.ndarray,  # [B, T, D]
     frame_mask: jnp.ndarray | None = None,  # [B, T]
+    attn_impl: str = "xla",  # "pallas": VMEM-resident logits kernel; "auto"
 ) -> jnp.ndarray:
     """Rotary transformer encoder -> [B, T, D] hidden states."""
+    attn_impl = _resolve_attn_impl(attn_impl)
     b, t, _ = features.shape
     positions = jnp.arange(t)
     cos, sin = rotary_tables(positions, cfg.rotary_dim, cfg.rope_theta)
@@ -236,7 +258,9 @@ def encoder_apply(
     eps = cfg.layer_norm_eps
 
     def body(h, lp):
-        return _encoder_layer_apply(cfg, h, lp, cos, sin, mask, eps), None
+        return _encoder_layer_apply(
+            cfg, h, lp, cos, sin, mask, eps, frame_mask=frame_mask, attn_impl=attn_impl
+        ), None
 
     h, _ = jax.lax.scan(body, features, p["layers"])
     return layer_norm(p["norm"], h, eps)
@@ -247,10 +271,14 @@ def encode(
     cfg: MoonshineArchConfig,
     audio: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
+    attn_impl: str = "xla",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """audio [B, N] -> (memory [B, T, D], frame_mask [B, T])."""
     feats, mask = frontend_apply(params["frontend"], cfg, audio, lengths)
-    memory = encoder_apply(params["encoder"], cfg, feats, mask if lengths is not None else None)
+    memory = encoder_apply(
+        params["encoder"], cfg, feats, mask if lengths is not None else None,
+        attn_impl=attn_impl,
+    )
     return memory, mask
 
 
@@ -280,6 +308,14 @@ class DecoderCache(NamedTuple):
     k_cross: jnp.ndarray  # [L, B, H, hd, T]
     v_cross: jnp.ndarray  # [L, B, H, hd, T]
     memory_mask: jnp.ndarray  # [B, T] bool
+    # Optional int8 mode (ops/int8_kv.py): when the scale fields are set the
+    # K/V arrays above hold int8 values with per-key-column scales, and the
+    # decode attention dequantizes in-einsum — half the HBM bytes on the
+    # bandwidth-bound decode steps.
+    k_self_scale: jnp.ndarray | None = None  # [L, B, H, S_max] f32
+    v_self_scale: jnp.ndarray | None = None  # [L, B, H, S_max] f32
+    k_cross_scale: jnp.ndarray | None = None  # [L, B, H, T] f32
+    v_cross_scale: jnp.ndarray | None = None  # [L, B, H, T] f32
 
 
 def init_cache(
@@ -290,17 +326,34 @@ def init_cache(
     v_cross: jnp.ndarray,
     memory_mask: jnp.ndarray,
     dtype=jnp.float32,
+    kv_int8: bool = False,
 ) -> DecoderCache:
     # [L, B, H, hd, S]: dim-major — the 128-aligned time axis on lanes
     # (see DecoderCache docstring).
     shape = (cfg.decoder_layers, batch, cfg.decoder_kv_heads, cfg.head_dim, max_len)
+    if not kv_int8:
+        return DecoderCache(
+            k_self=jnp.zeros(shape, dtype),
+            v_self=jnp.zeros(shape, dtype),
+            cur_len=jnp.zeros((), jnp.int32),
+            k_cross=k_cross,
+            v_cross=v_cross,
+            memory_mask=memory_mask,
+        )
+    sshape = shape[:3] + shape[4:]  # [L, B, H, S]
+    kc_q, kc_s = quantize_kv(k_cross)
+    vc_q, vc_s = quantize_kv(v_cross)
     return DecoderCache(
-        k_self=jnp.zeros(shape, dtype),
-        v_self=jnp.zeros(shape, dtype),
+        k_self=jnp.zeros(shape, jnp.int8),
+        v_self=jnp.zeros(shape, jnp.int8),
         cur_len=jnp.zeros((), jnp.int32),
-        k_cross=k_cross,
-        v_cross=v_cross,
+        k_cross=kc_q,
+        v_cross=vc_q,
         memory_mask=memory_mask,
+        k_self_scale=jnp.zeros(sshape, jnp.float32),
+        v_self_scale=jnp.zeros(sshape, jnp.float32),
+        k_cross_scale=kc_s,
+        v_cross_scale=vc_s,
     )
 
 
@@ -347,11 +400,16 @@ def _attention_dm_with_weights(q, k, v, mask):
     return out, weights
 
 
-def _decoder_layer_apply(cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cur_len, eps):
+def _decoder_layer_apply(
+    cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cur_len, eps,
+    k_s_l=None, v_s_l=None,
+):
     """One decoder layer over s new tokens with cache update.
 
     k_l/v_l: [B, H, hd, S_max] dim-major self-KV cache slices for this
-    layer.  Returns (h, k_l, v_l).
+    layer.  When k_s_l/v_s_l ([B, H, S_max] per-column scales) are given
+    the caches are int8 and dequantization fuses into the attention
+    einsums (ops/int8_kv.py).  Returns (h, k_l, v_l, k_s_l, v_s_l).
     """
     b, s, _ = h.shape
     heads = cfg.decoder_heads
@@ -363,30 +421,48 @@ def _decoder_layer_apply(cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, 
     v_new = _split_heads(dense(a["v"], x), cfg.decoder_kv_heads)
     q = apply_rotary(q, cos, sin)
     k_new = apply_rotary(k_new, cos, sin)
-    # Write new K/V into the cache at [cur_len, cur_len + s).
-    k_l = jax.lax.dynamic_update_slice(
-        k_l, k_new.transpose(0, 2, 3, 1).astype(k_l.dtype), (0, 0, 0, cur_len)
-    )
-    v_l = jax.lax.dynamic_update_slice(
-        v_l, v_new.transpose(0, 2, 3, 1).astype(v_l.dtype), (0, 0, 0, cur_len)
-    )
-    o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+    k_new_dm = k_new.transpose(0, 2, 3, 1)  # [B, H, hd, s]
+    v_new_dm = v_new.transpose(0, 2, 3, 1)
+    if k_s_l is not None:
+        kq, ks = quantize_kv(k_new_dm)
+        vq, vs = quantize_kv(v_new_dm)
+        k_l = jax.lax.dynamic_update_slice(k_l, kq, (0, 0, 0, cur_len))
+        v_l = jax.lax.dynamic_update_slice(v_l, vq, (0, 0, 0, cur_len))
+        k_s_l = jax.lax.dynamic_update_slice(k_s_l, ks, (0, 0, cur_len))
+        v_s_l = jax.lax.dynamic_update_slice(v_s_l, vs, (0, 0, cur_len))
+        o = attention_dm_q8(q, k_l, k_s_l, v_l, v_s_l, self_mask)
+    else:
+        # Write new K/V into the cache at [cur_len, cur_len + s).
+        k_l = jax.lax.dynamic_update_slice(
+            k_l, k_new_dm.astype(k_l.dtype), (0, 0, 0, cur_len)
+        )
+        v_l = jax.lax.dynamic_update_slice(
+            v_l, v_new_dm.astype(v_l.dtype), (0, 0, 0, cur_len)
+        )
+        o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
     h = h + dense(a["o"], o.reshape(b, s, -1))
-    return h, k_l, v_l
+    return h, k_l, v_l, k_s_l, v_s_l
 
 
-def _decoder_cross_mlp_apply(cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_weights=False):
+def _decoder_cross_mlp_apply(
+    cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_weights=False,
+    kc_s_l=None, vc_s_l=None,
+):
     b, s, _ = h.shape
     heads = cfg.decoder_heads
     x = layer_norm(lp["ln2"], h, eps)
     a = lp["cross_attn"]
     q = _split_heads(dense(a["q"], x), heads)
-    kc = kc_l.astype(q.dtype)  # [B, H, hd, T] dim-major
-    vc = vc_l.astype(q.dtype)
-    if collect_weights:
-        o, w = _attention_dm_with_weights(q, kc, vc, cross_mask)
+    if kc_s_l is not None:  # int8 cross-KV with in-einsum dequant
+        if collect_weights:
+            o, w = attention_dm_q8_with_weights(q, kc_l, kc_s_l, vc_l, vc_s_l, cross_mask)
+        else:
+            o = attention_dm_q8(q, kc_l, kc_s_l, vc_l, vc_s_l, cross_mask)
+            w = None
+    elif collect_weights:
+        o, w = _attention_dm_with_weights(q, kc_l.astype(q.dtype), vc_l.astype(q.dtype), cross_mask)
     else:
-        o = _attention_dm(q, kc, vc, cross_mask)
+        o = _attention_dm(q, kc_l.astype(q.dtype), vc_l.astype(q.dtype), cross_mask)
         w = None
     h = h + dense(a["o"], o.reshape(b, s, -1))
     # SwiGLU MLP: fc1 -> (h, gate) -> silu(gate) * h -> fc2
@@ -447,21 +523,43 @@ def decoder_apply(
 
     cross_mask = cache.memory_mask[:, None, None, :]  # [B, 1, 1, T]
 
+    quant = cache.k_self_scale is not None
+
     def body(carry, xs):
         h = carry
-        lp, k_l, v_l, kc_l, vc_l = xs
-        h, k_l, v_l = _decoder_layer_apply(
-            cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cache.cur_len, eps
+        if quant:
+            lp, k_l, v_l, kc_l, vc_l, k_s_l, v_s_l, kc_s_l, vc_s_l = xs
+        else:
+            lp, k_l, v_l, kc_l, vc_l = xs
+            k_s_l = v_s_l = kc_s_l = vc_s_l = None
+        h, k_l, v_l, k_s_l, v_s_l = _decoder_layer_apply(
+            cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cache.cur_len, eps,
+            k_s_l=k_s_l, v_s_l=v_s_l,
         )
         h, w = _decoder_cross_mlp_apply(
-            cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_weights=collect_cross_attention
+            cfg, h, lp, kc_l, vc_l, cross_mask, eps,
+            collect_weights=collect_cross_attention, kc_s_l=kc_s_l, vc_s_l=vc_s_l,
         )
+        if quant:
+            return h, (k_l, v_l, k_s_l, v_s_l, w)
         return h, (k_l, v_l, w)
 
-    h, (k_self, v_self, cross_w) = jax.lax.scan(
-        body, h, (p["layers"], cache.k_self, cache.v_self, cache.k_cross, cache.v_cross)
-    )
+    if quant:
+        xs = (
+            p["layers"], cache.k_self, cache.v_self, cache.k_cross, cache.v_cross,
+            cache.k_self_scale, cache.v_self_scale,
+            cache.k_cross_scale, cache.v_cross_scale,
+        )
+        h, (k_self, v_self, k_self_s, v_self_s, cross_w) = jax.lax.scan(body, h, xs)
+        new_cache = cache._replace(
+            k_self=k_self, v_self=v_self, cur_len=cache.cur_len + s,
+            k_self_scale=k_self_s, v_self_scale=v_self_s,
+        )
+    else:
+        h, (k_self, v_self, cross_w) = jax.lax.scan(
+            body, h, (p["layers"], cache.k_self, cache.v_self, cache.k_cross, cache.v_cross)
+        )
+        new_cache = cache._replace(k_self=k_self, v_self=v_self, cur_len=cache.cur_len + s)
     h = layer_norm(p["norm"], h, eps)
     logits = jnp.dot(h, embed.T.astype(h.dtype), preferred_element_type=jnp.float32)
-    new_cache = cache._replace(k_self=k_self, v_self=v_self, cur_len=cache.cur_len + s)
     return logits, new_cache, (cross_w if collect_cross_attention else None)

@@ -87,6 +87,10 @@ def cast_params(params: Params, dtype) -> Params:
 #                 sublanes: measured 519 GB/s useful on the same attention
 #                 step, 2.6x faster.  The layout IS the kernel.
 _KV_FIELDS = ("k_cross", "v_cross", "k_self", "v_self")
+# Per-key-column scale arrays for the optional int8 KV mode (None when the
+# caches are float).  Same layer-major layout with the stream axis at 1:
+# [L, S, H, T].
+_KV_SCALE_FIELDS = ("k_cross_scale", "v_cross_scale", "k_self_scale", "v_self_scale")
 
 
 class BatchedStreamingState(NamedTuple):
@@ -106,19 +110,33 @@ class BatchedStreamingState(NamedTuple):
     k_self: jnp.ndarray  # [L, S, H, hd, max_seq_len]
     v_self: jnp.ndarray
     cache_len: jnp.ndarray  # [S]
+    # int8 KV mode (ops/int8_kv.py): caches above hold int8 with these
+    # per-key-column scales; attention dequantizes in-einsum — half the
+    # HBM bytes on the bandwidth-bound decode phases.
+    k_cross_scale: jnp.ndarray | None = None  # [L, S, H, MEM_CAP] f32
+    v_cross_scale: jnp.ndarray | None = None
+    k_self_scale: jnp.ndarray | None = None  # [L, S, H, max_seq_len] f32
+    v_self_scale: jnp.ndarray | None = None
 
 
 def init_batch_state(
-    cfg: StreamingConfig, n_streams: int, dtype=jnp.float32, mem_cap: int = MEM_CAP
+    cfg: StreamingConfig,
+    n_streams: int,
+    dtype=jnp.float32,
+    mem_cap: int = MEM_CAP,
+    kv_int8: bool = False,
 ) -> BatchedStreamingState:
     """dtype applies to features/memory/KV; frontend carries stay f32
     (the learned frontend's per-channel dynamic range is extreme — the
     reference keeps it above int8 for the same reason, README.md
-    quantization notes)."""
+    quantization notes).  ``kv_int8`` stores the four KV caches as int8
+    with per-key-column scales (dtype still governs features/memory)."""
     L, H, hd = cfg.depth, cfg.nheads, cfg.head_dim
+    kv_dtype = jnp.int8 if kv_int8 else dtype
     zf = lambda *shape: jnp.zeros((n_streams, *shape), jnp.float32)
     z = lambda *shape: jnp.zeros((n_streams, *shape), dtype)
-    zkv = lambda t: jnp.zeros((L, n_streams, H, hd, t), dtype)
+    zkv = lambda t: jnp.zeros((L, n_streams, H, hd, t), kv_dtype)
+    zs = lambda t: jnp.zeros((L, n_streams, H, t), jnp.float32) if kv_int8 else None
     zi = lambda: jnp.zeros((n_streams,), jnp.int32)
     return BatchedStreamingState(
         sample_ctx=zf(SAMPLE_CTX),
@@ -135,17 +153,32 @@ def init_batch_state(
         k_self=zkv(cfg.max_seq_len),
         v_self=zkv(cfg.max_seq_len),
         cache_len=zi(),
+        k_cross_scale=zs(mem_cap),
+        v_cross_scale=zs(mem_cap),
+        k_self_scale=zs(cfg.max_seq_len),
+        v_self_scale=zs(cfg.max_seq_len),
     )
 
 
 def _single(state: BatchedStreamingState, s: int) -> StreamingState:
     """Extract stream ``s`` as a single-stream StreamingState (testing aid:
     converts the KV caches back to the single-stream sequence-major
-    [L, T, H, hd] layout)."""
+    [L, T, H, hd] layout; int8 caches are dequantized to f32)."""
+    from ..ops.int8_kv import dequantize_kv
+
     vals = {}
     for name, x in zip(BatchedStreamingState._fields, state):
+        if name in _KV_SCALE_FIELDS:
+            continue
         x = jnp.asarray(x)
-        vals[name] = x[:, s].transpose(0, 3, 1, 2) if name in _KV_FIELDS else x[s]
+        if name in _KV_FIELDS:
+            kv = x[:, s]  # [L, H, hd, T]
+            scale = getattr(state, name + "_scale")
+            if scale is not None:
+                kv = dequantize_kv(kv, jnp.asarray(scale)[:, s])
+            vals[name] = kv.transpose(0, 3, 1, 2)
+        else:
+            vals[name] = x[s]
     return StreamingState(**vals)
 
 
@@ -153,7 +186,9 @@ def _mask_reset(state: BatchedStreamingState, reset: jnp.ndarray) -> BatchedStre
     """Zero the state of streams flagged in ``reset`` [S] bool."""
 
     def f(name, x):
-        if name in _KV_FIELDS:  # stream axis is axis 1
+        if x is None:
+            return None
+        if name in _KV_FIELDS or name in _KV_SCALE_FIELDS:  # stream axis is axis 1
             m = reset.reshape((1, -1) + (1,) * (x.ndim - 2))
         else:
             m = reset.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -226,6 +261,8 @@ def _encode_one(
     k_cross: jnp.ndarray,
     v_cross: jnp.ndarray,
     n_new: jnp.ndarray,  # scalar int32, 0 <= n_new <= ENC_STEP
+    kc_scale: jnp.ndarray | None = None,  # [L, H, M] — int8 cross-KV scales
+    vc_scale: jnp.ndarray | None = None,
 ):
     """One ENC_STEP window re-encode; append n_new frames to memory.
 
@@ -286,13 +323,23 @@ def _encode_one(
 
     _, (k_new, v_new) = jax.lax.scan(ckv, None, params["decoder"]["layers"])
     # k_cross per stream: [L, H, hd, M]; write the new frames at mem_len.
-    k_cross = jax.lax.dynamic_update_slice(
-        k_cross, k_new.astype(k_cross.dtype), (0, 0, 0, mem_len)
-    )
-    v_cross = jax.lax.dynamic_update_slice(
-        v_cross, v_new.astype(v_cross.dtype), (0, 0, 0, mem_len)
-    )
-    return memory, mem_len + n_new, k_cross, v_cross, enc_emitted + n_new
+    if kc_scale is not None:
+        from ..ops.int8_kv import quantize_kv
+
+        kq, ks = quantize_kv(k_new)
+        vq, vs = quantize_kv(v_new)
+        k_cross = jax.lax.dynamic_update_slice(k_cross, kq, (0, 0, 0, mem_len))
+        v_cross = jax.lax.dynamic_update_slice(v_cross, vq, (0, 0, 0, mem_len))
+        kc_scale = jax.lax.dynamic_update_slice(kc_scale, ks, (0, 0, mem_len))
+        vc_scale = jax.lax.dynamic_update_slice(vc_scale, vs, (0, 0, mem_len))
+    else:
+        k_cross = jax.lax.dynamic_update_slice(
+            k_cross, k_new.astype(k_cross.dtype), (0, 0, 0, mem_len)
+        )
+        v_cross = jax.lax.dynamic_update_slice(
+            v_cross, v_new.astype(v_cross.dtype), (0, 0, 0, mem_len)
+        )
+    return memory, mem_len + n_new, k_cross, v_cross, enc_emitted + n_new, kc_scale, vc_scale
 
 
 # ---------------------------------------------------------------------------
@@ -329,16 +376,26 @@ def _decode_step_batch(
     v_cross: jnp.ndarray,
     mem_len: jnp.ndarray,  # [S]
     mem_bucket: int,
+    k_self_s: jnp.ndarray | None = None,  # [L, S, H, max_seq] — int8 KV scales
+    v_self_s: jnp.ndarray | None = None,
+    kc_s: jnp.ndarray | None = None,  # [L, S, H, <=M]
+    vc_s: jnp.ndarray | None = None,
 ):
-    """Decoder over s tokens for all S streams; returns (logits, k, v).
+    """Decoder over s tokens for all S streams.
 
-    Equivalent math to streaming.decode_tokens with a stream axis; the
-    KV update uses per-stream write offsets (vmapped dynamic_update_slice).
+    Returns (logits, k, v, k_s, v_s) — the scale outputs are None in float
+    mode.  Equivalent math to streaming.decode_tokens with a stream axis;
+    the KV update uses per-stream write offsets (vmapped
+    dynamic_update_slice).
 
     KV caches are LAYER-MAJOR (lax.scan consumes them without a transpose
     on every while_loop iteration) and DIM-MAJOR (128-aligned lane reads —
-    see the note on _KV_FIELDS).
+    see the note on _KV_FIELDS).  In int8 mode dequantization fuses into
+    the attention einsums (ops/int8_kv.py) — half the HBM bytes.
     """
+    from ..ops.int8_kv import attention_dm_q8, quantize_kv
+
+    quant = k_self_s is not None
     dec = params["decoder"]
     S, s = tokens.shape
     h = dec["embed"][tokens]  # [S, s, d]
@@ -352,16 +409,26 @@ def _decode_step_batch(
     cross_mask = (mem_pos[None, :] < mem_len[:, None])[:, None, None, :]  # [S,1,1,M]
     kc_b = k_cross[..., :mem_bucket] if k_cross.shape[4] > mem_bucket else k_cross
     vc_b = v_cross[..., :mem_bucket] if v_cross.shape[4] > mem_bucket else v_cross
+    if quant:
+        kc_sb = kc_s[..., :mem_bucket] if kc_s.shape[3] > mem_bucket else kc_s
+        vc_sb = vc_s[..., :mem_bucket] if vc_s.shape[3] > mem_bucket else vc_s
 
     upd = jax.vmap(
         lambda buf, val, off: jax.lax.dynamic_update_slice(
             buf, val.astype(buf.dtype), (0, 0, off)
         )
     )  # buf [H, hd, T], val [H, hd, s]
+    upd_s = jax.vmap(
+        lambda buf, val, off: jax.lax.dynamic_update_slice(buf, val, (0, off))
+    )  # buf [H, T], val [H, s]
 
     def body(carry, xs):
         h = carry  # [S, s, d]
-        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [S, H, max_seq, hd]
+        if quant:
+            lp, k_l, v_l, kc_l, vc_l, ks_l, vs_l, kcs_l, vcs_l = xs
+        else:
+            lp, k_l, v_l, kc_l, vc_l = xs
+            ks_l = vs_l = kcs_l = vcs_l = None
         x = layer_norm(lp["ln1"], h)
         a = lp["self_attn"]
         q = _split_heads(dense(a["q"], x), cfg.nheads)  # [S, s, H, hd]
@@ -369,27 +436,46 @@ def _decode_step_batch(
         v_new = _split_heads(dense(a["v"], x), cfg.nheads)
         q = jax.vmap(apply_rotary)(q, cos, sin)
         k_new = jax.vmap(apply_rotary)(k_new, cos, sin)
-        k_l = upd(k_l, k_new.transpose(0, 2, 3, 1), cache_len)
-        v_l = upd(v_l, v_new.transpose(0, 2, 3, 1), cache_len)
-        o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
+        if quant:
+            kq, ks = quantize_kv(k_new.transpose(0, 2, 3, 1))
+            vq, vs = quantize_kv(v_new.transpose(0, 2, 3, 1))
+            k_l = upd(k_l, kq, cache_len)
+            v_l = upd(v_l, vq, cache_len)
+            ks_l = upd_s(ks_l, ks, cache_len)
+            vs_l = upd_s(vs_l, vs, cache_len)
+            o = attention_dm_q8(q, k_l, ks_l, v_l, vs_l, self_mask)
+        else:
+            k_l = upd(k_l, k_new.transpose(0, 2, 3, 1), cache_len)
+            v_l = upd(v_l, v_new.transpose(0, 2, 3, 1), cache_len)
+            o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
         h = h + dense(a["o"], o.reshape(S, s, -1))
         x = layer_norm(lp["ln2"], h)
         c = lp["cross_attn"]
         qc = _split_heads(dense(c["q"], x), cfg.nheads)
-        oc = _attention_dm(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
+        if quant:
+            oc = attention_dm_q8(qc, kc_l, kcs_l, vc_l, vcs_l, cross_mask)
+        else:
+            oc = _attention_dm(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
         h = h + dense(c["o"], oc.reshape(S, s, -1))
         x = layer_norm(lp["ln3"], h)
         up = dense(lp["mlp"]["fc1"], x)
         hh, gate = jnp.split(up, 2, axis=-1)
         h = h + dense(lp["mlp"]["fc2"], ACTIVATIONS["silu"](gate) * hh)
+        if quant:
+            return h, (k_l, v_l, ks_l, vs_l)
         return h, (k_l, v_l)
 
-    h, (k_out, v_out) = jax.lax.scan(
-        body, h, (dec["layers"], k_self, v_self, kc_b, vc_b)
-    )
+    if quant:
+        xs = (dec["layers"], k_self, v_self, kc_b, vc_b, k_self_s, v_self_s, kc_sb, vc_sb)
+        h, (k_out, v_out, ks_out, vs_out) = jax.lax.scan(body, h, xs)
+    else:
+        h, (k_out, v_out) = jax.lax.scan(
+            body, h, (dec["layers"], k_self, v_self, kc_b, vc_b)
+        )
+        ks_out = vs_out = None
     h = layer_norm(dec["norm"], h)
     logits = jnp.dot(h, dec["embed"].T.astype(h.dtype), preferred_element_type=jnp.float32)
-    return logits, k_out, v_out
+    return logits, k_out, v_out, ks_out, vs_out
 
 
 # ---------------------------------------------------------------------------
@@ -451,24 +537,28 @@ def service_update(
     )
 
     # Stable-frame arithmetic on device (reference: cpp:596-615).
+    quant = state.k_self_scale is not None
     lookahead = jnp.where(is_final, 0, cfg.total_lookahead)
     for _ in range(enc_passes):
         stable = jnp.maximum(state.feat_count - lookahead, 0)
         n_new = jnp.clip(stable - state.enc_emitted, 0, ENC_STEP)
-        memory, mem_len, k_cross, v_cross, enc_emitted = jax.vmap(
-            lambda f, fc, ee, m, ml, kc, vc, nn: _encode_one(
-                params, cfg, f, fc, ee, m, ml, kc, vc, nn
+        memory, mem_len, k_cross, v_cross, enc_emitted, kc_scale, vc_scale = jax.vmap(
+            lambda f, fc, ee, m, ml, kc, vc, nn, kcs, vcs: _encode_one(
+                params, cfg, f, fc, ee, m, ml, kc, vc, nn, kcs, vcs
             ),
             # KV caches carry the stream axis at position 1 (layer-major).
-            in_axes=(0, 0, 0, 0, 0, 1, 1, 0),
-            out_axes=(0, 0, 1, 1, 0),
+            # (Axis specs on the None scale pytrees are vacuous in float mode.)
+            in_axes=(0, 0, 0, 0, 0, 1, 1, 0, 1, 1),
+            out_axes=(0, 0, 1, 1, 0, 1, 1),
         )(
             state.feats, state.feat_count, state.enc_emitted, state.memory,
             state.mem_len, state.k_cross, state.v_cross, n_new,
+            state.k_cross_scale, state.v_cross_scale,
         )
         state = state._replace(
             memory=memory, mem_len=mem_len, k_cross=k_cross, v_cross=v_cross,
             enc_emitted=enc_emitted,
+            k_cross_scale=kc_scale, v_cross_scale=vc_scale,
         )
 
     if not decode:
@@ -485,13 +575,16 @@ def service_update(
     S = chunk.shape[0]
     kc_lm = state.k_cross[..., :mem_bucket]
     vc_lm = state.v_cross[..., :mem_bucket]
+    kc_slm = state.k_cross_scale[..., :mem_bucket] if quant else None
+    vc_slm = state.v_cross_scale[..., :mem_bucket] if quant else None
     zero_len = jnp.zeros((S,), jnp.int32)
     seq = jnp.concatenate(
         [jnp.full((S, 1), cfg.bos_id, jnp.int32), draft[:, :draft_cap]], axis=1
     )  # [S, 1 + draft_cap]
-    logits, k_self, v_self = _decode_step_batch(
+    logits, k_self, v_self, k_self_s, v_self_s = _decode_step_batch(
         params, cfg, seq, zero_len, state.k_self, state.v_self,
         kc_lm, vc_lm, state.mem_len, mem_bucket,
+        state.k_self_scale, state.v_self_scale, kc_slm, vc_slm,
     )
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, 1 + draft_cap]
 
@@ -523,6 +616,8 @@ def service_update(
     class Carry(NamedTuple):
         k_self: jnp.ndarray
         v_self: jnp.ndarray
+        k_self_s: jnp.ndarray | None
+        v_self_s: jnp.ndarray | None
         cache_len: jnp.ndarray
         tokens: jnp.ndarray
         last: jnp.ndarray
@@ -533,9 +628,10 @@ def service_update(
         return jnp.any(~c.done)
 
     def body(c: Carry):
-        lg, k_s, v_s = _decode_step_batch(
+        lg, k_s, v_s, k_ss, v_ss = _decode_step_batch(
             params, cfg, c.last[:, None], c.cache_len, c.k_self, c.v_self,
             kc_lm, vc_lm, state.mem_len, mem_bucket,
+            c.k_self_s, c.v_self_s, kc_slm, vc_slm,
         )
         nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
         act = ~c.done
@@ -554,6 +650,8 @@ def service_update(
         return Carry(
             k_self=k_s,
             v_self=v_s,
+            k_self_s=k_ss,
+            v_self_s=v_ss,
             cache_len=jnp.where(act, c.cache_len + 1, c.cache_len),
             tokens=tokens,
             last=jnp.where(act, nxt, c.last),
@@ -561,10 +659,13 @@ def service_update(
             done=done,
         )
 
-    init = Carry(k_self, v_self, cache_len0, tokens0, correction, count0, done0)
+    init = Carry(
+        k_self, v_self, k_self_s, v_self_s, cache_len0, tokens0, correction, count0, done0
+    )
     out = jax.lax.while_loop(cond, body, init)
 
     new_state = state._replace(
-        k_self=out.k_self, v_self=out.v_self, cache_len=out.cache_len
+        k_self=out.k_self, v_self=out.v_self, cache_len=out.cache_len,
+        k_self_scale=out.k_self_s, v_self_scale=out.v_self_s,
     )
     return ServiceUpdateOut(tokens=out.tokens, counts=out.count, state=new_state)

@@ -1,0 +1,108 @@
+"""Pallas encoder self-attention with logits kept in VMEM.
+
+The offline encoder's XLA attention materializes fp32 logits
+``[B, H, T, T]`` to HBM and re-reads them through softmax and the AV
+product — at the bench shape (B=128, H=8, T=415) that is ~705 MB written
++ re-read per layer, ~2.5 GB of HBM traffic for ~37 GFLOP of matmul:
+bandwidth-bound at ~5.8 ms/layer where compute alone is ~0.5 ms
+(docs/PERF.md).  The stock ``jax.experimental.pallas.ops.tpu.flash_attention``
+loses at these shapes too (hd=52 → its hd-minor blocking pads lanes
+52→128 and its multi-block running softmax is overhead at T=415).
+
+This kernel exploits the workload's actual scale: one (batch, head)'s
+whole problem — Q/K/V [415, 52] and fp32 logits [415, 415] — fits in
+VMEM at once (~1.2 MB padded), so no flash-style streaming softmax is
+needed at all.  Grid over (B, H); per program:
+
+    logits = Q K^T * scale   (f32 accumulate on the MXU)
+    softmax with key-validity mask, entirely in VMEM
+    out = P V                (f32 accumulate, cast back to the I/O dtype)
+
+Numerics match the XLA path's "fp32 logits" policy exactly: bf16 inputs,
+f32 scores/softmax/AV accumulation — the configuration the accuracy
+analysis requires (bf16 logits were measured to cost accuracy and save
+only 16%, docs/PERF.md).
+
+Layout note: operands arrive head-major [B, H, T, hd]; the producing
+layer transposes from [B, T, H, hd] (three ~44 MB moves — noise next to
+the 2.5 GB this kernel removes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)  # [T, hd]
+    k = k_ref[0, 0].astype(jnp.float32)
+    logits = (
+        jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [T, T]
+    mask = mask_ref[0]  # [1, T] int32 key validity; broadcasts over query rows
+    logits = jnp.where(mask != 0, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    w = p / jnp.sum(p, axis=-1, keepdims=True)
+    v = v_ref[0, 0].astype(jnp.float32)
+    o = jnp.dot(w, v, preferred_element_type=jnp.float32)  # [T, hd]
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def encoder_attention(
+    q: jnp.ndarray,  # [B, T, H, hd]
+    k: jnp.ndarray,  # [B, T, H, hd]
+    v: jnp.ndarray,  # [B, T, H, hd]
+    frame_mask: jnp.ndarray | None,  # [B, T] bool key validity (None = all valid)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full (non-causal) self-attention; returns [B, T, H, hd].
+
+    Drop-in for the encoder's ``_attention(q, k, v, mask)`` with the
+    key-validity mask semantics of ``encoder_apply`` (mask[b, t] False
+    ⇒ key t of batch b attends to nothing / is attended by nothing that
+    matters — padded rows produce garbage that downstream masking drops,
+    exactly like the XLA path).
+    """
+    b, t, h, hd = q.shape
+    # [B, 1, T] — the unit middle dim keeps the block's trailing two dims
+    # equal to the array dims (Mosaic's block-shape divisibility rule).
+    if frame_mask is None:
+        mask_i32 = jnp.ones((b, 1, t), jnp.int32)
+    else:
+        mask_i32 = frame_mask.astype(jnp.int32)[:, None, :]
+
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, T, hd]
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+
+    scale = float(hd) ** -0.5
+    grid = (b, h)
+    blk = pl.BlockSpec((1, 1, t, hd), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    mask_blk = pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, hd), q.dtype),
+        grid=grid,
+        in_specs=[blk, blk, blk, mask_blk],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * t * t * hd,
+            bytes_accessed=4 * b * h * t * hd * q.dtype.itemsize + b * t * 4,
+            transcendentals=b * h * t * t,
+        ),
+        interpret=interpret,
+    )(qh, kh, vh, mask_i32)
+    return out.transpose(0, 2, 1, 3)  # [B, T, H, hd]

@@ -68,8 +68,11 @@ class OfflineBackend:
         self.min_bucket = min_bucket_seconds
         self.max_bucket = max_bucket_seconds
         self.word_timestamps = word_timestamps
+        # Single-process product path: "auto" picks the Pallas encoder
+        # attention kernel on a TPU backend (1.33x, docs/PERF.md).
         self._encode = jax.jit(
-            lambda p, a, l: mm.encode(p, cfg, a, l), static_argnames=()
+            lambda p, a, l: mm.encode(p, cfg, a, l, attn_impl="auto"),
+            static_argnames=(),
         )
 
     def reset(self) -> None:

@@ -288,7 +288,8 @@ extern "C" size_t mt_segmenter_copy_audio(const mt_segmenter *s, size_t index,
   if (index >= s->segments.size()) return 0;
   const Segment &seg = s->segments[index];
   const size_t n = std::min(max_samples, seg.audio.size());
-  std::memcpy(out, seg.audio.data(), n * sizeof(float));
+  // n == 0 guard: memcpy from a null .data() (empty vector) is UB.
+  if (n > 0) std::memcpy(out, seg.audio.data(), n * sizeof(float));
   return n;
 }
 

@@ -82,6 +82,7 @@ class StreamingService:
         vad=None,  # models.vad.TinyVad or None (always-voice)
         vad_threshold: float = 0.5,
         compute_dtype=None,  # e.g. jnp.bfloat16 for the encode/decode path
+        kv_int8: bool = False,  # int8 KV caches w/ fused dequant (ops/int8_kv.py)
     ):
         import jax.numpy as jnp
 
@@ -99,7 +100,8 @@ class StreamingService:
         self.max_tps = max_tokens_per_second
         self.max_segment_samples = int(max_segment_seconds * 16000)
         self.state = sb.init_batch_state(
-            cfg, n_streams, dtype=self.compute_dtype, mem_cap=mem_bucket
+            cfg, n_streams, dtype=self.compute_dtype, mem_cap=mem_bucket,
+            kv_int8=kv_int8,
         )
         self.slots = [_Slot() for _ in range(n_streams)]
         self.vad = vad
@@ -249,7 +251,8 @@ class StreamingService:
         self.update()
         # Reset everything after the warm pass.
         self.state = sb.init_batch_state(
-            self.cfg, self.S, dtype=self.compute_dtype, mem_cap=self.mem_bucket
+            self.cfg, self.S, dtype=self.compute_dtype, mem_cap=self.mem_bucket,
+            kv_int8=self.state.k_self_scale is not None,
         )
         for i in range(self.S):
             self.slots[i] = _Slot(active=True)
