@@ -118,20 +118,24 @@ class OfflineBackend:
         padded[:n_real] = audio[:n_real]
         lengths = jnp.asarray([n_real], jnp.int32)
 
-        memory, mask = self._encode(self.params, jnp.asarray(padded)[None, :], lengths)
+        from .. import profiling
+
+        with profiling.log_run("encode", samples=n_bucket):
+            memory, mask = self._encode(self.params, jnp.asarray(padded)[None, :], lengths)
         duration = n_real / INTERNAL_SAMPLE_RATE
         cap = max(int(duration * self.max_tokens_per_second), 1)
         # max_tokens is static per bucket so the decode program caches too.
         max_tokens = max(int(n_bucket / INTERNAL_SAMPLE_RATE * self.max_tokens_per_second), 8)
-        res = greedy_decode(
-            self.params,
-            self.cfg,
-            memory,
-            mask,
-            max_tokens=max_tokens,
-            token_caps=jnp.asarray([cap], jnp.int32),
-        )
-        n = int(res.lengths[0])
+        with profiling.log_run("decode", max_tokens=max_tokens):
+            res = greedy_decode(
+                self.params,
+                self.cfg,
+                memory,
+                mask,
+                max_tokens=max_tokens,
+                token_caps=jnp.asarray([cap], jnp.int32),
+            )
+            n = int(res.lengths[0])
         ids = np.asarray(res.tokens[0, :n])
         text = self.tokenizer.tokens_to_text(ids)
         words = []
@@ -221,19 +225,23 @@ class StreamingBackend:
         # segments far below this).
         n_frames = min(n_frames, ms.SEG_CAP - int(self._state.feat_count))
 
+        from .. import profiling
+
         offset = 0
         remaining = n_frames
-        for bucket in self._BUCKETS:
-            while remaining >= bucket:
-                chunk = jnp.asarray(
-                    new[offset : offset + bucket * frame_len]
-                )
-                self._state = ms.frontend_step(self.params, cfg, chunk, self._state)
-                offset += bucket * frame_len
-                remaining -= bucket
+        with profiling.log_run("frontend", frames=n_frames):
+            for bucket in self._BUCKETS:
+                while remaining >= bucket:
+                    chunk = jnp.asarray(
+                        new[offset : offset + bucket * frame_len]
+                    )
+                    self._state = ms.frontend_step(self.params, cfg, chunk, self._state)
+                    offset += bucket * frame_len
+                    remaining -= bucket
         self._samples_processed += offset
 
-        self._state, n_new = ms.encode(self.params, cfg, self._state, is_final)
+        with profiling.log_run("encode_step"):
+            self._state, n_new = ms.encode(self.params, cfg, self._state, is_final)
         if int(self._state.mem_len) == 0:
             return ""
         if n_new == 0 and not is_final and self._last_text:
@@ -246,16 +254,17 @@ class StreamingBackend:
         draft = np.full(cfg.max_seq_len, cfg.eos_id, np.int32)
         draft[: len(draft_list)] = draft_list
         # One device program per update: verify + rollback + continue fused.
-        tokens_arr, count, self._state = ms.decode_full_fused(
-            self.params,
-            cfg,
-            self._state,
-            jnp.asarray(draft),
-            jnp.asarray(len(draft_list), jnp.int32),
-            jnp.asarray(cap, jnp.int32),
-            mem_bucket=ms.mem_bucket_for(int(self._state.mem_len)),
-        )
-        tokens = [int(t) for t in np.asarray(tokens_arr)[: int(count)]]
+        with profiling.log_run("decode_full", draft=len(draft_list)):
+            tokens_arr, count, self._state = ms.decode_full_fused(
+                self.params,
+                cfg,
+                self._state,
+                jnp.asarray(draft),
+                jnp.asarray(len(draft_list), jnp.int32),
+                jnp.asarray(cap, jnp.int32),
+                mem_bucket=ms.mem_bucket_for(int(self._state.mem_len)),
+            )
+            tokens = [int(t) for t in np.asarray(tokens_arr)[: int(count)]]
         self._last_tokens = tokens
         self._last_text = self.tokenizer.tokens_to_text(tokens)
         return self._last_text

@@ -271,6 +271,12 @@ class Transcriber:
     ):
         self.backend = backend
         self.options = options or TranscriberOptions()
+        if self.options.log_model_run:
+            # The log_ort_run analog: stderr timing of every device run
+            # (reference: transcriber.h:184; see moonshine_tpu.profiling).
+            from .. import profiling
+
+            profiling.enable_device_run_log(True)
         self.hop_prob_fn = hop_prob_fn
         self.diarizer = diarizer
         # Spelling-mode auxiliaries: the matcher is free; the CNN only runs

@@ -56,6 +56,12 @@ class _Slot:
     seg_start_time: float = 0.0
     seg_final_queued: bool = False  # all segment audio known; flush + finalize
     needs_reset: bool = True
+    # Host mirror of the device's stable-frame arithmetic (exact integer
+    # twin of streaming_batch.service_update's n_new computation): lets
+    # update() dispatch exactly as many encoder passes as the backlog
+    # needs — one in steady state — instead of a fixed count.
+    feat_total: int = 0
+    enc_emitted_host: int = 0
     # Hypothesis
     tokens: list = field(default_factory=list)
     last_text: str = ""
@@ -179,10 +185,13 @@ class StreamingService:
                 s.needs_reset = False
                 s.tokens = []
                 s.last_text = ""
+                s.feat_total = 0
+                s.enc_emitted_host = 0
             if nf > 0:
                 chunk[i, : nf * FRAME_LEN] = s.pending[: nf * FRAME_LEN]
                 s.pending = s.pending[nf * FRAME_LEN :]
                 s.fed_samples += nf * FRAME_LEN
+                s.feat_total += nf
                 n_frames[i] = nf
             flushed = len(s.pending) < FRAME_LEN
             if s.seg_final_queued and flushed:
@@ -199,13 +208,59 @@ class StreamingService:
                     self.cfg.max_seq_len - 2,
                 )
 
-        out = sb.service_update(
-            self.params, self.cfg, self.state,
-            jnp.asarray(chunk), jnp.asarray(n_frames), jnp.asarray(reset),
-            jnp.asarray(is_final), jnp.asarray(draft), jnp.asarray(draft_len),
-            jnp.asarray(budget), jnp.asarray(decode_mask),
-            mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
-        )
+        # Exact host mirror of the device stable-frame arithmetic: how many
+        # ENC_STEP passes does the worst backlog need?  Steady state = 1;
+        # prefill bursts / drains catch up with untimed encode-only calls.
+        # The device applies the arithmetic to EVERY stream each pass (not
+        # just the ones that fed frames), so the mirror does too.
+        lookahead = self.cfg.total_lookahead
+        passes = 1
+        for i, s in enumerate(self.slots):
+            la = 0 if is_final[i] else lookahead
+            backlog = max(s.feat_total - la - s.enc_emitted_host, 0)
+            passes = max(passes, -(-backlog // sb.ENC_STEP))
+
+        def mirror_pass() -> None:
+            for i, s in enumerate(self.slots):
+                la = 0 if is_final[i] else lookahead
+                stable = max(s.feat_total - la, 0)
+                s.enc_emitted_host += min(
+                    max(stable - s.enc_emitted_host, 0), sb.ENC_STEP
+                )
+
+        from . import profiling
+
+        zeros_i = np.zeros(S, np.int32)
+        zeros_b = np.zeros(S, bool)
+        first = True
+        for _ in range(passes - 1):  # encode-only catch-up calls
+            with profiling.log_run("service_encode_catchup"):
+                out = sb.service_update(
+                    self.params, self.cfg, self.state,
+                    jnp.asarray(chunk if first else np.zeros_like(chunk)),
+                    jnp.asarray(n_frames if first else zeros_i),
+                    jnp.asarray(reset if first else zeros_b),
+                    jnp.asarray(is_final), jnp.asarray(draft),
+                    jnp.asarray(draft_len),
+                    jnp.asarray(budget), jnp.asarray(decode_mask),
+                    mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+                    enc_passes=1, decode=False,
+                )
+            self.state = out.state
+            mirror_pass()
+            first = False
+        with profiling.log_run("service_update", streams=S):
+            out = sb.service_update(
+                self.params, self.cfg, self.state,
+                jnp.asarray(chunk if first else np.zeros_like(chunk)),
+                jnp.asarray(n_frames if first else zeros_i),
+                jnp.asarray(reset if first else zeros_b),
+                jnp.asarray(is_final), jnp.asarray(draft), jnp.asarray(draft_len),
+                jnp.asarray(budget), jnp.asarray(decode_mask),
+                mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+                enc_passes=1, decode=True,
+            )
+        mirror_pass()
         self.state = out.state
         # Host transfer is the device fence (axon: block_until_ready is not).
         tokens = np.asarray(out.tokens)
@@ -244,9 +299,14 @@ class StreamingService:
         for i in range(self.S):
             if not self.slots[i].active:
                 self.open_slot(i)
-        silence = np.zeros(self.F * FRAME_LEN, np.float32)
+        # 2F of audio + close: the flush update carries new frames AND the
+        # lookahead release, so its backlog needs an encode-only catch-up
+        # call — compiling BOTH program variants (decode=False and =True).
+        silence = np.zeros(2 * self.F * FRAME_LEN, np.float32)
         for i in range(self.S):
             self.add_audio(i, silence)
+            self.close_slot(i)
+        self.update()
         self.update()
         self.update()
         # Reset everything after the warm pass.
