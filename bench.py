@@ -371,12 +371,15 @@ def main() -> None:
     p.add_argument("--mode", default="both",
                    choices=["both", "offline", "streaming", "spec"])
     p.add_argument("--arch", default="base")
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=256)
     p.add_argument("--duration", type=float, default=10.0, help="seconds per utterance")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--streaming-arch", default="medium_streaming")
-    p.add_argument("--streams", type=int, default=64)
+    # 32 medium streams: the measured latency/throughput sweet spot — p50
+    # update 211 ms (< the reference's 269 ms single-stream Linux x86
+    # post-phrase latency) while serving 32 concurrent streams (docs/PERF.md).
+    p.add_argument("--streams", type=int, default=32)
     p.add_argument("--updates", type=int, default=40)
     p.add_argument("--kv-int8", default=True,
                    action=argparse.BooleanOptionalAction,

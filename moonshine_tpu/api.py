@@ -219,16 +219,25 @@ class Transcriber:
             raise RuntimeError("Call load() before using the transcriber")
         return self._pipeline
 
+    def _log_api(self, name: str, **args) -> None:
+        from . import profiling
+
+        profiling.log_api_call(self.options.log_api_calls, name, **args)
+
     def transcribe(self, audio: np.ndarray, sample_rate: int = 16000) -> Transcript:
+        self._log_api("transcribe", audio=audio, sample_rate=sample_rate)
         return self._require_loaded().transcribe_without_streaming(audio, sample_rate)
 
     def transcribe_wav(self, path: str) -> Transcript:
+        self._log_api("transcribe_wav", path=path)
         return self._require_loaded().transcribe_wav(path)
 
     def create_stream(self, update_interval: float | None = None, flags: int = 0) -> Stream:
+        self._log_api("create_stream", update_interval=update_interval, flags=flags)
         return self._require_loaded().create_stream(update_interval, flags)
 
     def free_stream(self, stream: Stream) -> None:
+        self._log_api("free_stream", stream=getattr(stream, "stream_id", stream))
         self._require_loaded().free_stream(stream)
 
 

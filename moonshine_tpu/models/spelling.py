@@ -52,9 +52,13 @@ def init_params(rng: jax.Array) -> Params:
     params: Params = {"blocks": []}
 
     def conv2d_init(key, kh, kw, cin, cout):
-        scale = (1.0 / (cin * kh * kw)) ** 0.5
+        # He init: with the relu stack + global mean pool, uniform fan-in
+        # init left gradients ~100x smaller at the first block and the
+        # training recipe (train/spelling.py) could not move off the
+        # chance floor on the real captured set.
+        std = (2.0 / (cin * kh * kw)) ** 0.5
         return {
-            "w": jax.random.uniform(key, (kh, kw, cin, cout), jnp.float32, -scale, scale),
+            "w": jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std,
             "b": jnp.zeros((cout,), jnp.float32),
         }
 

@@ -118,6 +118,22 @@ def timed(name: str):
     return wrap
 
 
+def log_api_call(enabled: bool, name: str, **args) -> None:
+    """stderr trace of a public-API entry with its arguments — the
+    ``log_api_calls`` analog (reference: moonshine-c-api.cpp:99-128)."""
+    if enabled:
+        rendered = ", ".join(f"{k}={_short(v)}" for k, v in args.items())
+        print(f"[api-call] {name}({rendered})", file=sys.stderr)
+
+
+def _short(v) -> str:
+    shape = getattr(v, "shape", None)
+    if shape is not None and getattr(v, "ndim", 0) > 0:
+        return f"array{tuple(shape)}"
+    s = repr(v)
+    return s if len(s) <= 60 else s[:57] + "..."
+
+
 @contextlib.contextmanager
 def profiler_trace(logdir: str, host_tracer_level: int = 2):
     """Capture a device trace viewable in TensorBoard/XProf.

@@ -48,6 +48,14 @@ def test_timed_decorator():
     assert profiling.stats.snapshot()["decorated"]["count"] == 2
 
 
+def test_log_api_call_formats_args(capsys):
+    profiling.log_api_call(True, "transcribe", audio=np.zeros((3, 4)), sample_rate=16000)
+    err = capsys.readouterr().err
+    assert "[api-call] transcribe(audio=array(3, 4), sample_rate=16000)" in err
+    profiling.log_api_call(False, "quiet")
+    assert "quiet" not in capsys.readouterr().err
+
+
 def test_transcriber_option_enables_logging(capsys):
     """TranscriberOptions.log_model_run turns on stderr run logs through the
     real pipeline (FakeBackend keeps it CPU-cheap)."""
