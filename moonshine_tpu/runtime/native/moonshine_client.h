@@ -1,0 +1,98 @@
+/* moonshine_client.h — C ABI for the native transcription client.
+ *
+ * The TPU build's service boundary is the WebSocket transcription server
+ * (moonshine_tpu/server.py); this library is the native-caller analog of
+ * the reference's C ABI (reference: core/moonshine-c-api.h:387-679 —
+ * handle-based transcriber/stream surface) for that boundary: a
+ * dependency-free C client that connects to the server, streams PCM, and
+ * polls transcript events.  Handles are int32 indices into a global map,
+ * the same ownership convention as the reference
+ * (moonshine-c-api.cpp:176-190); all calls are thread-safe, with send and
+ * receive independently serialized per connection so one thread can feed
+ * audio while another polls events (reference: moonshine-c-api.h:64-67,
+ * per-transcriber serialization).
+ *
+ * Wire protocol (see server.py docstring): one WebSocket per stream;
+ * client sends {"type":"start"...} / binary float32 LE PCM /
+ * {"type":"stop"}; server sends partial/final/stopped/error JSON events.
+ */
+#ifndef MOONSHINE_CLIENT_H
+#define MOONSHINE_CLIENT_H
+
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+#if defined(_WIN32)
+#define MT_CLIENT_EXPORT __declspec(dllexport)
+#else
+#define MT_CLIENT_EXPORT __attribute__((visibility("default")))
+#endif
+
+/* Event types mirror the server's message types. */
+enum mt_client_event_type {
+  MT_EVENT_PARTIAL = 0, /* in-progress line text update */
+  MT_EVENT_FINAL = 1,   /* line completed (frozen) */
+  MT_EVENT_STOPPED = 2, /* server acknowledged stop; stream is drained */
+  MT_EVENT_ERROR = 3,   /* server-reported error (text holds the message) */
+};
+
+/* Return codes (negative = failure), reference-style int error model
+ * (reference: moonshine-c-api.h:114-118). */
+enum mt_client_status {
+  MT_CLIENT_OK = 0,
+  MT_CLIENT_ERR_CONNECT = -1,   /* TCP/handshake failure */
+  MT_CLIENT_ERR_HANDLE = -2,    /* bad or freed handle */
+  MT_CLIENT_ERR_CLOSED = -3,    /* connection closed by peer */
+  MT_CLIENT_ERR_PROTOCOL = -4,  /* malformed frame / unexpected data */
+  MT_CLIENT_ERR_IO = -5,        /* socket error */
+};
+
+#define MT_CLIENT_MAX_TEXT 4096
+
+typedef struct mt_client_event_t {
+  int32_t type;       /* mt_client_event_type */
+  int32_t segment;    /* segment id (monotonic per stream; -1 if absent) */
+  double start_s;     /* segment start time in stream seconds */
+  double end_s;       /* segment end time in stream seconds */
+  double latency_ms;  /* server-measured update latency */
+  /* UTF-8, NUL-terminated, truncated at a codepoint boundary if longer
+   * than the buffer.  Owned by the caller's struct (no library-owned
+   * memory, unlike the reference's next-call invalidation rule). */
+  char text[MT_CLIENT_MAX_TEXT];
+} mt_client_event_t;
+
+/* Library version string, static storage. */
+MT_CLIENT_EXPORT const char* mt_client_version(void);
+
+/* Connect to ws://host:port/ and perform the WebSocket handshake.
+ * Returns a handle >= 0, or MT_CLIENT_ERR_CONNECT. */
+MT_CLIENT_EXPORT int32_t mt_client_connect(const char* host, int32_t port);
+
+/* Send the start message.  sample_rate is the rate of subsequent PCM. */
+MT_CLIENT_EXPORT int32_t mt_client_start(int32_t handle, int32_t sample_rate);
+
+/* Stream n float32 samples (host byte order; the wire is little-endian,
+ * which is asserted at build time). */
+MT_CLIENT_EXPORT int32_t mt_client_add_audio(int32_t handle,
+                                             const float* pcm, int32_t n);
+
+/* Send the stop message.  Events keep arriving until MT_EVENT_STOPPED. */
+MT_CLIENT_EXPORT int32_t mt_client_stop(int32_t handle);
+
+/* Wait up to timeout_ms for one event.  Returns 1 with *out filled,
+ * 0 on timeout, or a negative mt_client_status. */
+MT_CLIENT_EXPORT int32_t mt_client_poll_event(int32_t handle,
+                                              mt_client_event_t* out,
+                                              int32_t timeout_ms);
+
+/* Close the socket and free the handle.  Idempotent. */
+MT_CLIENT_EXPORT int32_t mt_client_free(int32_t handle);
+
+#ifdef __cplusplus
+} /* extern "C" */
+#endif
+
+#endif /* MOONSHINE_CLIENT_H */
