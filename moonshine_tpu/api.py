@@ -53,11 +53,15 @@ class Transcriber:
         vad_weights: str | Path | None = None,
         seed: int = 0,
     ):
+        # ``model`` is an ARCHS/STREAMING_ARCHS key, or a config instance
+        # for custom (e.g. freshly trained) architectures.
         self._model = model
         self._language = language
         self._weights = weights
+        self._params = None
         self._tokenizer_path = tokenizer_path
-        self.options = options or TranscriberOptions(model=model)
+        model_name = model if isinstance(model, str) else model.name
+        self.options = options or TranscriberOptions(model=model_name)
         self._vad_weights = vad_weights
         self._seed = seed
         self._loaded = False
@@ -73,6 +77,16 @@ class Transcriber:
         self._weights = path
         return self
 
+    def with_params(self, params) -> "Transcriber":
+        """Use an in-memory parameter pytree (e.g. just trained/imported).
+
+        The analog of the reference's memory-files model source
+        (reference: core/transcriber.h:116-135, ModelSource::MEMORY —
+        transcriber-test.cpp loads encoder/decoder/tokenizer from RAM).
+        """
+        self._params = params
+        return self
+
     def with_options(self, **kw) -> "Transcriber":
         for k, v in kw.items():
             self.options.set_option(k, str(v))
@@ -86,14 +100,21 @@ class Transcriber:
         if self._loaded:
             return self
 
-        is_streaming = self._model in STREAMING_ARCHS
+        if isinstance(self._model, str):
+            is_streaming = self._model in STREAMING_ARCHS
+            cfg_obj = None
+        else:  # config instance (custom architecture)
+            from .core.config import StreamingConfig
+
+            cfg_obj = self._model
+            is_streaming = isinstance(cfg_obj, StreamingConfig)
         tokenizer = self._load_tokenizer()
 
         if is_streaming:
             from .models import streaming as ms
             from .pipeline.backends import StreamingBackend
 
-            cfg = STREAMING_ARCHS[self._model]
+            cfg = cfg_obj if cfg_obj is not None else STREAMING_ARCHS[self._model]
             params = self._load_or_init(
                 lambda: ms.init_params(cfg, jax.random.PRNGKey(self._seed)),
                 importer="streaming",
@@ -111,7 +132,7 @@ class Transcriber:
             from .models import moonshine as mm
             from .pipeline.backends import OfflineBackend
 
-            cfg = ARCHS[self._model]
+            cfg = cfg_obj if cfg_obj is not None else ARCHS[self._model]
             params = self._load_or_init(
                 lambda: mm.init_params(cfg, jax.random.PRNGKey(self._seed)),
                 importer="moonshine",
@@ -171,7 +192,9 @@ class Transcriber:
         return BinTokenizer.from_file(str(path))
 
     def _load_or_init(self, init_fn, importer: str, cfg) -> Any:
-        if self._weights is None:
+        if self._params is not None:
+            return self._params
+        if self._weights is None and isinstance(self._model, str):
             try:
                 resolved = catalog.resolve(self._model, self._language)
                 self._weights = resolved.path("model.safetensors")
@@ -200,6 +223,11 @@ class Transcriber:
         import jax.numpy as jnp
 
         from .models import vad as vad_mod
+
+        if self._vad_weights is not None:
+            # Real TinyVadCNN weights (ONNX export, e.g. the reference's
+            # in-tree micro/models/tinyvad_cnn_speech_mel.onnx).
+            return vad_mod.TinyVad.from_onnx(str(self._vad_weights)).hop_prob_fn()
 
         params = vad_mod.init_params(jax.random.PRNGKey(self._seed + 1))
         state_holder = {"state": vad_mod.init_state(1)}

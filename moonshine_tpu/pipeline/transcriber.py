@@ -389,6 +389,10 @@ class Transcriber:
                 is_updated=True,
                 last_transcription_latency_ms=latency_ms,
                 words=words,
+                # Exactly the audio the backend transcribed (reference:
+                # transcript_line_t.audio_data, moonshine-c-api.h:151-237;
+                # transcriber-test.cpp requires it non-null per line).
+                audio_data=np.asarray(segment.audio_data, np.float32).copy(),
             )
             if self.options.log_output_text and text:
                 print(f"Transcribed text: {text!r}")

@@ -1,0 +1,178 @@
+"""End-to-end realism: real speech -> trained model -> exact transcripts.
+
+The reference's transcriber tests run real models over
+``two_cities_16k.wav`` and assert transcript structure (reference:
+core/transcriber-test.cpp:31-1120).  With zero egress there are no
+pretrained ASR weights here, so this suite goes one step further than
+structure: it TRAINS a micro Moonshine on the exact per-line audio the
+pipeline produces (real speech, real TinyVadCNN segmentation) and then
+asserts the full Transcriber pipeline — VAD, segmenter, backend, line
+lifecycle, events — reproduces the trained transcripts **verbatim**, both
+offline and through the streaming event path.
+
+This exercises every layer with a model that actually knows the audio:
+any frame-math/feature/caching bug between training and serving breaks
+the text equality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+import moonshine_tpu as mt
+from moonshine_tpu.audio.wav import load_wav
+from moonshine_tpu.core.config import MoonshineArchConfig
+from moonshine_tpu.core.tokenizer import BinTokenizer
+from moonshine_tpu.train import step as ts
+
+TINYVAD_ONNX = "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
+
+MICRO = MoonshineArchConfig(
+    name="micro",
+    vocab_size=32768,
+    hidden_size=64,
+    intermediate_size=256,
+    encoder_layers=2,
+    decoder_layers=2,
+    encoder_heads=4,
+    decoder_heads=4,
+    encoder_kv_heads=4,
+    decoder_kv_heads=4,
+)
+
+# Reading-order labels from the book the clip reads (A Tale of Two Cities,
+# ch. 1).  The pool is longer than any plausible segmentation; each probe
+# segment takes the next phrase, truncated to its token budget.
+PHRASES = [
+    "It was the best of times, it was the worst of times,",
+    "it was the age of wisdom, it was the age of foolishness,",
+    "it was the epoch of belief, it was the epoch of incredulity,",
+    "it was the season of Light, it was the season of Darkness,",
+    "it was the spring of hope, it was the winter of despair,",
+    "we had everything before us, we had nothing before us,",
+]
+
+
+@pytest.fixture(scope="module")
+def trained(tokenizer_bin_path, two_cities_path):
+    """Probe-segment real speech, then overfit the micro model on it."""
+    import pathlib
+
+    if not pathlib.Path(TINYVAD_ONNX).exists():
+        pytest.skip("reference TinyVadCNN onnx not available")
+
+    tok = BinTokenizer.from_file(tokenizer_bin_path)
+    audio, sr = load_wav(two_cities_path)
+    clip = audio[: 16000 * 12]
+
+    probe = mt.Transcriber(
+        model=MICRO, tokenizer_path=tokenizer_bin_path,
+        vad_weights=TINYVAD_ONNX,
+    ).load()
+    transcript = probe.transcribe(clip)
+    lines = [l for l in transcript.lines if l.audio_data is not None and l.is_complete]
+    assert len(lines) >= 2, "expected >=2 VAD segments in the first 12 s"
+    lines = lines[:3]  # cap training cost
+
+    # Label each segment with the next phrase, trimmed to its token budget
+    # (the pipeline caps decoding at duration * max_tokens_per_second).
+    examples = []
+    for line, phrase in zip(lines, PHRASES):
+        budget = max(int(line.duration * MICRO.max_tokens_per_second) - 2, 4)
+        toks = tok.text_to_tokens(phrase)
+        while len(toks) > budget:
+            phrase = phrase.rsplit(" ", 1)[0]
+            toks = tok.text_to_tokens(phrase)
+        label = tok.tokens_to_text(np.asarray(toks))  # round-trip normalized
+        examples.append((np.asarray(line.audio_data, np.float32), toks, label))
+
+    # Teacher-forced batch: pad audio and tokens.
+    n_max = max(len(a) for a, _, _ in examples)
+    s_max = max(len(t) for _, t, _ in examples) + 1
+    B = len(examples)
+    batch = ts.Batch(
+        audio=jnp.asarray(np.stack([
+            np.pad(a, (0, n_max - len(a))) for a, _, _ in examples
+        ])),
+        audio_lengths=jnp.asarray([len(a) for a, _, _ in examples], jnp.int32),
+        tokens_in=jnp.asarray(np.stack([
+            np.pad([MICRO.decoder_start_token_id] + list(t), (0, s_max - len(t) - 1))
+            for _, t, _ in examples
+        ]), jnp.int32),
+        tokens_out=jnp.asarray(np.stack([
+            np.pad(list(t) + [MICRO.eos_token_id], (0, s_max - len(t) - 1))
+            for _, t, _ in examples
+        ]), jnp.int32),
+        token_mask=jnp.asarray(np.stack([
+            np.arange(s_max) <= len(t) for _, t, _ in examples
+        ])),
+    )
+
+    opt = optax.adam(2e-3)
+    state = ts.init_train_state(MICRO, opt, jax.random.PRNGKey(0))
+    train_step = ts.make_train_step(MICRO, opt)
+    loss = float("inf")
+    for i in range(800):
+        state, metrics = train_step(state, batch)
+        if (i + 1) % 25 == 0:
+            loss = float(metrics["loss"])
+            if loss < 0.02:
+                break
+    assert loss < 0.05, f"failed to overfit: loss={loss}"
+    labels = [label for _, _, label in examples]
+    return state.params, labels, clip
+
+
+def test_offline_pipeline_exact_transcripts(trained, tokenizer_bin_path):
+    params, labels, clip = trained
+    t = mt.Transcriber(
+        model=MICRO, tokenizer_path=tokenizer_bin_path,
+        vad_weights=TINYVAD_ONNX,
+    ).with_params(params).load()
+    transcript = t.transcribe(clip)
+    got = [l.text.strip() for l in transcript.lines[: len(labels)]]
+    assert got == [lab.strip() for lab in labels]
+    for line in transcript.lines:
+        assert line.is_complete
+        assert line.audio_data is not None and len(line.audio_data) > 0
+        assert line.duration > 0.0
+
+
+def test_streaming_events_exact_transcripts(trained, tokenizer_bin_path):
+    """Feed 0.5 s chunks through a live stream; completed lines must carry
+    the trained text and the event contract must hold (LineCompleted
+    exactly once per line, with the final text)."""
+    params, labels, clip = trained
+    t = mt.Transcriber(
+        model=MICRO, tokenizer_path=tokenizer_bin_path,
+        vad_weights=TINYVAD_ONNX,
+    ).with_params(params).load()
+
+    from moonshine_tpu.pipeline.transcriber import TranscriptEventListener
+
+    completed: dict[int, str] = {}
+
+    class Listener(TranscriptEventListener):
+        def on_line_completed(self, event):
+            assert event.line.id not in completed, "LineCompleted fired twice"
+            completed[event.line.id] = event.line.text
+
+    stream = t.create_stream(update_interval=0.0)
+    stream.add_listener(Listener())
+    stream.start()
+    for i in range(0, len(clip), 8000):
+        stream.add_audio(clip[i : i + 8000])
+        stream.update_transcription()
+    transcript = stream.stop()
+
+    finals = [l for l in transcript.lines if l.id in completed]
+    assert len(finals) >= len(labels)
+    for line in transcript.lines:
+        assert completed.get(line.id) == line.text  # event text == snapshot
+    got = [completed[l.id].strip() for l in transcript.lines[: len(labels)]]
+    assert got == [lab.strip() for lab in labels]
