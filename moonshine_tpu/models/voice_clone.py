@@ -214,6 +214,7 @@ class VoiceCloner:
         distill: bool = True,
         seed: int = 666,  # reference default
         speed: float = 1.0,
+        vocoder_onnx: str | None = None,
     ):
         import jax
 
@@ -223,6 +224,15 @@ class VoiceCloner:
         self.guidance = DISTILL_GUIDANCE if distill else FULL_GUIDANCE
         self.seed = seed
         self.speed = speed
+        # Published mel->wav vocoder export in the reference's vocoder.ort
+        # slot (zipvoice-tts.h:84-104); runs via the ONNX->XLA interpreter.
+        # Contract: [n_mels, T] in, T*HOP samples out (Vocos 24k/1024/256).
+        if vocoder_onnx is not None:
+            from .tts_onnx import OnnxVocoder
+
+            self.vocoder = OnnxVocoder.from_onnx(vocoder_onnx)
+        else:
+            self.vocoder = None
         self._prompt_mel: np.ndarray | None = None
         self._prompt_ipa = ""
 
@@ -291,7 +301,11 @@ class VoiceCloner:
             num_steps=self.num_steps,
         )
         mel = mel / self.cfg.feat_scale
-        wav = np.asarray(vocode(self.params, mel))
+        if self.vocoder is not None:
+            # External vocoders take [n_mels, T] mel.
+            wav = np.asarray(self.vocoder(np.asarray(mel).T))
+        else:
+            wav = np.asarray(vocode(self.params, mel))
         wav = wav[prompt_frames * HOP : total * HOP]
         wav = np.clip(wav, -1.0, 1.0)  # reference: always clip, no peak norm
         return compress_long_pauses(wav, SAMPLE_RATE)

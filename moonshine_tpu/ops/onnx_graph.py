@@ -31,23 +31,72 @@ def _is_const(x) -> bool:
     return isinstance(x, np.ndarray) or np.isscalar(x)
 
 
+def _conv_dims(nd: int) -> tuple[str, str, str]:
+    sp = "DHW"[-nd:] if nd <= 3 else "".join(chr(ord("a") + i) for i in range(nd))
+    return ("NC" + sp, "OI" + sp, "NC" + sp)
+
+
 def _conv(x, w, b, attrs):
+    """ONNX Conv, any spatial rank (1-D for vocoders, 2-D for CNNs)."""
+    w = jnp.asarray(w)
+    nd = w.ndim - 2
     group = int(attrs.get("group", 1))
-    strides = tuple(attrs.get("strides", [1, 1]))
-    dil = tuple(attrs.get("dilations", [1, 1]))
-    pads = attrs.get("pads", [0, 0, 0, 0])  # [top, left, bottom, right]
-    padding = [(int(pads[0]), int(pads[2])), (int(pads[1]), int(pads[3]))]
+    strides = tuple(attrs.get("strides", [1] * nd))
+    dil = tuple(attrs.get("dilations", [1] * nd))
+    pads = attrs.get("pads", [0] * 2 * nd)  # [begin..., end...]
+    padding = [(int(pads[i]), int(pads[i + nd])) for i in range(nd)]
     out = jax.lax.conv_general_dilated(
         x,
-        jnp.asarray(w),
+        w,
         window_strides=strides,
         padding=padding,
         rhs_dilation=dil,
         feature_group_count=group,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=_conv_dims(nd),
     )
     if b is not None:
-        out = out + jnp.asarray(b).reshape(1, -1, 1, 1)
+        out = out + jnp.asarray(b).reshape((1, -1) + (1,) * nd)
+    return out
+
+
+def _conv_transpose(x, w, b, attrs):
+    """ONNX ConvTranspose as a fractionally-strided conv: dilate the input
+    by `strides`, flip the kernel, and convolve with adjusted padding
+    (out = (in-1)*s - pad_b - pad_e + k + output_padding)."""
+    w = np.asarray(w)  # ONNX layout [Cin, Cout/g, *k]
+    nd = w.ndim - 2
+    group = int(attrs.get("group", 1))
+    strides = tuple(int(s) for s in attrs.get("strides", [1] * nd))
+    dil = tuple(int(d) for d in attrs.get("dilations", [1] * nd))
+    pads = [int(p) for p in attrs.get("pads", [0] * 2 * nd)]
+    opad = [int(p) for p in attrs.get("output_padding", [0] * nd)]
+    if "output_shape" in attrs:
+        raise NotImplementedError("ConvTranspose output_shape attribute")
+    cin = w.shape[0]
+    coutg = w.shape[1]
+    k = w.shape[2:]
+    # [Cin, Cout/g, *k] -> [g, Cin/g, Cout/g, *k] -> [Cout, Cin/g, *k], then
+    # flip every spatial axis.
+    wg = w.reshape((group, cin // group, coutg) + k)
+    wg = np.moveaxis(wg, 2, 1).reshape((group * coutg, cin // group) + k)
+    wg = np.flip(wg, axis=tuple(range(2, 2 + nd)))
+    eff_k = [dil[i] * (k[i] - 1) + 1 for i in range(nd)]
+    padding = [
+        (eff_k[i] - 1 - pads[i], eff_k[i] - 1 - pads[nd + i] + opad[i])
+        for i in range(nd)
+    ]
+    out = jax.lax.conv_general_dilated(
+        x,
+        jnp.asarray(wg),
+        window_strides=(1,) * nd,
+        padding=padding,
+        lhs_dilation=strides,
+        rhs_dilation=dil,
+        feature_group_count=group,
+        dimension_numbers=_conv_dims(nd),
+    )
+    if b is not None:
+        out = out + jnp.asarray(b).reshape((1, -1) + (1,) * nd)
     return out
 
 
@@ -213,6 +262,132 @@ def _run_node(node, vals):
         return x * inv.reshape(shape) + (
             jnp.asarray(bias) - jnp.asarray(mean) * inv
         ).reshape(shape)
+    # -- vocoder/transformer-class ops (HiFiGAN/Vocos-style graphs) --------
+    if op == "ConvTranspose":
+        return _conv_transpose(ins[0], ins[1], ins[2] if len(ins) > 2 else None, a)
+    if op == "LeakyRelu":
+        alpha = float(a.get("alpha", 0.01))
+        return jnp.where(ins[0] >= 0, ins[0], alpha * ins[0])
+    if op == "PRelu":
+        slope = jnp.asarray(ins[1])
+        return jnp.where(ins[0] >= 0, ins[0], slope * ins[0])
+    if op == "Elu":
+        alpha = float(a.get("alpha", 1.0))
+        return jnp.where(ins[0] >= 0, ins[0], alpha * (jnp.exp(ins[0]) - 1.0))
+    if op == "Tanh":
+        return jnp.tanh(ins[0])
+    if op == "Softplus":
+        return jax.nn.softplus(ins[0])
+    if op == "Exp":
+        return jnp.exp(ins[0])
+    if op == "Log":
+        return jnp.log(ins[0])
+    if op == "Neg":
+        return -ins[0]
+    if op == "Abs":
+        return jnp.abs(ins[0])
+    if op == "Ceil":
+        return jnp.ceil(ins[0])
+    if op == "Floor":
+        return jnp.floor(ins[0])
+    if op == "Sin":
+        return jnp.sin(ins[0])
+    if op == "Cos":
+        return jnp.cos(ins[0])
+    if op == "Pow":
+        return ins[0] ** jnp.asarray(ins[1], getattr(ins[0], "dtype", None))
+    if op == "Sqrt":
+        return jnp.sqrt(ins[0])
+    if op == "Erf":
+        return jax.lax.erf(ins[0]) if not _is_const(ins[0]) else jax.lax.erf(jnp.asarray(ins[0]))
+    if op == "Gelu":
+        approx = a.get("approximate", b"none")
+        approx = approx.decode() if isinstance(approx, bytes) else approx
+        return jax.nn.gelu(ins[0], approximate=(approx == "tanh"))
+    if op == "Gather":
+        axis = int(a.get("axis", 0))
+        idx = ins[1]
+        if _is_const(ins[0]) and _is_const(idx):
+            return np.take(np.asarray(ins[0]), np.asarray(idx, np.int64), axis=axis)
+        return jnp.take(ins[0], jnp.asarray(idx), axis=axis)
+    if op == "Split":
+        axis = int(a.get("axis", 0))
+        x = ins[0]
+        if len(ins) > 1 and ins[1] is not None:
+            sizes = [int(v) for v in np.asarray(ins[1]).reshape(-1)]
+        elif "split" in a:
+            sizes = [int(v) for v in a["split"]]
+        else:
+            n = int(a["num_outputs"])
+            sizes = [x.shape[axis] // n] * n
+        bounds = np.cumsum(sizes)[:-1]
+        return jnp.split(x, bounds, axis=axis)
+    if op in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"):
+        axes = a.get("axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = np.asarray(ins[1]).reshape(-1)
+        axes = None if axes is None else tuple(int(v) for v in axes)
+        keep = bool(int(a.get("keepdims", 1)))
+        fn = {
+            "ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+            "ReduceMax": jnp.max, "ReduceMin": jnp.min,
+        }[op]
+        return fn(ins[0], axis=axes, keepdims=keep)
+    if op == "Where":
+        if all(_is_const(x) for x in ins):
+            return np.where(np.asarray(ins[0]), np.asarray(ins[1]), np.asarray(ins[2]))
+        return jnp.where(ins[0], ins[1], ins[2])
+    if op in ("Equal", "Less", "Greater", "LessOrEqual", "GreaterOrEqual"):
+        fn = {
+            "Equal": jnp.equal, "Less": jnp.less, "Greater": jnp.greater,
+            "LessOrEqual": jnp.less_equal, "GreaterOrEqual": jnp.greater_equal,
+        }[op]
+        if all(_is_const(x) for x in ins[:2]):
+            return np.asarray(fn(np.asarray(ins[0]), np.asarray(ins[1])))
+        return fn(ins[0], ins[1])
+    if op == "Not":
+        return ~ins[0] if not _is_const(ins[0]) else ~np.asarray(ins[0])
+    if op == "Expand":
+        shape = [int(v) for v in np.asarray(ins[1]).reshape(-1)]
+        # ONNX Expand is bidirectional broadcast.
+        target = np.broadcast_shapes(tuple(np.shape(ins[0])), tuple(shape))
+        if _is_const(ins[0]):
+            return np.broadcast_to(np.asarray(ins[0]), target)
+        return jnp.broadcast_to(ins[0], target)
+    if op == "Range":
+        start, limit, delta = (np.asarray(v).reshape(()) for v in ins[:3])
+        return np.arange(start, limit, delta)
+    if op == "CumSum":
+        axis = int(np.asarray(ins[1]).reshape(()))
+        if _is_const(ins[0]):
+            return np.cumsum(np.asarray(ins[0]), axis=axis)
+        return jnp.cumsum(ins[0], axis=axis)
+    if op == "LayerNormalization":
+        x, scale = ins[0], jnp.asarray(ins[1])
+        axis = int(a.get("axis", -1))
+        eps = float(a.get("epsilon", 1e-5))
+        axes = tuple(range(axis % x.ndim, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) / jnp.sqrt(var + eps) * scale
+        if len(ins) > 2 and ins[2] is not None:
+            y = y + jnp.asarray(ins[2])
+        return y
+    if op == "InstanceNormalization":
+        x, scale, bias = ins[0], jnp.asarray(ins[1]), jnp.asarray(ins[2])
+        eps = float(a.get("epsilon", 1e-5))
+        axes = tuple(range(2, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        shape = (1, -1) + (1,) * (x.ndim - 2)
+        return (x - mean) / jnp.sqrt(var + eps) * scale.reshape(shape) + bias.reshape(shape)
+    if op == "ReduceL2":
+        axes = a.get("axes")
+        if axes is None and len(ins) > 1 and ins[1] is not None:
+            axes = np.asarray(ins[1]).reshape(-1)
+        axes = None if axes is None else tuple(int(v) for v in axes)
+        keep = bool(int(a.get("keepdims", 1)))
+        return jnp.sqrt(jnp.sum(jnp.square(ins[0]), axis=axes, keepdims=keep))
     raise NotImplementedError(f"ONNX op {op} not supported by onnx_graph executor")
 
 
