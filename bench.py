@@ -285,12 +285,24 @@ def streaming_bench(args) -> dict:
     offsets = [int(i * len(audio) / S) for i in range(S)]
     period = int(seg_seconds * 16000)
 
+    vad = None
+    if args.vad:
+        from moonshine_tpu.models.vad import TinyVad
+
+        # Real TinyVadCNN weights from the reference tree: live VAD
+        # segmentation in the service (BASELINE config 3), one extra
+        # batched device call per tick.
+        vad = TinyVad.from_onnx(
+            "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
+        )
+
     def measure(p) -> dict:
         svc = StreamingService(
             p, cfg, tokenizer=None, n_streams=S,
             update_frames=update_frames, mem_bucket=mem_bucket,
             draft_cap=draft_cap, max_segment_seconds=seg_seconds,
             compute_dtype=dtype, kv_int8=args.kv_int8,
+            vad=vad,
         )
         svc.warmup()  # compiles once; the second run hits the jit cache
         cursors = list(offsets)
@@ -345,7 +357,8 @@ def streaming_bench(args) -> dict:
     return {
         "metric": f"audio-seconds/s, {args.streaming_arch} live service "
         f"({S} concurrent streams, 0.64 s updates, 15 s segments, "
-        f"{args.dtype}{', int8 KV' if args.kv_int8 else ''}, 1 chip, "
+        f"{args.dtype}{', int8 KV' if args.kv_int8 else ''}"
+        f"{', live TinyVad' if args.vad else ''}, 1 chip, "
         f"stable-hypothesis steady state)",
         "value": round(steady["agg"], 2),
         "unit": "audio-seconds/s",
@@ -381,6 +394,9 @@ def main() -> None:
     # post-phrase latency) while serving 32 concurrent streams (docs/PERF.md).
     p.add_argument("--streams", type=int, default=32)
     p.add_argument("--updates", type=int, default=40)
+    p.add_argument("--vad", default=False, action=argparse.BooleanOptionalAction,
+                   help="real-weight TinyVadCNN segmentation inside the "
+                   "streaming service (live VAD, BASELINE config 3)")
     p.add_argument("--kv-int8", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="int8 KV caches with fused dequant (ops/int8_kv.py); "

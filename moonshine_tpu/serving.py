@@ -309,6 +309,37 @@ class StreamingService:
         self.update()
         self.update()
         self.update()
+        if self.vad is not None:
+            import jax.numpy as jnp
+
+            # With VAD, silence produces no voiced segments, so the warm
+            # updates above never hit (a) the per-tick VAD hop buckets or
+            # (b) the encode-only catch-up variant that voiced prefill
+            # bursts need.  Compile both explicitly so the first live
+            # updates don't pay Mosaic/XLA compiles.
+            tick_hops = max(self.F * FRAME_LEN // HOP, 1)
+            hb = 1
+            while hb < tick_hops:
+                hb *= 2
+            state = self.vad.init_state(self.S)
+            for h in sorted({hb, 2 * hb}):
+                self.vad.predict_hops_masked(
+                    jnp.zeros((self.S, h, HOP), jnp.float32),
+                    jnp.zeros((self.S,), jnp.int32),
+                    state,
+                )
+            zi = jnp.zeros(self.S, jnp.int32)
+            zb = jnp.zeros(self.S, bool)
+            out = sb.service_update(
+                self.params, self.cfg, self.state,
+                jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
+                zi, zb, zb,
+                jnp.full((self.S, self.draft_cap), self.cfg.eos_id, jnp.int32),
+                zi, zi, zb,
+                mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+                enc_passes=1, decode=False,
+            )
+            self.state = out.state
         # Reset everything after the warm pass.
         self.state = sb.init_batch_state(
             self.cfg, self.S, dtype=self.compute_dtype, mem_cap=self.mem_bucket,
