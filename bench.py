@@ -384,7 +384,10 @@ def main() -> None:
     p.add_argument("--mode", default="both",
                    choices=["both", "offline", "streaming", "spec"])
     p.add_argument("--arch", default="base")
-    p.add_argument("--batch", type=int, default=256)
+    # Throughput keeps rising past 256 (256/512/768/1024 -> 5.4k/7.2k/7.4k/
+    # 7.6k audio-s/s); 512 is the knee — near-max throughput at half the
+    # wall of 1024 (docs/PERF.md round-2 sweep).
+    p.add_argument("--batch", type=int, default=512)
     p.add_argument("--duration", type=float, default=10.0, help="seconds per utterance")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")

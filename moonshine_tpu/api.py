@@ -60,7 +60,7 @@ class Transcriber:
         self._weights = weights
         self._params = None
         self._tokenizer_path = tokenizer_path
-        model_name = model if isinstance(model, str) else model.name
+        model_name = model if isinstance(model, str) else getattr(model, "name", "custom")
         self.options = options or TranscriberOptions(model=model_name)
         self._vad_weights = vad_weights
         self._seed = seed

@@ -367,10 +367,23 @@ def compute_cross_kv(
     (dim-major, matching the decode attention's native layout).
     """
 
+    h = cfg.decoder_kv_heads
+    hd = cfg.hidden_size // cfg.decoder_heads
+
     def body(_, lp):
         a = lp["cross_attn"]
-        k = _split_heads(dense(a["k"], memory), cfg.decoder_kv_heads).transpose(0, 2, 3, 1)
-        v = _split_heads(dense(a["v"], memory), cfg.decoder_kv_heads).transpose(0, 2, 3, 1)
+        # Contract straight into the dim-major layout instead of dense() +
+        # transpose: folding the head/dim split into the einsum measures
+        # 1.22x faster than projecting [B,T,H*hd] and relayouting
+        # (50.8 -> 41.5 ms at B=256, bit-identical; docs/PERF.md).
+        wk = a["k"]["w"].reshape(cfg.hidden_size, h, hd).astype(memory.dtype)
+        wv = a["v"]["w"].reshape(cfg.hidden_size, h, hd).astype(memory.dtype)
+        k = jnp.einsum("btd,dhk->bhkt", memory, wk, preferred_element_type=memory.dtype)
+        v = jnp.einsum("btd,dhk->bhkt", memory, wv, preferred_element_type=memory.dtype)
+        if "b" in a["k"]:
+            k = k + a["k"]["b"].astype(memory.dtype).reshape(1, h, hd, 1)
+        if "b" in a["v"]:
+            v = v + a["v"]["b"].astype(memory.dtype).reshape(1, h, hd, 1)
         return None, (k, v)
 
     _, (ks, vs) = jax.lax.scan(body, None, p["layers"])

@@ -156,6 +156,19 @@ class VadSegmenter:
             smoothed = smoothed * fade
 
         current_is_voice = smoothed > self.threshold
+        if (
+            self.threshold <= 0.0
+            and self.max_segment_sample_count
+            and self.current_segment_len >= self.max_segment_sample_count
+        ):
+            # Intentional divergence from the reference's literal code: at
+            # threshold exactly 0 its faded probability stays strictly
+            # positive, so `smoothed > 0` never turns false and the split
+            # its own comment promises ("ensures that the voice end event
+            # is triggered", voice-activity-detector.cpp:159-170) never
+            # fires.  Implement the documented intent: always-voice
+            # segments hard-split at max_segment_sample_count.
+            current_is_voice = False
         if current_is_voice and not self.previous_is_voice:
             look = min(self.look_behind_sample_count, self.samples_processed)
             prefix = self.look_behind[len(self.look_behind) - look :]

@@ -235,7 +235,15 @@ extern "C" void mt_segmenter_process_hop(mt_segmenter *s, const float *hop,
     smoothed *= fade;
   }
 
-  const bool is_voice = smoothed > s->threshold;
+  bool is_voice = smoothed > s->threshold;
+  // Always-voice (threshold <= 0): hard-split at the max segment length —
+  // the faded probability never reaches 0 exactly, so the comparison
+  // alone would keep one unbounded segment (see the Python twin's note in
+  // pipeline/vad_segmenter.py).
+  if (s->threshold <= 0.0f && s->max_segment_count &&
+      s->current_segment.size() >= s->max_segment_count) {
+    is_voice = false;
+  }
   if (is_voice && !s->previous_is_voice) {
     const size_t look =
         std::min(s->look_behind_count, s->samples_processed);

@@ -71,6 +71,7 @@ class OracleProbs:
         ([0.0, 0.9, 0.9, 0.9, 0.9, 0.0, 0.0], {}),
         ([0.9] * 5, {"max_segment_sample_count": 0}),
         ([1.0] * 40, {"max_segment_sample_count": 10 * HOP}),
+        ([1.0] * 40, {"max_segment_sample_count": 10 * HOP, "threshold": 0.0}),
         ([0.0, 0.9, 0.9, 0.0] * 3, {}),
     ],
 )
