@@ -107,6 +107,67 @@ def cmd_bench(args) -> int:
     return subprocess.call(cmd)
 
 
+def cmd_agent(args) -> int:
+    """Text-driven agent REPL (reference: cli.py `agent`; utterances come
+    from stdin — use `mic` + AgentFlow in code for live audio)."""
+    from .agent.flow import AgentFlow
+
+    def echo_flow(d):
+        answer = yield d.ask("Say something and I'll repeat it.")
+        yield d.say(f"You said: {answer}")
+
+    agent = (
+        AgentFlow()
+        .use_embeddings(args.embeddings)
+        .speak_with(lambda text: print(f"[agent] {text}"))
+        .listen_for(args.trigger, echo_flow)
+        .otherwise(lambda text: print(f"[agent] (heard: {text!r})"))
+        .load()
+    )
+    print(f"agent ready; trigger phrase: {args.trigger!r} (ctrl-d to exit)")
+    try:
+        for line in sys.stdin:
+            line = line.strip()
+            if line:
+                agent.handle_utterance(line)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+def cmd_download(args) -> int:
+    from .download import DownloadError, download_model
+
+    def progress(done: int, total: int) -> None:
+        pct = 100.0 * done / total if total else 0.0
+        print(f"\r{done}/{total} bytes ({pct:5.1f}%)", end="", file=sys.stderr)
+
+    try:
+        path = download_model(
+            args.model, args.language, base_url=args.base_url, progress=progress
+        )
+    except DownloadError as e:
+        print(f"\ndownload failed: {e}", file=sys.stderr)
+        return 1
+    print(f"\n{path}")
+    return 0
+
+
+def cmd_serve(args) -> int:  # pragma: no cover - long-running
+    from . import server
+
+    argv = [
+        "--model", args.model, "--streams", str(args.streams),
+        "--host", args.host, "--port", str(args.port),
+    ]
+    if args.weights:
+        argv += ["--weights", args.weights]
+    if args.tokenizer:
+        argv += ["--tokenizer", args.tokenizer]
+    server.main(argv)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="moonshine-tpu")
     sub = p.add_subparsers(dest="command", required=True)
@@ -150,6 +211,27 @@ def main(argv=None) -> int:
     bp.add_argument("--model", default="base")
     bp.add_argument("--batch", type=int, default=32)
     bp.set_defaults(fn=cmd_bench)
+
+    ap = sub.add_parser("agent", help="Text-driven agent REPL (stdin)")
+    ap.add_argument("--trigger", default="hello agent")
+    ap.add_argument("--embeddings", action="store_true",
+                    help="semantic phrase matching (needs the Gemma embedder)")
+    ap.set_defaults(fn=cmd_agent)
+
+    dp = sub.add_parser("download", help="Fetch a model from the catalog")
+    dp.add_argument("model")
+    dp.add_argument("--language", default="en")
+    dp.add_argument("--base-url", default=None)
+    dp.set_defaults(fn=cmd_download)
+
+    vp = sub.add_parser("serve", help="WebSocket transcription server")
+    vp.add_argument("--model", default="tiny_streaming")
+    vp.add_argument("--weights", default=None)
+    vp.add_argument("--tokenizer", default=None)
+    vp.add_argument("--streams", type=int, default=16)
+    vp.add_argument("--host", default="127.0.0.1")
+    vp.add_argument("--port", type=int, default=8765)
+    vp.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -195,7 +195,7 @@ class TranscriptionServer:
                 self._update_thread.join(timeout=10.0)
 
 
-def main() -> None:  # pragma: no cover - CLI
+def main(argv=None) -> None:  # pragma: no cover - CLI
     import argparse
 
     import jax
@@ -211,7 +211,7 @@ def main() -> None:  # pragma: no cover - CLI
     p.add_argument("--streams", type=int, default=16)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     cfg = STREAMING_ARCHS[args.model]
     if args.weights:

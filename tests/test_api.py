@@ -134,3 +134,23 @@ def test_cli_tts(tmp_path, capsys):
     audio, sr = load_wav(str(out))
     assert sr == 24000
     assert audio.size > 0
+
+
+def test_cli_agent(capsys, monkeypatch):
+    import io
+
+    from moonshine_tpu.cli import main
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("hello agent\nanything\n"))
+    assert main(["agent", "--trigger", "hello agent"]) == 0
+    out = capsys.readouterr().out
+    assert "Say something" in out
+    assert "You said: anything" in out
+
+
+def test_cli_download_requires_base_url(capsys, monkeypatch):
+    from moonshine_tpu.cli import main
+
+    monkeypatch.delenv("MOONSHINE_TPU_MODEL_URL", raising=False)
+    assert main(["download", "tiny"]) == 1
+    assert "download failed" in capsys.readouterr().err
