@@ -13,6 +13,7 @@ from __future__ import annotations
 import queue
 import threading
 from dataclasses import dataclass
+from pathlib import Path
 from typing import Callable, Mapping, Optional
 
 import numpy as np
@@ -21,6 +22,69 @@ from ..models import tts as tts_model
 from .g2p import GraphemeToPhonemizer
 
 SAMPLE_RATE = tts_model.SAMPLE_RATE
+
+
+def save_voice_pack(
+    path: str | Path,
+    voices: Mapping[str, np.ndarray],
+    params=None,
+) -> None:
+    """Write voices (+ optionally trained acoustic params) to safetensors.
+
+    Layout: ``voice/<name>`` style vectors; ``params/<pytree/path>`` when
+    params are included.  One file distributes a whole voice set, like the
+    reference's TTS asset catalog entries.
+    """
+    from safetensors.numpy import save_file
+
+    import jax
+
+    flat: dict[str, np.ndarray] = {
+        f"voice/{name}": np.asarray(v, np.float32) for name, v in voices.items()
+    }
+    if params is not None:
+        for key_path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            name = "/".join(
+                str(k.key) if hasattr(k, "key") else str(getattr(k, "name", k))
+                for k in key_path
+            )
+            flat[f"params/{name}"] = np.asarray(leaf)
+    save_file(flat, str(path))
+
+
+def load_voice_pack(path: str | Path, cfg=None):
+    """Read a voice pack -> (params-or-None, {name: style vector})."""
+    from safetensors.numpy import load_file
+
+    import jax
+
+    flat = load_file(str(path))
+    voices = {
+        k[len("voice/"):]: v for k, v in flat.items() if k.startswith("voice/")
+    }
+    params = None
+    if any(k.startswith("params/") for k in flat):
+        import jax.numpy as jnp
+
+        target = tts_model.init_params(cfg or tts_model.TTSConfig(), jax.random.PRNGKey(0))
+        leaves_with_paths = jax.tree_util.tree_flatten_with_path(target)[0]
+        treedef = jax.tree_util.tree_structure(target)
+        new_leaves = []
+        for key_path, leaf in leaves_with_paths:
+            name = "params/" + "/".join(
+                str(k.key) if hasattr(k, "key") else str(getattr(k, "name", k))
+                for k in key_path
+            )
+            if name not in flat:
+                raise KeyError(f"Voice pack missing tensor {name!r}")
+            arr = flat[name]
+            if arr.shape != tuple(leaf.shape):
+                raise ValueError(
+                    f"Shape mismatch for {name}: {arr.shape} vs {tuple(leaf.shape)}"
+                )
+            new_leaves.append(jnp.asarray(arr, leaf.dtype))
+        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return params, voices
 
 
 @dataclass
@@ -80,9 +144,24 @@ class TextToSpeech:
 
     # -- loading ------------------------------------------------------------
 
-    def load(self, voice_pack: Mapping[str, np.ndarray] | None = None) -> "TextToSpeech":
+    def load(
+        self, voice_pack: Mapping[str, np.ndarray] | str | None = None
+    ) -> "TextToSpeech":
+        """Initialise (or load) model params and voices.
+
+        ``voice_pack``: a mapping of voice name -> style vector, or a path
+        to a ``.safetensors`` voice pack written by :func:`save_voice_pack`
+        — the distribution analog of the reference's per-voice style files
+        (``.kokorovoice``, reference: moonshine-tts.cpp voice catalogs).
+        A pack may also carry trained acoustic params under ``params/``.
+        """
         import jax
 
+        if isinstance(voice_pack, (str, Path)):
+            params, voices = load_voice_pack(voice_pack, self.cfg)
+            if params is not None:
+                self.params = params
+            voice_pack = voices
         if self.params is None:
             self.params = tts_model.init_params(self.cfg, jax.random.PRNGKey(self._seed))
         if voice_pack:

@@ -221,3 +221,38 @@ def test_g2p_supported_languages_listing():
     from moonshine_tpu.tts.g2p import SUPPORTED_LANGUAGES
 
     assert set(SUPPORTED_LANGUAGES) >= {"en", "es", "fr", "de", "it", "pt"}
+
+
+def test_voice_pack_roundtrip(tmp_path):
+    """Voice packs (style vectors + optional trained params) round-trip
+    through one safetensors file and load via TextToSpeech.load(path)."""
+    import jax
+    import numpy as np
+
+    from moonshine_tpu.models import tts as tts_model
+    from moonshine_tpu.tts.facade import (
+        TextToSpeech, load_voice_pack, save_voice_pack,
+    )
+
+    params = tts_model.init_params(tts_model.TTSConfig(), jax.random.PRNGKey(7))
+    voices = {
+        "af_custom": np.asarray(tts_model.make_voice(jax.random.PRNGKey(8))),
+        "am_other": np.asarray(tts_model.make_voice(jax.random.PRNGKey(9))),
+    }
+    path = tmp_path / "pack.safetensors"
+    save_voice_pack(path, voices, params=params)
+
+    p2, v2 = load_voice_pack(path)
+    assert set(v2) == set(voices)
+    np.testing.assert_array_equal(v2["af_custom"], voices["af_custom"])
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tts = TextToSpeech().voice("af_custom").load(str(path))
+    wav, sr = tts.synthesize("hello")
+    assert sr == 24000 and len(wav) > 0
+    # Voices-only pack (no params) leaves the model randomly initialised.
+    path2 = tmp_path / "voices_only.safetensors"
+    save_voice_pack(path2, voices)
+    p3, v3 = load_voice_pack(path2)
+    assert p3 is None and set(v3) == set(voices)
