@@ -68,3 +68,47 @@ def test_alphanumeric_eval(tmp_path):
     assert out["per_class"]["b"]["accuracy"] == 1.0
     assert out["per_class"]["five"]["accuracy"] == 0.0
     assert out["accuracy"] == 0.5
+
+
+class TestTtsIntelligibility:
+    def test_perfect_roundtrip_is_zero_cer(self):
+        from moonshine_tpu.eval import tts_intelligibility as ti
+
+        store = {}
+
+        def synth(text):
+            wav = np.zeros(2400, np.float32)
+            store[id(wav)] = text
+            store["last"] = text
+            return wav, 24000
+
+        def asr(wav, sr):
+            return store["last"]
+
+        res = ti.evaluate(synth, asr, sentences=("hello there", "good day"))
+        assert res.cer == 0.0
+        assert res.summary().startswith("G2P intelligibility CER: 0.0%")
+
+    def test_cer_counts_character_edits(self):
+        from moonshine_tpu.eval import tts_intelligibility as ti
+
+        def synth(text):
+            return np.zeros(10, np.float32), 24000
+
+        # ASR drops one character from a 10-char (space-stripped) ref.
+        res = ti.evaluate(
+            synth, lambda wav, sr: "helloworl", sentences=("hello world",)
+        )
+        assert res.cer == pytest.approx(1 / 10)
+
+    def test_normalization_applies(self):
+        from moonshine_tpu.eval import tts_intelligibility as ti
+
+        def synth(text):
+            return np.zeros(10, np.float32), 24000
+
+        # Case/punctuation differences normalize away.
+        res = ti.evaluate(
+            synth, lambda wav, sr: "Hello, World!", sentences=("hello world",)
+        )
+        assert res.cer == 0.0
