@@ -105,12 +105,22 @@ def offline_bench(args) -> dict:
 
     encode = jax.jit(lambda p, a: mm.encode(p, cfg, a, attn_impl="auto"))
 
-    def pipeline(params, audio):
-        memory, mask = encode(params, audio)
-        return greedy_decode(
-            params, cfg, memory, mask, max_tokens=max_tokens, token_caps=caps,
-            kv_int8=args.kv_int8,
-        )
+    if args.decode == "beam":
+        from moonshine_tpu.decoding.beam import beam_decode
+
+        def pipeline(params, audio):
+            memory, mask = encode(params, audio)
+            return beam_decode(
+                params, cfg, memory, mask, beam_size=args.beam_size,
+                max_tokens=max_tokens, token_caps=caps,
+            )
+    else:
+        def pipeline(params, audio):
+            memory, mask = encode(params, audio)
+            return greedy_decode(
+                params, cfg, memory, mask, max_tokens=max_tokens, token_caps=caps,
+                kv_int8=args.kv_int8,
+            )
 
     # Warmup / compile.  NOTE: through the axon relay block_until_ready does
     # not actually synchronize; a host transfer is the reliable fence.
@@ -131,10 +141,16 @@ def offline_bench(args) -> dict:
     # Speed of light keeps the bf16 KV byte count even under --kv-int8 so
     # vs_sol stays comparable across configurations (int8 should CLOSE the
     # gap to the same bound, not move the bound).
-    t_sol = speed_of_light_seconds(cfg, args.batch, n_samples, max_tokens, bytes_per_el)
+    # Beam multiplies the per-step KV/compute by beam_size; scale the bound
+    # so vs_sol stays an honest fraction for either decode.
+    sol_batch = args.batch * (args.beam_size if args.decode == "beam" else 1)
+    t_sol = speed_of_light_seconds(cfg, sol_batch, n_samples, max_tokens, bytes_per_el)
     kv_tag = ", int8 KV" if args.kv_int8 else ""
+    decode_tag = (
+        f"beam-{args.beam_size} decode" if args.decode == "beam" else "greedy decode"
+    )
     return {
-        "metric": f"audio-seconds/s, Moonshine {args.arch} batched greedy decode "
+        "metric": f"audio-seconds/s, Moonshine {args.arch} batched {decode_tag} "
         f"(batch={args.batch}, {args.duration:.0f}s utterances, "
         f"{max_tokens} tokens, {args.dtype}{kv_tag}, 1 chip)",
         "value": round(throughput, 2),
@@ -397,6 +413,10 @@ def main() -> None:
     # post-phrase latency) while serving 32 concurrent streams (docs/PERF.md).
     p.add_argument("--streams", type=int, default=32)
     p.add_argument("--updates", type=int, default=40)
+    p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
+                   help="offline decode mode (BASELINE config 2 asks for "
+                   "batched beam; beam pays ~beam_size x decode cost)")
+    p.add_argument("--beam-size", type=int, default=4)
     p.add_argument("--vad", default=False, action=argparse.BooleanOptionalAction,
                    help="real-weight TinyVadCNN segmentation inside the "
                    "streaming service (live VAD, BASELINE config 3)")
