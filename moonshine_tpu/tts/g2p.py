@@ -259,7 +259,7 @@ class GraphemeToPhonemizer:
             self.engine.add_lexicon(load_cmudict_lexicon(lexicon_path))
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
-        normalized = normalize_text(text)
+        normalized = normalize_text(text, self.language)
         tokens = re.findall(r"[\w']+|[.,!?;:]", normalized)
         words = [t for t in tokens if t not in _PUNCT_PAUSE]
         out: list[str] = []

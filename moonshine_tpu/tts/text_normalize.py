@@ -119,8 +119,34 @@ def _expand_number_token(m: re.Match) -> str:
     return number_to_words(int(s_plain))
 
 
-def normalize_text(text: str) -> str:
-    """Expand digits/symbols/abbreviations into speakable words."""
+def normalize_text(text: str, language: str = "en") -> str:
+    """Expand digits/symbols/abbreviations into speakable words.
+
+    English gets the full treatment (currency, ordinals, clock times,
+    years, decimals, abbreviations); every other supported language
+    expands cardinals and percentages in its own orthography via
+    :mod:`number_words` (reference: per-language number rules in
+    core/moonshine-tts/src/lang-specific/, e.g. chinese-numbers.cpp).
+    """
+    lang = language.split("_")[0].split("-")[0].lower()
+    if lang != "en":
+        from .number_words import PERCENT, number_to_words_lang
+
+        t = text
+        pct = PERCENT.get(lang, PERCENT["en"])
+        t = re.sub(
+            r"(\d[\d,]*)\s?[%％]",
+            lambda m: " "
+            + pct.format(n=number_to_words_lang(int(m.group(1).replace(",", "")), lang))
+            + " ",
+            t,
+        )
+        t = re.sub(
+            r"\d[\d,]*",
+            lambda m: " " + number_to_words_lang(int(m.group(0).replace(",", "")), lang) + " ",
+            t,
+        )
+        return re.sub(r"\s+", " ", t).strip()
     t = text
     t = re.sub(r"([$£€])\s?(\d[\d,]*(?:\.\d+)?)", _expand_currency, t)
     t = re.sub(r"(\d+)\s?%", lambda m: number_to_words(int(m.group(1))) + " percent", t)
