@@ -103,6 +103,18 @@ class StreamingService:
         self.F = update_frames
         self.mem_bucket = mem_bucket
         self.draft_cap = draft_cap
+        # Verify-length buckets: the speculative verify pass costs
+        # O(1 + draft_len) decoder tokens per stream, but early-segment
+        # ticks have short hypotheses — pick the smallest compiled bucket
+        # covering this tick's longest draft instead of always paying
+        # draft_cap (power-of-2 ladder from 32; each bucket is one XLA
+        # program, compiled at warmup).
+        self.draft_buckets: list[int] = []
+        b = 32
+        while b < draft_cap:
+            self.draft_buckets.append(b)
+            b *= 2
+        self.draft_buckets.append(draft_cap)
         self.max_tps = max_tokens_per_second
         self.max_segment_samples = int(max_segment_seconds * 16000)
         self.state = sb.init_batch_state(
@@ -232,6 +244,9 @@ class StreamingService:
 
         zeros_i = np.zeros(S, np.int32)
         zeros_b = np.zeros(S, bool)
+        # Smallest verify bucket covering this tick's longest draft.
+        max_dl = int(draft_len.max()) if S else 0
+        cap = next(b for b in self.draft_buckets if b >= max_dl)
         first = True
         for _ in range(passes - 1):  # encode-only catch-up calls
             with profiling.log_run("service_encode_catchup"):
@@ -240,24 +255,26 @@ class StreamingService:
                     jnp.asarray(chunk if first else np.zeros_like(chunk)),
                     jnp.asarray(n_frames if first else zeros_i),
                     jnp.asarray(reset if first else zeros_b),
-                    jnp.asarray(is_final), jnp.asarray(draft),
+                    jnp.asarray(is_final),
+                    jnp.asarray(draft[:, : self.draft_buckets[0]]),
                     jnp.asarray(draft_len),
                     jnp.asarray(budget), jnp.asarray(decode_mask),
-                    mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+                    mem_bucket=self.mem_bucket, draft_cap=self.draft_buckets[0],
                     enc_passes=1, decode=False,
                 )
             self.state = out.state
             mirror_pass()
             first = False
-        with profiling.log_run("service_update", streams=S):
+        with profiling.log_run("service_update", streams=S, draft_bucket=cap):
             out = sb.service_update(
                 self.params, self.cfg, self.state,
                 jnp.asarray(chunk if first else np.zeros_like(chunk)),
                 jnp.asarray(n_frames if first else zeros_i),
                 jnp.asarray(reset if first else zeros_b),
-                jnp.asarray(is_final), jnp.asarray(draft), jnp.asarray(draft_len),
+                jnp.asarray(is_final), jnp.asarray(draft[:, :cap]),
+                jnp.asarray(draft_len),
                 jnp.asarray(budget), jnp.asarray(decode_mask),
-                mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+                mem_bucket=self.mem_bucket, draft_cap=cap,
                 enc_passes=1, decode=True,
             )
         mirror_pass()
@@ -309,6 +326,23 @@ class StreamingService:
         self.update()
         self.update()
         self.update()
+        # The warm updates above ran with empty drafts (bucket 0); compile
+        # the remaining verify buckets so live ticks never hit a compile.
+        import jax.numpy as jnp
+
+        for cap in self.draft_buckets[1:]:
+            out = sb.service_update(
+                self.params, self.cfg, self.state,
+                jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
+                jnp.zeros(self.S, jnp.int32), jnp.zeros(self.S, bool),
+                jnp.zeros(self.S, bool),
+                jnp.full((self.S, cap), self.cfg.eos_id, jnp.int32),
+                jnp.zeros(self.S, jnp.int32), jnp.zeros(self.S, jnp.int32),
+                jnp.zeros(self.S, bool),
+                mem_bucket=self.mem_bucket, draft_cap=cap,
+                enc_passes=1, decode=True,
+            )
+            self.state = out.state
         if self.vad is not None:
             import jax.numpy as jnp
 
@@ -334,9 +368,9 @@ class StreamingService:
                 self.params, self.cfg, self.state,
                 jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
                 zi, zb, zb,
-                jnp.full((self.S, self.draft_cap), self.cfg.eos_id, jnp.int32),
+                jnp.full((self.S, self.draft_buckets[0]), self.cfg.eos_id, jnp.int32),
                 zi, zi, zb,
-                mem_bucket=self.mem_bucket, draft_cap=self.draft_cap,
+                mem_bucket=self.mem_bucket, draft_cap=self.draft_buckets[0],
                 enc_passes=1, decode=False,
             )
             self.state = out.state

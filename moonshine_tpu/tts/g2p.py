@@ -181,6 +181,7 @@ _FR_RULES: list[tuple[str, str]] = [
     (r"ç", "s"), (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "ʒ"), (r"j", "ʒ"),
     (r"h", ""), (r"es(?=#)", ""), (r"e(?=#)", ""), (r"ent(?=#)", ""),
     (r"er(?=#)", "e"), (r"ez(?=#)", "e"),
+    (r"[td]s(?=#)", ""),  # silent final clusters: chats, grands
     (r"[tdsxzp](?=#)", ""),  # silent final consonants (common cases)
     (r"é", "e"), (r"è", "ɛ"), (r"ê", "ɛ"), (r"ë", "ɛ"), (r"à", "a"),
     (r"â", "a"), (r"î", "i"), (r"ï", "i"), (r"ô", "o"), (r"û", "y"),
@@ -264,10 +265,12 @@ class GraphemeToPhonemizer:
         words = [t for t in tokens if t not in _PUNCT_PAUSE]
         out: list[str] = []
         wi = 0
+        prev_adjacent_word: str | None = None  # no pause since it
         for token in tokens:
             if token in _PUNCT_PAUSE:
                 if with_pauses and out:
                     out.append(_PUNCT_PAUSE[token])
+                prev_adjacent_word = None  # liaison never crosses a pause
                 continue
             ipa = None
             if self.language.startswith("en"):
@@ -278,9 +281,19 @@ class GraphemeToPhonemizer:
                 ipa = resolve_heteronym(token, prev_w, next_w)
             if ipa is None:
                 ipa = self.engine.word_to_ipa(token)
+            if self.language.startswith("fr") and prev_adjacent_word and ipa:
+                # Mandatory liaison: the trigger's silent final consonant
+                # surfaces as the onset of the vowel-initial next word
+                # (reference: lang-specific french liaison rules).
+                from .lang_rules import french_liaison_consonant
+
+                cons = french_liaison_consonant(prev_adjacent_word, token)
+                if cons:
+                    ipa = cons + ipa
             wi += 1
             if ipa:
                 out.append(ipa)
+                prev_adjacent_word = token
         return " ".join(out)
 
     def word_to_ipa(self, word: str) -> str:
@@ -307,10 +320,16 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
     return make
 
 
+def _fr_lexicon() -> dict[str, str]:
+    from .lang_rules import FR_LEXICON
+
+    return FR_LEXICON
+
+
 _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
     "es": lambda: RuleG2P(_ES_RULES),
-    "fr": lambda: RuleG2P(_FR_RULES),
+    "fr": lambda: RuleG2P(_FR_RULES, _fr_lexicon()),
     "de": lambda: RuleG2P(_DE_RULES),
     "it": lambda: RuleG2P(_IT_RULES),
     "pt": lambda: RuleG2P(_PT_RULES),

@@ -619,3 +619,58 @@ def resolve_heteronym(word: str, prev_word: str, next_word: str) -> str | None:
     if prev_word.lower() in cues or next_word.lower() in cues:
         return alternate
     return default
+
+
+# ---------------------------------------------------------------------------
+# French liaison (reference: lang-specific french liaison handling)
+# ---------------------------------------------------------------------------
+
+# High-frequency French function words (lexicon: the rule engine cannot
+# know silent-final irregulars like "est" /ɛ/ or "et" /e/).
+FR_LEXICON: dict[str, str] = {
+    "et": "e", "est": "ɛ", "sont": "sɔ̃", "les": "le", "des": "de",
+    "mes": "me", "tes": "te", "ses": "se", "nos": "no", "vos": "vo",
+    "un": "œ̃", "une": "yn", "deux": "dø", "trois": "tʁwa", "six": "sis",
+    "dix": "dis", "huit": "ɥit", "neuf": "nœf", "on": "ɔ̃", "en": "ɑ̃",
+    "dans": "dɑ̃", "sans": "sɑ̃", "chez": "ʃe", "très": "tʁɛ",
+    "plus": "ply", "nous": "nu", "vous": "vu", "ils": "il", "elles": "ɛl",
+    "quand": "kɑ̃", "grand": "ɡʁɑ̃", "petit": "pəti", "bien": "bjɛ̃",
+    "tout": "tu", "aux": "o", "aujourd'hui": "oʒuʁdɥi", "monsieur": "məsjø",
+}
+
+# Mandatory-liaison triggers -> the consonant that surfaces before a
+# vowel-initial word.  (Nasal triggers denasalize in careful speech; we
+# keep the nasal vowel + /n/, the common colloquial realization.)
+_FR_LIAISON: dict[str, str] = {
+    "les": "z", "des": "z", "mes": "z", "tes": "z", "ses": "z", "nos": "z",
+    "vos": "z", "leurs": "z", "aux": "z", "deux": "z", "trois": "z",
+    "six": "z", "dix": "z", "nous": "z", "vous": "z", "ils": "z",
+    "elles": "z", "sans": "z", "dans": "z", "chez": "z", "très": "z",
+    "plus": "z", "tout": "t", "est": "t", "sont": "t", "quand": "t",
+    "grand": "t", "petit": "t", "un": "n", "on": "n", "en": "n",
+    "bien": "n", "rien": "n", "mon": "n", "ton": "n", "son": "n",
+}
+
+# "h aspiré" words block liaison/elision despite the silent h.
+_FR_H_ASPIRE = frozenset({
+    "haricot", "haricots", "héros", "honte", "hasard", "hache", "haine",
+    "halle", "hamac", "hanche", "harpe", "hibou", "hockey", "hollande",
+    "homard", "hongrie", "hoquet", "hurler",
+})
+
+_FR_VOWELS = "aeiouyàâæéèêëîïôœùûü"
+
+
+def french_liaison_consonant(word: str, next_word: str) -> str | None:
+    """The liaison consonant to surface between word and next_word, or
+    None.  Fires only for mandatory-liaison function words followed by a
+    vowel sound (vowel letter, or mute h that is not h-aspiré)."""
+    w, nxt = word.lower(), next_word.lower()
+    cons = _FR_LIAISON.get(w)
+    if cons is None or not nxt:
+        return None
+    if nxt[0] in _FR_VOWELS:
+        return cons
+    if nxt[0] == "h" and nxt not in _FR_H_ASPIRE:
+        return cons
+    return None
