@@ -196,6 +196,9 @@ _FR_RULES: list[tuple[str, str]] = [
 # ---- German ------------------------------------------------------------
 
 _DE_RULES: list[tuple[str, str]] = [
+    # Auslautverhärtung: final obstruents devoice (Tag, Hund, Zug...).
+    (r"b(?=#)", "p"), (r"d(?=#)", "t"), (r"g(?=#)", "k"),
+    (r"ig(?=#)", "ɪç"),  # standard -ig: König, wenig
     (r"tsch", "tʃ"), (r"sch", "ʃ"),
     (r"(?<=[aou#])ch", "x"), (r"ch", "ç"),
     (r"ck", "k"), (r"ph", "f"), (r"pf", "pf"), (r"qu", "kv"),

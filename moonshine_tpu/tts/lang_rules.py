@@ -368,6 +368,9 @@ _TR_RULES: list[tuple[str, str]] = [
 # ---------------------------------------------------------------------------
 
 _NL_RULES: list[tuple[str, str]] = [
+    # Final devoicing (heb, web -> p; zag -> x is via g->ɣ? no: final g
+    # devoices to x in Dutch).
+    (r"b(?=#)", "p"), (r"g(?=#)", "x"),
     (r"sch(?=#)", "s"), (r"sch", "sx"), (r"ch", "x"), (r"ng(?=#)", "ŋ"),
     (r"ng", "ŋ"), (r"nk", "ŋk"),
     (r"ij", "ɛi"), (r"ei", "ɛi"), (r"ui", "œy"), (r"ou", "ʌu"), (r"au", "ʌu"),
