@@ -151,6 +151,51 @@ _EN_LEXICON = {
     "live": "lɪv", "very": "vɛɹi", "only": "oʊnli", "once": "wʌns",
     "people": "pipəl", "water": "wɔtɝ", "world": "wɝld", "hello": "hɛloʊ",
     "yes": "jɛs", "no": "noʊ", "ok": "oʊkeɪ", "okay": "oʊkeɪ",
+    # -gh family
+    "through": "θɹu", "though": "ðoʊ", "although": "ɔlðoʊ",
+    "thought": "θɔt", "thorough": "θɝoʊ", "enough": "ɪnʌf",
+    "tough": "tʌf", "rough": "ɹʌf", "laugh": "læf", "cough": "kɔf",
+    "eight": "eɪt", "eighth": "eɪtθ", "weight": "weɪt", "height": "haɪt",
+    "neighbor": "neɪbɝ", "daughter": "dɔtɝ", "caught": "kɔt",
+    "bought": "bɔt", "brought": "bɹɔt", "fought": "fɔt", "ought": "ɔt",
+    "night": "naɪt", "light": "laɪt", "right": "ɹaɪt", "might": "maɪt",
+    "straight": "stɹeɪt",
+    # silent letters
+    "island": "aɪlənd", "isle": "aɪl", "aisle": "aɪl", "answer": "ænsɝ",
+    "listen": "lɪsən", "often": "ɔfən", "castle": "kæsəl",
+    "whistle": "wɪsəl", "debt": "dɛt", "doubt": "daʊt", "subtle": "sʌtəl",
+    "receipt": "ɹɪsit", "iron": "aɪɝn", "sword": "sɔɹd", "half": "hæf",
+    "calf": "kæf", "talk": "tɔk", "walk": "wɔk", "chalk": "tʃɔk",
+    "folk": "foʊk", "yolk": "joʊk", "salmon": "sæmən", "comb": "koʊm",
+    "climb": "klaɪm", "thumb": "θʌm", "lamb": "læm", "plumber": "plʌmɝ",
+    "knee": "ni", "knife": "naɪf", "know": "noʊ", "knew": "nu",
+    "knight": "naɪt", "wrist": "ɹɪst", "write": "ɹaɪt", "wrong": "ɹɔŋ",
+    "hour": "aʊɝ", "honest": "ɑnɪst", "honor": "ɑnɝ", "heir": "ɛɹ",
+    # loanwords / fossils
+    "colonel": "kɝnəl", "choir": "kwaɪɝ", "yacht": "jɑt",
+    "queue": "kju", "quay": "ki", "suite": "swit", "corps": "kɔɹ",
+    "genre": "ʒɑnɹə", "rendezvous": "ɹɑndeɪvu", "ballet": "bæleɪ",
+    "buffet": "bəfeɪ", "bouquet": "bukeɪ", "croissant": "kwɑsɑnt",
+    "chef": "ʃɛf", "machine": "məʃin", "chicago": "ʃɪkɑɡoʊ",
+    "michigan": "mɪʃɪɡən", "arkansas": "ɑɹkənsɔ", "tucson": "tusɑn",
+    # irregular core vocabulary
+    "women": "wɪmɪn", "woman": "wʊmən", "busy": "bɪzi",
+    "business": "bɪznɪs", "pretty": "pɹɪti", "friend": "fɹɛnd",
+    "great": "ɡɹeɪt", "break": "bɹeɪk", "steak": "steɪk",
+    "heart": "hɑɹt", "bear": "bɛɹ", "wear": "wɛɹ", "pear": "pɛɹ",
+    "sure": "ʃʊɹ", "sugar": "ʃʊɡɝ", "blood": "blʌd", "flood": "flʌd",
+    "shoe": "ʃu", "lose": "luz", "whose": "huz", "gone": "ɡɔn",
+    "any": "ɛni", "many": "mɛni", "money": "mʌni", "month": "mʌnθ",
+    "other": "ʌðɝ", "mother": "mʌðɝ", "brother": "bɹʌðɝ",
+    "father": "fɑðɝ", "nothing": "nʌθɪŋ", "something": "sʌmθɪŋ",
+    "son": "sʌn", "ton": "tʌn", "won": "wʌn", "front": "fɹʌnt",
+    "eye": "aɪ", "buy": "baɪ", "guy": "ɡaɪ", "bury": "bɛɹi",
+    "key": "ki", "police": "pəlis", "pizza": "pitsə", "prove": "pɹuv",
+    # days / months (the spoken-date workhorses)
+    "monday": "mʌndeɪ", "tuesday": "tuzdeɪ", "wednesday": "wɛnzdeɪ",
+    "thursday": "θɝzdeɪ", "friday": "fɹaɪdeɪ", "saturday": "sætɝdeɪ",
+    "sunday": "sʌndeɪ", "january": "dʒænjuɛɹi", "february": "fɛbjuɛɹi",
+    "august": "ɔɡəst",
 }
 
 # ---- Spanish (near-phonemic orthography) ----------------------------------
