@@ -272,6 +272,7 @@ class AgentFlow:
         self._lock = threading.RLock()
         self._embedder = None
         self._backend = None
+        self._embedding_cache: Dict[str, Any] = {}
         self._speak_fn: Optional[Callable[[str], None]] = None
         self._mute_fn: Optional[Callable[[bool], None]] = None
         self._timer_factory: Callable = threading.Timer
@@ -294,6 +295,18 @@ class AgentFlow:
     def use_embeddings(self, enabled: bool = True) -> "AgentFlow":
         self._use_embeddings = bool(enabled)
         self._trigger_matcher = None
+        return self
+
+    def with_cached_embeddings(self, path) -> "AgentFlow":
+        """Preload phrase embeddings from a TSV (reference:
+        cached_embeddings.py) — constant phrases (triggers, yes/no sets)
+        skip the embedder forward pass; live utterances fall through."""
+        from .cached_embeddings import load_cached_embeddings
+
+        vectors, _meta = load_cached_embeddings(path)
+        self._embedding_cache.update(vectors)
+        if self._backend is not None:
+            self._backend._cache.update(vectors)
         return self
 
     def use_embedder(self, embedder) -> "AgentFlow":
@@ -363,7 +376,9 @@ class AgentFlow:
     def _make_matcher(self, phrases_by_key: Mapping[str, Sequence[str]], threshold: float):
         if self._use_embeddings and self._embedder is not None:
             if self._backend is None:
-                self._backend = EmbeddingBackend(self._embedder)
+                self._backend = EmbeddingBackend(
+                    self._embedder, cache=self._embedding_cache
+                )
             return PhraseMatcher(self._backend, phrases_by_key, threshold=threshold)
         return SubstringMatcher(phrases_by_key, threshold=threshold)
 

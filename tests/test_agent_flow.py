@@ -351,3 +351,57 @@ def test_spelled_mode_owns_command_words():
     agent.handle_utterance("bravo")
     agent.handle_utterance("stop")
     assert answers == ["b"]
+
+
+class TestCachedEmbeddings:
+    def test_tsv_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from moonshine_tpu.agent.cached_embeddings import (
+            load_cached_embeddings, save_cached_embeddings,
+        )
+
+        vecs = {"yes": np.arange(4, dtype=np.float32),
+                "no way": np.ones(4, np.float32) * -0.5}
+        p = tmp_path / "cache.tsv"
+        save_cached_embeddings(p, vecs, {"model_name": "test"})
+        loaded, meta = load_cached_embeddings(p)
+        assert meta["model_name"] == "test"
+        assert meta["embedding_dim"] == "4"
+        assert set(loaded) == set(vecs)
+        np.testing.assert_array_equal(loaded["yes"], vecs["yes"])
+
+    def test_cache_hits_skip_embedder(self, tmp_path):
+        import numpy as np
+
+        from moonshine_tpu.agent.cached_embeddings import (
+            build_cached_embeddings,
+        )
+        from moonshine_tpu.agent.flow import AgentFlow
+
+        calls = []
+
+        class FakeEmbedder:
+            def get_embeddings(self, text):
+                calls.append(text)
+                # deterministic fake embedding
+                v = np.zeros(8, np.float32)
+                v[hash(text) % 8] = 1.0
+                return v
+
+        emb = FakeEmbedder()
+        p = tmp_path / "cache.tsv"
+        build_cached_embeddings(emb, ["hello there", "set a timer"], p)
+        assert calls == ["hello there", "set a timer"]
+        calls.clear()
+
+        agent = (
+            AgentFlow()
+            .use_embedder(emb)
+            .with_cached_embeddings(p)
+            .speak_with(lambda t: None)
+            .listen_for("set a timer", lambda d: iter(()))
+            .load()
+        )
+        agent.handle_utterance("set a timer")  # exact cached phrase
+        assert "set a timer" not in calls  # served from the TSV cache
