@@ -268,6 +268,39 @@ class Transcriber:
         self._log_api("free_stream", stream=getattr(stream, "stream_id", stream))
         self._require_loaded().free_stream(stream)
 
+    # -- implicit default stream ---------------------------------------------
+    # Single-input apps can forget streams exist: the transcriber exposes
+    # the same start/add_audio/update/stop surface, lazily backed by one
+    # stream (reference: README "the transcriber class includes the same
+    # methods (start/stop/add_audio) as a stream", transcriber.py).
+
+    _default_stream: Stream | None = None
+
+    def _stream(self) -> Stream:
+        if self._default_stream is None:
+            self._default_stream = self.create_stream()
+            self._default_stream.start()
+        return self._default_stream
+
+    def start(self) -> None:
+        self._stream()
+
+    def add_audio(self, audio: np.ndarray, sample_rate: int = 16000) -> None:
+        self._stream().add_audio(audio, sample_rate)
+
+    def update_transcription(self, flags: int = 0) -> Transcript:
+        return self._stream().update_transcription(flags)
+
+    def add_listener(self, listener) -> None:
+        self._stream().add_listener(listener)
+
+    def stop(self) -> Transcript:
+        stream = self._stream()
+        transcript = stream.stop()
+        self.free_stream(stream)
+        self._default_stream = None
+        return transcript
+
 
 class MicTranscriber:
     """Microphone-fed transcriber (reference: mic_transcriber.py).

@@ -154,3 +154,32 @@ def test_cli_download_requires_base_url(capsys, monkeypatch):
     monkeypatch.delenv("MOONSHINE_TPU_MODEL_URL", raising=False)
     assert main(["download", "tiny"]) == 1
     assert "download failed" in capsys.readouterr().err
+
+
+def test_transcriber_implicit_stream(tokenizer_bin_path):
+    """Single-input convenience: the Transcriber exposes the Stream
+    surface directly (reference: README 'the transcriber class includes
+    the same methods (start/stop/add_audio) as a stream')."""
+    import moonshine_tpu as mt
+
+    t = mt.Transcriber(
+        model="tiny", tokenizer_path=tokenizer_bin_path,
+        options=mt.TranscriberOptions(
+            vad=mt.VadOptions(threshold=0.0, max_segment_duration=1.0)
+        ),
+    ).load()
+    rng = np.random.default_rng(3)
+    events = []
+    t.start()
+    t.add_listener(lambda e: events.append(type(e).__name__))
+    for _ in range(4):
+        t.add_audio(rng.standard_normal(8000).astype(np.float32) * 0.1)
+        t.update_transcription()
+    transcript = t.stop()
+    assert all(line.is_complete for line in transcript.lines)
+    assert len(transcript.lines) >= 1
+    assert "LineCompleted" in events
+    # After stop, the implicit stream resets: usable again.
+    t.start()
+    t.add_audio(rng.standard_normal(8000).astype(np.float32) * 0.1)
+    t.stop()
