@@ -263,11 +263,14 @@ _DE_RULES: list[tuple[str, str]] = [
 # ---- Italian -----------------------------------------------------------
 
 _IT_RULES: list[tuple[str, str]] = [
-    (r"sci(?=[aou])", "ʃ"), (r"sc(?=[ei])", "ʃ"), (r"sch", "sk"),
+    (r"scie", "ʃɛ"), (r"sci(?=[aou])", "ʃ"), (r"sc(?=[ei])", "ʃ"),
+    (r"sch", "sk"),
     (r"gli", "ʎ"), (r"gn", "ɲ"), (r"ci(?=[aou])", "tʃ"), (r"c(?=[ei])", "tʃ"),
     (r"gi(?=[aou])", "dʒ"), (r"g(?=[ei])", "dʒ"), (r"ch", "k"), (r"gh", "ɡ"),
     (r"qu", "kw"), (r"zz", "tts"), (r"z", "ts"), (r"h", ""),
     (r"à", "a"), (r"è", "ɛ"), (r"é", "e"), (r"ì", "i"), (r"ò", "ɔ"), (r"ù", "u"),
+    # intervocalic s voices; i before a vowel glides (chiesa -> kjeza)
+    (r"(?<=[aeiou])s(?=[aeiou])", "z"), (r"i(?=[aeou])", "j"),
     (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
     (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
     (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "r"),
@@ -286,8 +289,19 @@ _PT_RULES: list[tuple[str, str]] = [
     (r"á", "a"), (r"â", "ɐ"), (r"é", "ɛ"), (r"ê", "e"), (r"í", "i"),
     (r"ó", "ɔ"), (r"ô", "o"), (r"ú", "u"),
     (r"x", "ʃ"), (r"z(?=#)", "ʃ"), (r"z", "z"),
+    # nasal vowels before m/n + consonant (gente, campo, onde, um)
+    (r"am(?=[pbctdgfsvqk])", "ɐ̃"), (r"an(?=[pbctdgfsvqk])", "ɐ̃"),
+    (r"em(?=[pbctdgfsvqk]|#)", "ẽ"), (r"en(?=[pbctdgfsvqk])", "ẽ"),
+    (r"im(?=[pbctdgfsvqk]|#)", "ĩ"), (r"in(?=[pbctdgfsvqk])", "ĩ"),
+    (r"om(?=[pbctdgfsvqk]|#)", "õ"), (r"on(?=[pbctdgfsvqk])", "õ"),
+    (r"um(?=[pbctdgfsvqk]|#)", "ũ"), (r"un(?=[pbctdgfsvqk])", "ũ"),
     (r"rr", "ʁ"),
+    # single r: tap between vowels and finally, guttural at word start
+    # (lookbehind sees INPUT graphemes, hence the orthographic vowels)
+    (r"(?<=[aeiouãõáâéêíóôú])r(?=[aeiou])", "ɾ"),
     (r"r(?=#)", "ɾ"), (r"r", "ʁ"),
+    # unstressed final vowels reduce (filho -> fiʎu, gente -> ʒẽti)
+    (r"o(?=s?#)", "u"), (r"e(?=s?#)", "i"),
     (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
     (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
     (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
