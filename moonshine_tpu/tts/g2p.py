@@ -270,7 +270,7 @@ _IT_RULES: list[tuple[str, str]] = [
     (r"qu", "kw"), (r"zz", "tts"), (r"z", "ts"), (r"h", ""),
     (r"à", "a"), (r"è", "ɛ"), (r"é", "e"), (r"ì", "i"), (r"ò", "ɔ"), (r"ù", "u"),
     # intervocalic s voices; i before a vowel glides (chiesa -> kjeza)
-    (r"(?<=[aeiou])s(?=[aeiou])", "z"), (r"i(?=[aeou])", "j"),
+    (r"(?<=[aeiou])s(?=[aeiou])", "z"), (r"i(?=[aeouàèéòù])", "j"),
     (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
     (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
     (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "r"),
