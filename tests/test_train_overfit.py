@@ -176,3 +176,56 @@ def test_streaming_events_exact_transcripts(trained, tokenizer_bin_path):
         assert completed.get(line.id) == line.text  # event text == snapshot
     got = [completed[l.id].strip() for l in transcript.lines[: len(labels)]]
     assert got == [lab.strip() for lab in labels]
+
+
+def test_voice_driven_agent_flow(trained, tokenizer_bin_path, tmp_path):
+    """The flagship demo loop with real audio: WAV -> VAD -> trained ASR ->
+    completed line -> AgentFlow trigger fires (reference: AgentFlow voice
+    command recognition, README.md:1516)."""
+    from moonshine_tpu.agent.flow import AgentFlow
+    from moonshine_tpu.audio.wav import save_wav
+    from moonshine_tpu.mic import MicTranscriber, WavSource
+
+    params, labels, clip = trained
+    trigger = labels[0].strip().rstrip(",.").lower()
+
+    fired = []
+
+    def on_trigger(d):
+        fired.append(d.trigger_phrase)
+        yield d.say("heard you")
+
+    said = []
+    agent = (
+        AgentFlow()
+        .use_embeddings(False)  # substring match on the trained transcript
+        .speak_with(said.append)
+        .listen_for(trigger, on_trigger)
+        .load()
+    )
+
+    t = mt.Transcriber(
+        model=MICRO, tokenizer_path=tokenizer_bin_path,
+        vad_weights=TINYVAD_ONNX,
+    ).with_params(params).load()
+
+    path = str(tmp_path / "cmd.wav")
+    save_wav(path, clip, 16000)
+    texts: list[str] = []
+    mic = (
+        MicTranscriber()
+        .use_transcriber(t)
+        .update_interval(0.25)
+        .audio_source(WavSource(path, pace=False))
+        .on_text(lambda text: (texts.append(text), agent.handle_utterance(text)))
+    )
+    mic.load()
+    mic.start()
+    mic._thread.join(timeout=300.0)
+    mic.stop()
+
+    assert texts, "no completed lines from audio"
+    assert fired, f"agent never triggered; heard {texts!r}"
+    # The clip's lines share the "it was the ..." prefix, so the substring
+    # matcher may fire on several completed lines — each must have spoken.
+    assert said == ["heard you"] * len(fired)
