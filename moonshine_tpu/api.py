@@ -144,6 +144,7 @@ class Transcriber:
                 tokenizer,
                 max_tokens_per_second=self.options.max_tokens_per_second,
                 word_timestamps=self.options.word_timestamps,
+                kv_int8=self.options.kv_int8,
             )
 
         hop_prob_fn = self._load_vad()

@@ -220,6 +220,8 @@ class TranscriberOptions:
     save_input_wav_path: str | None = None
     # Decoding
     beam_size: int = 1
+    # int8 KV caches on the offline decode path (ops/int8_kv.py)
+    kv_int8: bool = False
     # Batched offline decode
     batch_size: int = 8
 

@@ -60,6 +60,7 @@ class OfflineBackend:
         min_bucket_seconds: float = 2.0,
         max_bucket_seconds: float = 64.0,
         word_timestamps: bool = False,
+        kv_int8: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -68,6 +69,9 @@ class OfflineBackend:
         self.min_bucket = min_bucket_seconds
         self.max_bucket = max_bucket_seconds
         self.word_timestamps = word_timestamps
+        # int8 KV caches with in-einsum dequant (ops/int8_kv.py): +14%
+        # decode throughput, verified token-identical on real audio.
+        self.kv_int8 = kv_int8
         # Single-process product path: "auto" picks the Pallas encoder
         # attention kernel on a TPU backend (1.33x, docs/PERF.md).
         self._encode = jax.jit(
@@ -134,6 +138,7 @@ class OfflineBackend:
                 mask,
                 max_tokens=max_tokens,
                 token_caps=jnp.asarray([cap], jnp.int32),
+                kv_int8=self.kv_int8,
             )
             n = int(res.lengths[0])
         ids = np.asarray(res.tokens[0, :n])

@@ -252,3 +252,17 @@ def test_int8_weights_preserve_trained_transcripts(trained, tokenizer_bin_path):
     # And the storage form really is ~4x smaller.
     stored = quantize_tree(params)
     assert tree_nbytes(stored) < 0.45 * tree_nbytes(params)
+
+
+def test_int8_kv_preserves_trained_transcripts(trained, tokenizer_bin_path):
+    """kv_int8 through the PRODUCT pipeline (TranscriberOptions.kv_int8)
+    on the trained model: transcripts verbatim."""
+    params, labels, clip = trained
+    t = mt.Transcriber(
+        model=MICRO, tokenizer_path=tokenizer_bin_path,
+        vad_weights=TINYVAD_ONNX,
+        options=mt.TranscriberOptions(kv_int8=True),
+    ).with_params(params).load()
+    transcript = t.transcribe(clip)
+    got = [l.text.strip() for l in transcript.lines[: len(labels)]]
+    assert got == [lab.strip() for lab in labels]
