@@ -32,9 +32,14 @@ def main() -> None:
     p.add_argument("wav")
     p.add_argument("--model", default="tiny_streaming")
     p.add_argument("--tokenizer", default=None)
+    p.add_argument("--vad-threshold", type=float, default=0.5,
+                   help="0 = treat everything as speech")
     args = p.parse_args()
 
-    t = mt.Transcriber(model=args.model, tokenizer_path=args.tokenizer).load()
+    t = mt.Transcriber(
+        model=args.model, tokenizer_path=args.tokenizer,
+        options=mt.TranscriberOptions(vad=mt.VadOptions(threshold=args.vad_threshold)),
+    ).load()
     stream = t.create_stream(update_interval=0.5)
     stream.add_listener(Printer())
     stream.start()

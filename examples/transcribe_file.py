@@ -19,9 +19,14 @@ def main() -> None:
     p.add_argument("--weights", default=None, help="HF safetensors checkpoint")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--word-timestamps", action="store_true")
+    p.add_argument("--vad-threshold", type=float, default=0.5,
+                   help="0 = treat everything as speech")
     args = p.parse_args()
 
-    options = mt.TranscriberOptions(word_timestamps=args.word_timestamps)
+    options = mt.TranscriberOptions(
+        word_timestamps=args.word_timestamps,
+        vad=mt.VadOptions(threshold=args.vad_threshold),
+    )
     t = mt.Transcriber(
         model=args.model,
         weights=args.weights,

@@ -8,6 +8,17 @@ flows, and text-to-speech — designed for TPU pod slices (SPMD over device
 meshes) rather than on-device CPU inference.
 """
 
+import os as _os
+
+# The image's sitecustomize pins JAX to the TPU plugin and ignores
+# JAX_PLATFORMS; this package-level override lets scripts/subprocesses
+# force a backend (e.g. MOONSHINE_TPU_PLATFORM=cpu for CI example runs).
+_platform = _os.environ.get("MOONSHINE_TPU_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+
 from .api import MicTranscriber, Transcriber
 from .core.config import (
     ARCHS,
