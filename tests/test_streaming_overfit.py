@@ -125,3 +125,30 @@ def test_streaming_service_batched_exact(trained, tokenizer_bin_path):
         if len(finals) == 2:
             break
     assert [finals[0].strip(), finals[1].strip()] == [l.strip() for l in labels]
+
+
+def test_streaming_service_int8_kv_exact(trained, tokenizer_bin_path):
+    """The batched service with int8 KV caches (fused dequant) must still
+    reproduce the trained transcripts — quantized-cache accuracy evidence
+    on the flagship family with weights that know the audio."""
+    from moonshine_tpu.serving import StreamingService
+
+    params, labels, clips = trained
+    tok = BinTokenizer.from_file(tokenizer_bin_path)
+    svc = StreamingService(
+        params, CFG, tokenizer=tok, n_streams=2,
+        update_frames=64, mem_bucket=512, draft_cap=32,
+        max_segment_seconds=CLIP_SECONDS + 0.01, kv_int8=True,
+    )
+    finals: dict[int, str] = {}
+    for slot, clip in enumerate(clips):
+        svc.open_slot(slot)
+        svc.add_audio(slot, clip)
+        svc.close_slot(slot)
+    for _ in range(40):
+        for ev in svc.update():
+            if ev.is_final:
+                finals[ev.slot] = ev.text
+        if len(finals) == 2:
+            break
+    assert [finals[0].strip(), finals[1].strip()] == [l.strip() for l in labels]
