@@ -95,6 +95,13 @@ def offline_bench(args) -> dict:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = mm.init_params(cfg, jax.random.PRNGKey(0))
     params = jax.tree.map(lambda x: x.astype(dtype), params)
+    if args.w8a8:
+        from moonshine_tpu.quant import quantize_tree_exec
+
+        # int8 weights executed on the MXU int8 path (w8a8 dynamic — the
+        # reference's ORT dynamic-quantization arithmetic); frontend and
+        # embed stay float per the reference's policy.
+        params = quantize_tree_exec(params)
 
     n_samples = int(16000 * args.duration)
     max_tokens = max(int(args.duration * cfg.max_tokens_per_second), 8)
@@ -145,7 +152,9 @@ def offline_bench(args) -> dict:
     # so vs_sol stays an honest fraction for either decode.
     sol_batch = args.batch * (args.beam_size if args.decode == "beam" else 1)
     t_sol = speed_of_light_seconds(cfg, sol_batch, n_samples, max_tokens, bytes_per_el)
-    kv_tag = ", int8 KV" if args.kv_int8 else ""
+    kv_tag = (", int8 KV" if args.kv_int8 else "") + (
+        ", w8a8 weights" if args.w8a8 else ""
+    )
     decode_tag = (
         f"beam-{args.beam_size} decode" if args.decode == "beam" else "greedy decode"
     )
@@ -268,7 +277,7 @@ def streaming_bench(args) -> dict:
     from moonshine_tpu.audio.wav import load_wav
     from moonshine_tpu.core.config import STREAMING_ARCHS
     from moonshine_tpu.models import streaming as ms
-    from moonshine_tpu.serving import StreamingService
+    from moonshine_tpu.serving import ShardedStreamingService, StreamingService
 
     cfg = STREAMING_ARCHS[args.streaming_arch]
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -312,15 +321,24 @@ def streaming_bench(args) -> dict:
             "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
         )
 
+    K = args.cohorts
+
     def measure(p) -> dict:
-        svc = StreamingService(
-            p, cfg, tokenizer=None, n_streams=S,
+        kw = dict(
             update_frames=update_frames, mem_bucket=mem_bucket,
             draft_cap=draft_cap, max_segment_seconds=seg_seconds,
-            compute_dtype=dtype, kv_int8=args.kv_int8,
-            vad=vad,
+            compute_dtype=dtype, kv_int8=args.kv_int8, vad=vad,
         )
-        svc.warmup()  # compiles once; the second run hits the jit cache
+        if K > 1:
+            # Staggered cohorts: tick one S/K-stream device program per
+            # call — every stream keeps the S/K-level update latency while
+            # the chip serves all S (serving.ShardedStreamingService).
+            svc = ShardedStreamingService(
+                p, cfg, tokenizer=None, n_streams=S, n_cohorts=K, **kw
+            )
+        else:
+            svc = StreamingService(p, cfg, tokenizer=None, n_streams=S, **kw)
+        svc.warmup()  # compiles once; sibling cohorts hit the jit cache
         cursors = list(offsets)
 
         def feed(slot: int, n: int) -> None:
@@ -334,23 +352,29 @@ def streaming_bench(args) -> dict:
             feed(i, (i * period // S) // step * step)
         # Drain the pre-fill backlog without timing it.
         for _ in range(int(seg_seconds / 0.64) + 4):
-            svc.update()
+            if K > 1:
+                svc.update_all()
+            else:
+                svc.update()
 
         update_ms: list[float] = []
         final_ms: list[float] = []
         n_finals = 0
         t_bench0 = time.perf_counter()
         for _ in range(args.updates):
-            for i in range(S):
-                feed(i, step)
-            t0 = time.perf_counter()
-            events = svc.update()
-            dt = (time.perf_counter() - t0) * 1000.0
-            update_ms.append(dt)
-            finals = [e for e in events if e.is_final]
-            if finals:
-                final_ms.append(dt)
-                n_finals += len(finals)
+            # One full update period: feed + tick each cohort in turn (the
+            # K=1 path is the same loop with a single all-streams cohort).
+            for c in range(K):
+                for i in range(c * S // K, (c + 1) * S // K):
+                    feed(i, step)
+                t0 = time.perf_counter()
+                events = svc.update(cohort=c) if K > 1 else svc.update()
+                dt = (time.perf_counter() - t0) * 1000.0
+                update_ms.append(dt)
+                finals = [e for e in events if e.is_final]
+                if finals:
+                    final_ms.append(dt)
+                    n_finals += len(finals)
         total_wall = time.perf_counter() - t_bench0
 
         audio_seconds = S * args.updates * step / 16000.0
@@ -370,9 +394,10 @@ def streaming_bench(args) -> dict:
 
     ref = REF_FINAL_LATENCY_MS[args.streaming_arch]
     update_budget_ms = step / 16000.0 * 1000.0
+    cohort_tag = f", {K} staggered cohorts" if K > 1 else ""
     return {
         "metric": f"audio-seconds/s, {args.streaming_arch} live service "
-        f"({S} concurrent streams, 0.64 s updates, 15 s segments, "
+        f"({S} concurrent streams{cohort_tag}, 0.64 s updates, 15 s segments, "
         f"{args.dtype}{', int8 KV' if args.kv_int8 else ''}"
         f"{', live TinyVad' if args.vad else ''}, 1 chip, "
         f"stable-hypothesis steady state)",
@@ -380,12 +405,14 @@ def streaming_bench(args) -> dict:
         "unit": "audio-seconds/s",
         "vs_baseline": round(ref["linux_x86"] / steady["p50_final"], 4),
         "streams": S,
+        "cohorts": K,
         "p50_update_ms": round(steady["p50"], 1),
         "p95_update_ms": round(steady["p95"], 1),
         "p50_final_latency_ms": round(steady["p50_final"], 1),
         "n_final_updates": steady["n_final_updates"],
         "n_finals": steady["n_finals"],
-        "realtime_headroom_x": round(update_budget_ms / steady["p50"], 2),
+        # K cohort ticks must fit one update period.
+        "realtime_headroom_x": round(update_budget_ms / (K * steady["p50"]), 2),
         "vs_linux_x86_latency": round(ref["linux_x86"] / steady["p50_final"], 2),
         "vs_macbook_latency": round(ref["macbook"] / steady["p50_final"], 2),
         # Adversarial floor: untrained weights churn the hypothesis every
@@ -408,10 +435,16 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--streaming-arch", default="medium_streaming")
-    # 32 medium streams: the measured latency/throughput sweet spot — p50
-    # update 211 ms (< the reference's 269 ms single-stream Linux x86
-    # post-phrase latency) while serving 32 concurrent streams (docs/PERF.md).
-    p.add_argument("--streams", type=int, default=32)
+    # 64 medium streams in 2 staggered cohorts: p50 update 200 ms (< the
+    # reference's 269 ms single-stream Linux x86 post-phrase latency) while
+    # serving 64 concurrent streams — each cohort tick is a 32-stream
+    # device program, the measured latency sweet spot (docs/PERF.md).
+    p.add_argument("--streams", type=int, default=64)
+    p.add_argument("--cohorts", type=int, default=2,
+                   help="shard streams into K staggered cohorts; each "
+                   "update() ticks one S/K-stream device program, keeping "
+                   "per-stream update latency at the S/K level while the "
+                   "chip serves all S (serving.ShardedStreamingService)")
     p.add_argument("--updates", type=int, default=40)
     p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
                    help="offline decode mode (BASELINE config 2 asks for "
@@ -420,6 +453,11 @@ def main() -> None:
     p.add_argument("--vad", default=False, action=argparse.BooleanOptionalAction,
                    help="real-weight TinyVadCNN segmentation inside the "
                    "streaming service (live VAD, BASELINE config 3)")
+    p.add_argument("--w8a8", default=False,
+                   action=argparse.BooleanOptionalAction,
+                   help="execute offline dense layers as dynamic w8a8 int8 "
+                   "matmuls on the MXU int8 path (quant.quantize_tree_exec; "
+                   "the reference's ORT dynamic-quantization arithmetic)")
     p.add_argument("--kv-int8", default=True,
                    action=argparse.BooleanOptionalAction,
                    help="int8 KV caches with fused dequant (ops/int8_kv.py); "

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..core.config import MoonshineArchConfig
 from ..ops.int8_kv import attention_dm_q8, attention_dm_q8_with_weights, quantize_kv
 from ..ops.rotary import apply_rotary, rotary_tables
+from ..quant import weight_of
 from .layers import (
     ACTIVATIONS,
     Params,
@@ -391,8 +392,11 @@ def compute_cross_kv(
         # transpose: folding the head/dim split into the einsum measures
         # 1.22x faster than projecting [B,T,H*hd] and relayouting
         # (50.8 -> 41.5 ms at B=256, bit-identical; docs/PERF.md).
-        wk = a["k"]["w"].reshape(cfg.hidden_size, h, hd).astype(memory.dtype)
-        wv = a["v"]["w"].reshape(cfg.hidden_size, h, hd).astype(memory.dtype)
+        # weight_of: also accepts exec-quantized w_q/w_scale trees (the
+        # dequant folds into this einsum — the cross-KV precompute is one
+        # pass over memory, not a per-step cost worth an int8 dot).
+        wk = weight_of(a["k"], memory.dtype).reshape(cfg.hidden_size, h, hd)
+        wv = weight_of(a["v"], memory.dtype).reshape(cfg.hidden_size, h, hd)
         k = jnp.einsum("btd,dhk->bhkt", memory, wk, preferred_element_type=memory.dtype)
         v = jnp.einsum("btd,dhk->bhkt", memory, wv, preferred_element_type=memory.dtype)
         if "b" in a["k"]:

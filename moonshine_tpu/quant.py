@@ -161,5 +161,58 @@ def fake_quantize_tree(
     return walk(params, [])
 
 
+def quantize_tree_exec(params: Params, skip_subtrees: tuple[str, ...] = ("frontend",)) -> Params:
+    """Param pytree -> int8 weights for EXECUTION on the MXU's int8 path.
+
+    Unlike :func:`quantize_tree` (storage: scales reduce over every
+    non-output axis, collapsing stacked layers), exec scales reduce ONLY
+    over the contraction (``in``) axis: a stacked dense ``w [L, in, out]``
+    becomes ``w_q int8 [L, in, out]`` + ``w_scale f32 [L, out]`` so a
+    ``lax.scan`` over layers carries per-layer per-channel scales.
+    ``layers.dense`` detects ``w_q`` and runs the w8a8 dynamic path —
+    per-row int8 activations x per-channel int8 weights -> int32 -> f32
+    rescale — the arithmetic of the reference's ORT dynamic quantization
+    (MatMulInteger, scripts/quantize-streaming-model.sh) on hardware where
+    int8 matmul peaks at 2x bf16.
+
+    ``embed`` stays float (gather + logits projection; accuracy-critical
+    and a negligible share of the GEMM time).
+    """
+
+    def walk(node, path):
+        if isinstance(node, Mapping):
+            out = {}
+            for k, v in node.items():
+                if k in skip_subtrees and not path:
+                    out[k] = v
+                elif k == _WEIGHT_KEY and hasattr(v, "ndim") and v.ndim >= 2:
+                    w = np.asarray(v, np.float32)
+                    amax = np.max(np.abs(w), axis=-2)  # reduce the in axis
+                    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+                    q = np.clip(
+                        np.round(w / scale[..., None, :]), -127, 127
+                    ).astype(np.int8)
+                    out["w_q"] = jnp.asarray(q)
+                    out["w_scale"] = jnp.asarray(scale)
+                else:
+                    out[k] = walk(v, path + [k])
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, path + [i]) for i, v in enumerate(node))
+        return node
+
+    return walk(params, [])
+
+
+def weight_of(p: Mapping, dtype=jnp.float32) -> jnp.ndarray:
+    """The float weight of a dense param dict, whether it holds ``w`` or
+    exec-quantized ``w_q``/``w_scale`` (for consumers that contract the
+    weight in a custom einsum rather than through ``layers.dense``; XLA
+    folds the dequant into the consuming GEMM)."""
+    if "w" in p:
+        return p["w"].astype(dtype)
+    return (p["w_q"].astype(dtype) * p["w_scale"][..., None, :].astype(dtype))
+
+
 def tree_nbytes(params: Params) -> int:
     return sum(np.asarray(x).nbytes for x in jax.tree.leaves(params))

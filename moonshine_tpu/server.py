@@ -209,6 +209,13 @@ def main(argv=None) -> None:  # pragma: no cover - CLI
     p.add_argument("--weights", default=None, help="streaming checkpoint dir")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--streams", type=int, default=16)
+    p.add_argument("--cohorts", type=int, default=1,
+                   help="shard slots into K staggered cohorts; each update "
+                   "tick runs one S/K-stream device program, so per-stream "
+                   "update latency stays at the S/K level (streams update "
+                   "every K ticks — scale --tick down accordingly)")
+    p.add_argument("--tick", type=float, default=0.25,
+                   help="device update cadence in seconds")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     args = p.parse_args(argv)
@@ -221,9 +228,18 @@ def main(argv=None) -> None:  # pragma: no cover - CLI
     else:
         params = ms.init_params(cfg, jax.random.PRNGKey(0))
     tok = BinTokenizer.from_file(args.tokenizer) if args.tokenizer else None
-    svc = StreamingService(params, cfg, tok, n_streams=args.streams)
+    if args.cohorts > 1:
+        from .serving import ShardedStreamingService
+
+        svc = ShardedStreamingService(
+            params, cfg, tok, n_streams=args.streams, n_cohorts=args.cohorts
+        )
+    else:
+        svc = StreamingService(params, cfg, tok, n_streams=args.streams)
     print(f"warmup: {svc.warmup():.1f}s; serving ws://{args.host}:{args.port}")
-    server = TranscriptionServer(svc, host=args.host, port=args.port)
+    server = TranscriptionServer(
+        svc, tick_seconds=args.tick, host=args.host, port=args.port
+    )
     asyncio.run(server.serve())
 
 

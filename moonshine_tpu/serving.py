@@ -22,7 +22,7 @@ mode (vad=None == the reference's vad_threshold=0 contract).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import numpy as np
 
@@ -487,3 +487,117 @@ class StreamingService:
             s.seg_final_queued = True
             self._seg_consumed[slot] += 1
             seg.clear_audio()
+
+
+class ShardedStreamingService:
+    """``n_streams`` live streams as ``n_cohorts`` staggered device cohorts.
+
+    One fused update program's wall time grows with its stream count (the
+    verify pass and greedy continuation are per-stream serial token work),
+    so a single 64-stream program pays ~2x the per-update latency of a
+    32-stream one.  Sharding the slots into K cohorts and ticking ONE
+    cohort per :meth:`update` call keeps every stream's update latency at
+    the S/K-stream level while the chip serves all ``n_streams``: the
+    caller ticks cohorts round-robin at ``period / n_cohorts`` intervals
+    (time-division multiplexing of the chip, the scheduling analog of the
+    reference's thread-per-stream multiplexing over one model instance,
+    core/transcriber.h:77-110).
+
+    All cohorts share one weight pytree (params are cast once here; the
+    per-cohort ``cast_params`` is then a no-op returning the same arrays)
+    and — because :func:`models.streaming_batch.service_update` is a
+    module-level ``jax.jit`` keyed on shapes — one set of compiled
+    executables; only the per-cohort KV state is distinct, so HBM cost
+    equals a single ``n_streams``-slot service.
+
+    API mirrors :class:`StreamingService` with GLOBAL slot ids in
+    [0, n_streams); cohort ``c`` owns the contiguous range
+    ``[c*S/K, (c+1)*S/K)``.  :meth:`update` ticks the next cohort and
+    returns its events (slot ids re-mapped to global); :meth:`update_all`
+    ticks every cohort once.
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: StreamingConfig,
+        tokenizer: BinTokenizer | None,
+        n_streams: int,
+        n_cohorts: int = 2,
+        compute_dtype=None,
+        **kw,
+    ):
+        if n_streams % n_cohorts != 0:
+            raise ValueError(
+                f"n_streams={n_streams} not divisible by n_cohorts={n_cohorts}"
+            )
+        import jax.numpy as jnp
+
+        dtype = compute_dtype or jnp.float32
+        if dtype != jnp.float32:
+            # Cast ONCE so the K cohorts share one weight pytree in HBM
+            # (StreamingService's own cast is then a same-dtype no-op).
+            params = sb.cast_params(params, dtype)
+        self.S = n_streams
+        self.K = n_cohorts
+        self.per_cohort = n_streams // n_cohorts
+        self.cohorts = [
+            StreamingService(
+                params, cfg, tokenizer, self.per_cohort,
+                compute_dtype=dtype, **kw,
+            )
+            for _ in range(n_cohorts)
+        ]
+        self._next = 0
+
+    def _route(self, slot: int) -> tuple[StreamingService, int]:
+        if not 0 <= slot < self.S:
+            raise ValueError(f"slot {slot} out of range [0, {self.S})")
+        return self.cohorts[slot // self.per_cohort], slot % self.per_cohort
+
+    @property
+    def slots(self) -> list[_Slot]:
+        """Flat global-slot-indexed view over the cohorts' slot states
+        (read-only introspection, e.g. the server's busy check)."""
+        return [s for svc in self.cohorts for s in svc.slots]
+
+    def open_slot(self, slot: int) -> None:
+        svc, local = self._route(slot)
+        svc.open_slot(local)
+
+    def close_slot(self, slot: int) -> None:
+        svc, local = self._route(slot)
+        svc.close_slot(local)
+
+    def add_audio(self, slot: int, audio: np.ndarray) -> None:
+        svc, local = self._route(slot)
+        svc.add_audio(local, audio)
+
+    def cohort_of(self, slot: int) -> int:
+        return slot // self.per_cohort
+
+    def update(self, cohort: int | None = None) -> list[StreamEvent]:
+        """Tick ONE cohort (round-robin unless ``cohort`` is given).
+
+        Call this every ``update_period / n_cohorts`` seconds; each stream
+        then gets updates at the full period with per-update latency of an
+        S/K-stream program.
+        """
+        c = self._next if cohort is None else cohort
+        if cohort is None:
+            self._next = (c + 1) % self.K
+        base = c * self.per_cohort
+        return [
+            replace(e, slot=e.slot + base) for e in self.cohorts[c].update()
+        ]
+
+    def update_all(self) -> list[StreamEvent]:
+        """Tick every cohort once (one full update period)."""
+        events: list[StreamEvent] = []
+        for c in range(self.K):
+            events.extend(self.update(cohort=c))
+        return events
+
+    def warmup(self) -> float:
+        """Compile once (cohort 0); siblings reuse the jit cache."""
+        return sum(svc.warmup() for svc in self.cohorts)

@@ -70,15 +70,23 @@ def test_mic_mute_produces_silence(tokenizer_bin_path, tmp_path):
     assert not mic._muted
 
 
-@pytest.mark.parametrize("n_clients", [1, 3])
-def test_websocket_loopback(n_clients):
+@pytest.mark.parametrize("n_clients,cohorts", [(1, 1), (3, 1), (3, 2)])
+def test_websocket_loopback(n_clients, cohorts):
     websockets = pytest.importorskip("websockets")
     from moonshine_tpu.server import TranscriptionServer
 
     params = ms.init_params(CFG, jax.random.PRNGKey(1))
-    svc = StreamingService(params, CFG, tokenizer=None, n_streams=4,
-                           update_frames=64, mem_bucket=512, draft_cap=32,
-                           max_segment_seconds=1.0)
+    kw = dict(update_frames=64, mem_bucket=512, draft_cap=32,
+              max_segment_seconds=1.0)
+    if cohorts > 1:
+        # Staggered-cohort service behind the same server: update() ticks
+        # one cohort per server tick (round-robin), slots stay global.
+        from moonshine_tpu.serving import ShardedStreamingService
+
+        svc = ShardedStreamingService(params, CFG, tokenizer=None,
+                                      n_streams=4, n_cohorts=cohorts, **kw)
+    else:
+        svc = StreamingService(params, CFG, tokenizer=None, n_streams=4, **kw)
     server = TranscriptionServer(svc, tick_seconds=0.05, port=0)
 
     async def client(uri: str, seed: int) -> list[dict]:

@@ -1,0 +1,122 @@
+"""ShardedStreamingService: staggered-cohort scheduling correctness.
+
+Slots are computationally independent inside a service_update program
+(masked per-stream vmap), so splitting N streams into K cohorts must not
+change any stream's transcript — only the per-update latency profile
+(docs/PERF.md).  These tests pin that equivalence plus the slot routing
+and the shared-weights invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from moonshine_tpu.core.config import StreamingConfig
+from moonshine_tpu.models import streaming as ms
+from moonshine_tpu.serving import ShardedStreamingService, StreamingService
+
+CFG = StreamingConfig(
+    encoder_dim=64, decoder_dim=64, depth=2, nheads=4, head_dim=16,
+    vocab_size=96, d_model_frontend=32, c1=48, c2=64, max_seq_len=64,
+    encoder_depth=2,
+)
+
+S, K = 4, 2
+SEG_SECONDS = 1.0
+
+
+def _params():
+    return ms.init_params(CFG, jax.random.PRNGKey(7))
+
+
+def _audio(slot: int) -> np.ndarray:
+    rng = np.random.RandomState(100 + slot)
+    return (rng.randn(int(16000 * 2.3)) * 0.1).astype(np.float32)
+
+
+def _run(svc, tick) -> list[tuple[int, int, str, bool]]:
+    """Feed every slot the same per-slot audio, close, drain; return the
+    (slot, segment_id, text, is_final) event log sorted per slot.
+
+    Drains with a fixed tick count (no-event ticks are NOT "done": updates
+    whose text is unchanged emit nothing while feeding continues): 2.3 s /
+    (16 frames * 80 samples) = 29 feed ticks per segment stream + finals.
+    """
+    for i in range(S):
+        svc.open_slot(i)
+        svc.add_audio(i, _audio(i))
+        svc.close_slot(i)
+    log: list[tuple[int, int, str, bool]] = []
+    for _ in range(40):
+        log.extend(
+            (e.slot, e.segment_id, e.text, e.is_final) for e in tick()
+        )
+    by_slot = {i: [t for t in log if t[0] == i] for i in range(S)}
+    return [t for i in range(S) for t in by_slot[i]]
+
+
+def test_sharded_matches_unsharded_transcripts():
+    params = _params()
+    plain = StreamingService(
+        params, CFG, tokenizer=None, n_streams=S,
+        update_frames=16, mem_bucket=256, draft_cap=16,
+        max_segment_seconds=SEG_SECONDS,
+    )
+    sharded = ShardedStreamingService(
+        params, CFG, tokenizer=None, n_streams=S, n_cohorts=K,
+        update_frames=16, mem_bucket=256, draft_cap=16,
+        max_segment_seconds=SEG_SECONDS,
+    )
+    ref = _run(plain, plain.update)
+    got = _run(sharded, sharded.update_all)
+    assert ref == got
+    # Real segmentation happened: 2.3 s audio / 1 s force-split cap =>
+    # exactly 3 final segments per slot (1.0 + 1.0 + 0.3 s).
+    finals = [t for t in ref if t[3]]
+    assert len(finals) == 3 * S
+
+
+def test_round_robin_update_covers_all_cohorts():
+    params = _params()
+    sharded = ShardedStreamingService(
+        params, CFG, tokenizer=None, n_streams=S, n_cohorts=K,
+        update_frames=16, mem_bucket=256, draft_cap=16,
+        max_segment_seconds=SEG_SECONDS,
+    )
+    # K single-cohort ticks == one update_all; slot ids must be global.
+    for i in range(S):
+        sharded.open_slot(i)
+        sharded.add_audio(i, _audio(i))
+    seen: set[int] = set()
+    for _ in range(K):
+        for e in sharded.update():
+            seen.add(e.slot)
+    assert seen == set(range(S))
+
+
+def test_cohorts_share_cast_weight_buffers():
+    params = _params()
+    sharded = ShardedStreamingService(
+        params, CFG, tokenizer=None, n_streams=S, n_cohorts=K,
+        update_frames=16, mem_bucket=256, draft_cap=16,
+        compute_dtype=jnp.bfloat16,
+    )
+    a = jax.tree.leaves(sharded.cohorts[0].params)
+    b = jax.tree.leaves(sharded.cohorts[1].params)
+    assert all(x is y for x, y in zip(a, b))
+
+
+def test_bad_shard_args_raise():
+    params = _params()
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedStreamingService(params, CFG, None, n_streams=5, n_cohorts=2)
+    svc = ShardedStreamingService(
+        params, CFG, None, n_streams=S, n_cohorts=K,
+        update_frames=16, mem_bucket=256, draft_cap=16,
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        svc.open_slot(S)
