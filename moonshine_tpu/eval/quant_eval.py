@@ -24,14 +24,24 @@ def compare_decodes(
     seconds: float = 4.0,
     per_channel: bool = True,
     seed: int = 0,
+    w8a8: bool = False,
 ) -> dict:
+    """``w8a8=True`` additionally decodes with the TRUE deployed int8
+    execution (quant.quantize_tree_exec: dynamic int8 activations × int8
+    weights on the MXU — the reference's MatMulInteger arithmetic), not
+    just the fake-quant float simulation of the weights."""
     import jax
     import jax.numpy as jnp
 
     from ..core.config import ARCHS
     from ..decoding.greedy import greedy_decode
     from ..models import moonshine as mm
-    from ..quant import fake_quantize_tree, quantize_tree, tree_nbytes
+    from ..quant import (
+        fake_quantize_tree,
+        quantize_tree,
+        quantize_tree_exec,
+        tree_nbytes,
+    )
 
     cfg = ARCHS[arch]
     params = mm.init_params(cfg, jax.random.PRNGKey(seed))
@@ -46,16 +56,17 @@ def compare_decodes(
         res = greedy_decode(p, cfg, memory, mask, max_tokens=max_tokens)
         return np.asarray(res.tokens), np.asarray(res.lengths)
 
+    def agreement(a, la, b, lb):
+        exact = float(np.mean([
+            np.array_equal(a[i, : la[i]], b[i, : lb[i]]) for i in range(n_clips)
+        ]))
+        return exact, float((a == b).mean())
+
     t_f, l_f = decode(params)
     t_q, l_q = decode(params_q)
-    agree = float(
-        np.mean([
-            np.array_equal(t_f[i, : l_f[i]], t_q[i, : l_q[i]]) for i in range(n_clips)
-        ])
-    )
-    tok_agree = float((t_f == t_q).mean())
+    agree, tok_agree = agreement(t_f, l_f, t_q, l_q)
     packed = quantize_tree(params)
-    return {
+    out = {
         "arch": arch,
         "per_channel": per_channel,
         "clips": n_clips,
@@ -65,6 +76,12 @@ def compare_decodes(
         "int8_bytes": tree_nbytes(packed),
         "size_ratio": round(tree_nbytes(packed) / tree_nbytes(params), 3),
     }
+    if w8a8:
+        t_x, l_x = decode(quantize_tree_exec(params))
+        exact_x, tok_x = agreement(t_f, l_f, t_x, l_x)
+        out["w8a8_exact_sequence_agreement"] = exact_x
+        out["w8a8_token_agreement"] = tok_x
+    return out
 
 
 def main() -> None:  # pragma: no cover - CLI
@@ -73,8 +90,11 @@ def main() -> None:  # pragma: no cover - CLI
     p = argparse.ArgumentParser()
     p.add_argument("--arch", default="tiny")
     p.add_argument("--per-tensor", action="store_true")
+    p.add_argument("--w8a8", action="store_true",
+                   help="also decode with true int8 execution (MXU path)")
     args = p.parse_args()
-    print(json.dumps(compare_decodes(args.arch, per_channel=not args.per_tensor)))
+    print(json.dumps(compare_decodes(
+        args.arch, per_channel=not args.per_tensor, w8a8=args.w8a8)))
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -266,3 +266,21 @@ def test_int8_kv_preserves_trained_transcripts(trained, tokenizer_bin_path):
     transcript = t.transcribe(clip)
     got = [l.text.strip() for l in transcript.lines[: len(labels)]]
     assert got == [lab.strip() for lab in labels]
+
+
+def test_w8a8_execution_preserves_trained_transcripts(trained, tokenizer_bin_path):
+    """TRUE int8 execution (quantize_tree_exec: dynamic int8 activations ×
+    int8 weights -> int32 on the MXU path — the reference's MatMulInteger
+    arithmetic, not a float simulation) on the trained model: transcripts
+    verbatim.  Stronger than the fake-quant test above: the activation
+    rounding is real here."""
+    from moonshine_tpu.quant import quantize_tree_exec
+
+    params, labels, clip = trained
+    t = mt.Transcriber(
+        model=MICRO, tokenizer_path=tokenizer_bin_path,
+        vad_weights=TINYVAD_ONNX,
+    ).with_params(quantize_tree_exec(params)).load()
+    transcript = t.transcribe(clip)
+    got = [l.text.strip() for l in transcript.lines[: len(labels)]]
+    assert got == [lab.strip() for lab in labels]
