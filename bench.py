@@ -324,6 +324,10 @@ def streaming_bench(args) -> dict:
     K = args.cohorts
 
     def measure(p) -> dict:
+        if args.w8a8:
+            from moonshine_tpu.quant import quantize_tree_exec
+
+            p = quantize_tree_exec(p)
         kw = dict(
             update_frames=update_frames, mem_bucket=mem_bucket,
             draft_cap=draft_cap, max_segment_seconds=seg_seconds,
@@ -399,6 +403,7 @@ def streaming_bench(args) -> dict:
         "metric": f"audio-seconds/s, {args.streaming_arch} live service "
         f"({S} concurrent streams{cohort_tag}, 0.64 s updates, 15 s segments, "
         f"{args.dtype}{', int8 KV' if args.kv_int8 else ''}"
+        f"{', w8a8 weights' if args.w8a8 else ''}"
         f"{', live TinyVad' if args.vad else ''}, 1 chip, "
         f"stable-hypothesis steady state)",
         "value": round(steady["agg"], 2),

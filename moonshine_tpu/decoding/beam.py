@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import MoonshineArchConfig
 from ..models import moonshine as mm
+from ..ops.beam_gather import gather_kv_rows
 
 NEG_INF = -1e9
 
@@ -36,7 +37,7 @@ def _expand_per_beam(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
     return jnp.repeat(x, k, axis=axis)
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_tokens"))
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_tokens", "gather_impl"))
 def beam_decode(
     params: dict,
     cfg: MoonshineArchConfig,
@@ -46,19 +47,28 @@ def beam_decode(
     max_tokens: int = 64,
     length_penalty: float = 0.6,
     token_caps: jnp.ndarray | None = None,  # [B]
+    gather_impl: str = "auto",  # "pallas" | "xla" | "auto" — like attn_impl:
+    # auto = Pallas row-copy gather on a single TPU backend, jnp.take
+    # elsewhere; sharded (pjit/GSPMD) callers should pass "xla" (a
+    # pallas_call is opaque to GSPMD repartitioning).
 ) -> BeamResult:
     b = memory.shape[0]
     k = beam_size
     bk = b * k
     dec = params["decoder"]
     eos = cfg.eos_token_id
+    if gather_impl == "auto":
+        use_pallas_gather = jax.default_backend() == "tpu"
+    else:
+        use_pallas_gather = gather_impl == "pallas"
 
+    # Cross caches stay UNEXPANDED at B rows: the K beams of an utterance
+    # share its memory, and decoder_apply(beam_k=k) folds beams into the
+    # cross-attention query axis — removing the K-fold redundant cross-KV
+    # streaming per step (the dominant beam HBM cost).  Only the self
+    # caches are per-beam (B*K rows).
     k_cross, v_cross = mm.compute_cross_kv(dec, cfg, memory)
-    # Expand B -> B*K along the batch axis of each cache.
-    k_cross = _expand_per_beam(k_cross, k, axis=1)
-    v_cross = _expand_per_beam(v_cross, k, axis=1)
-    mask_bk = _expand_per_beam(memory_mask, k, axis=0)
-    cache = mm.init_cache(cfg, bk, max_tokens + 1, k_cross, v_cross, mask_bk, dtype=memory.dtype)
+    cache = mm.init_cache(cfg, bk, max_tokens + 1, k_cross, v_cross, memory_mask, dtype=memory.dtype)
 
     if token_caps is None:
         token_caps = jnp.full((b,), max_tokens, jnp.int32)
@@ -67,7 +77,7 @@ def beam_decode(
 
     # Prefill BOS on every beam.
     bos = jnp.full((bk, 1), cfg.decoder_start_token_id, jnp.int32)
-    logits, cache, _ = mm.decoder_apply(dec, cfg, bos, cache)
+    logits, cache, _ = mm.decoder_apply(dec, cfg, bos, cache, beam_k=k)
     logp0 = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)  # [B*K, V]
 
     # Initial expansion: take top-k distinct first tokens per batch element
@@ -104,7 +114,9 @@ def beam_decode(
         return jnp.logical_and(c.step < max_tokens, jnp.logical_not(jnp.all(c.finished)))
 
     def body(c: Carry):
-        logits, cache, _ = mm.decoder_apply(dec, cfg, c.last.reshape(bk, 1), c.cache)
+        logits, cache, _ = mm.decoder_apply(
+            dec, cfg, c.last.reshape(bk, 1), c.cache, beam_k=k
+        )
         logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1).reshape(b, k, vocab)
         # Finished beams: only EOS at logprob 0 (score frozen).
         eos_only = jnp.full((vocab,), NEG_INF).at[eos].set(0.0)
@@ -121,10 +133,18 @@ def beam_decode(
         lengths = c.lengths[batch_idx, parent]
         was_finished = c.finished[batch_idx, parent]
 
-        # Gather self-KV along the flattened beam axis.
+        # Gather self-KV along the flattened beam axis.  On TPU this is a
+        # Pallas block-copy kernel (scalar-prefetched row indices) — XLA's
+        # gather path runs at ~28 GB/s here, 12.5 ms/step of bookkeeping
+        # at bench shapes (docs/PERF.md); the DMA copy doesn't.
         flat_parent = (batch_idx * k + parent).reshape(bk)  # [B*K]
-        k_self = jnp.take(cache.k_self, flat_parent, axis=1)
-        v_self = jnp.take(cache.v_self, flat_parent, axis=1)
+        if use_pallas_gather:
+            k_self, v_self = gather_kv_rows(
+                cache.k_self, cache.v_self, flat_parent
+            )
+        else:
+            k_self = jnp.take(cache.k_self, flat_parent, axis=1)
+            v_self = jnp.take(cache.v_self, flat_parent, axis=1)
         cache = cache._replace(k_self=k_self, v_self=v_self)
 
         is_eos = token == eos

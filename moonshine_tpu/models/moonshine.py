@@ -478,13 +478,22 @@ def _decoder_layer_apply(
 
 def _decoder_cross_mlp_apply(
     cfg, h, lp, kc_l, vc_l, cross_mask, eps, collect_weights=False,
-    kc_s_l=None, vc_s_l=None,
+    kc_s_l=None, vc_s_l=None, beam_k=1,
 ):
     b, s, _ = h.shape
     heads = cfg.decoder_heads
     x = layer_norm(lp["ln2"], h, eps)
     a = lp["cross_attn"]
     q = _split_heads(dense(a["q"], x), heads)
+    if beam_k > 1:
+        # Beam-deduplicated cross attention: the K beams of one utterance
+        # share its memory, so the cross caches arrive UNEXPANDED
+        # ([B, H, hd, T] instead of [B*K, ...]) and the beams fold into
+        # the query-token axis — exact, because cross attention has no
+        # causal structure and every query row attends the whole memory.
+        # This removes the K-fold redundant cross-KV streaming that
+        # dominated beam decode (docs/PERF.md beam section).
+        q = q.reshape(b // beam_k, beam_k * s, heads, -1)
     if kc_s_l is not None:  # int8 cross-KV with in-einsum dequant
         if collect_weights:
             o, w = attention_dm_q8_with_weights(q, kc_l, kc_s_l, vc_l, vc_s_l, cross_mask)
@@ -496,6 +505,8 @@ def _decoder_cross_mlp_apply(
     else:
         o = _attention_dm(q, kc_l.astype(q.dtype), vc_l.astype(q.dtype), cross_mask)
         w = None
+    if beam_k > 1:
+        o = o.reshape(b, s, heads, -1)
     h = h + dense(a["o"], o.reshape(b, s, -1))
     # SwiGLU MLP: fc1 -> (h, gate) -> silu(gate) * h -> fc2
     x = layer_norm(lp["ln3"], h, eps)
@@ -513,6 +524,10 @@ def decoder_apply(
     cache: DecoderCache,
     token_mask: jnp.ndarray | None = None,  # [B, s] True for real tokens
     collect_cross_attention: bool = False,
+    beam_k: int = 1,  # >1: tokens carry B*K beam rows while the cache's
+    # CROSS arrays stay unexpanded at B rows (beams of one utterance share
+    # its memory) — the K beams fold into the cross-attention query axis.
+    # Self caches remain per-beam ([L, B*K, ...]).
 ) -> tuple[jnp.ndarray, DecoderCache, jnp.ndarray | None]:
     """Run the decoder over ``s`` new tokens, updating the cache.
 
@@ -553,6 +568,11 @@ def decoder_apply(
         key_valid = jnp.where(in_block[None, :], blk_valid, True)
         self_mask = jnp.logical_and(self_mask, key_valid[:, None, None, :])
 
+    if beam_k > 1 and collect_cross_attention:
+        raise ValueError("collect_cross_attention is not supported with beam_k > 1")
+    # cross mask broadcasts over query rows, so folding beams into the
+    # query axis (beam_k > 1) needs no mask change beyond the B rows
+    # matching the UNEXPANDED memory_mask.
     cross_mask = cache.memory_mask[:, None, None, :]  # [B, 1, 1, T]
 
     quant = cache.k_self_scale is not None
@@ -565,12 +585,13 @@ def decoder_apply(
             lp, k_l, v_l, kc_l, vc_l = xs
             k_s_l = v_s_l = kc_s_l = vc_s_l = None
         h, k_l, v_l, k_s_l, v_s_l = _decoder_layer_apply(
-            cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask, cache.cur_len, eps,
-            k_s_l=k_s_l, v_s_l=v_s_l,
+            cfg, h, lp, k_l, v_l, cos, sin, self_mask, cross_mask,
+            cache.cur_len, eps, k_s_l=k_s_l, v_s_l=v_s_l,
         )
         h, w = _decoder_cross_mlp_apply(
             cfg, h, lp, kc_l, vc_l, cross_mask, eps,
             collect_weights=collect_cross_attention, kc_s_l=kc_s_l, vc_s_l=vc_s_l,
+            beam_k=beam_k,
         )
         if quant:
             return h, (k_l, v_l, k_s_l, v_s_l, w)

@@ -102,3 +102,35 @@ def test_beam_batch_independence(setup):
     np.testing.assert_array_equal(
         np.asarray(b_both.tokens[0]), np.asarray(b_first.tokens[0])
     )
+
+
+def test_beam_k_fold_matches_expanded_cross(setup):
+    """decoder_apply(beam_k=k) on UNEXPANDED cross caches must equal the
+    plain path on per-beam-expanded caches — the exactness claim behind
+    the beam cross-KV dedup (beams fold into the query-token axis)."""
+    params, memory, mask = setup
+    dec = params["decoder"]
+    b, k = memory.shape[0], 3
+    bk = b * k
+    k_cross, v_cross = mm.compute_cross_kv(dec, CFG, memory)
+
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, CFG.vocab_size, (bk, 4)), jnp.int32)
+
+    # Reference: caches expanded to one row per beam, beam_k=1.
+    kc_x = jnp.repeat(k_cross, k, axis=1)
+    vc_x = jnp.repeat(v_cross, k, axis=1)
+    mask_x = jnp.repeat(mask, k, axis=0)
+    cache_x = mm.init_cache(CFG, bk, 8, kc_x, vc_x, mask_x)
+    ref_logits, ref_cache, _ = mm.decoder_apply(dec, CFG, tokens, cache_x)
+
+    # Dedup: unexpanded caches, beams folded via beam_k.
+    cache_u = mm.init_cache(CFG, bk, 8, k_cross, v_cross, mask)
+    got_logits, got_cache, _ = mm.decoder_apply(dec, CFG, tokens, cache_u, beam_k=k)
+
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_cache.k_self), np.asarray(ref_cache.k_self), rtol=1e-6, atol=1e-6
+    )
