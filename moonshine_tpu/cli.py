@@ -29,9 +29,9 @@ def cmd_transcribe(args) -> int:
         tokenizer_path=args.tokenizer,
         options=options,
     ).load()
-    t0 = time.time()
+    t0 = time.monotonic()
     transcript = t.transcribe_wav(args.wav)
-    elapsed = time.time() - t0
+    elapsed = time.monotonic() - t0
     for line in transcript.lines:
         stamp = f"[{line.start_time:7.2f}s +{line.duration:5.2f}s] "
         print(stamp + (line.text or ""))
