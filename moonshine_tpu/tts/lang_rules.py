@@ -49,8 +49,44 @@ _KO_TAILS = [
 ]
 
 
+# Lead (choseong) indices: ㄱ0 ㄲ1 ㄴ2 ㄷ3 ㄸ4 ㄹ5 ㅁ6 ㅂ7 ㅃ8 ㅅ9 ㅆ10
+# ㅇ11 ㅈ12 ㅉ13 ㅊ14 ㅋ15 ㅌ16 ㅍ17 ㅎ18.
+_KO_LENIS_TO_TENSE = {0: 1, 3: 4, 7: 8, 9: 10, 12: 13}  # ㄱㄷㅂㅅㅈ → tense
+_KO_LENIS_TO_ASP = {0: 15, 3: 16, 7: 17, 12: 14}  # ㄱㄷㅂㅈ → ㅋㅌㅍㅊ
+_KO_LENIS_TO_VOICED = {0: "ɡ", 3: "d", 7: "b", 12: "dʑ"}
+# Tail (jongseong) index groups.  0 = none.
+_KO_TAIL_VELAR = {1, 2, 3, 24}  # ㄱ ㄲ ㄳ ㅋ
+_KO_TAIL_CORONAL = {7, 19, 20, 22, 23, 25, 27}  # ㄷ ㅅ ㅆ ㅈ ㅊ ㅌ ㅎ
+_KO_TAIL_LABIAL = {17, 18, 26}  # ㅂ ㅄ ㅍ
+_KO_TAIL_SONORANT = {0, 4, 8, 16, 21}  # none ㄴ ㄹ ㅁ ㅇ
+_KO_TAIL_OBSTRUENT = (
+    _KO_TAIL_VELAR | _KO_TAIL_CORONAL | _KO_TAIL_LABIAL
+) - {27}
+# Coda → aspirated onset when followed by lead ㅎ (입학 → i-pʰak).
+_KO_TAIL_TO_ASP_LEAD = {1: 15, 7: 16, 17: 17, 22: 14}
+
+
 class HangulG2P:
-    """Deterministic Hangul syllable → IPA (reference: korean rules)."""
+    """Hangul → IPA with cross-syllable sandhi.
+
+    Per-syllable jamo decomposition is arithmetic; the pronunciation
+    rules the reference's korean engine applies between syllables
+    (reference: korean.cpp:425-530 — coda nasal assimilation, ㅎ-merger
+    aspiration, post-obstruent tensification, post-sonorant lenis
+    voicing) are implemented on the decomposed (lead, vowel, tail)
+    sequence before emission, in that order:
+
+    1. ㅎ-merger: coda ㅎ + lenis ㄱㄷㅂㅈ → aspirated onset, coda drops
+       (좋다 → tɕotʰa); lenis coda + onset ㅎ → aspirated onset
+       (입학 → ipʰak ... coda drops).
+    2. Nasal assimilation: obstruent coda before ㄴ/ㅁ takes its place's
+       nasal — velar→ŋ (국물 → kuŋmul), coronal→n (듣는 → tɯnnɯn),
+       labial→m (합니다 → hamnida).
+    3. Tensification: obstruent coda + lenis ㄱㄷㅂㅅㅈ → tense onset
+       (입구 → ipk͈u).
+    4. Lenis voicing: ㄱㄷㅂㅈ voice to ɡ/d/b/dʑ after a vowel or
+       sonorant coda (한국 → hanɡuk, 바다 → pada).
+    """
 
     def __init__(self, lexicon: dict[str, str] | None = None):
         self.lexicon = dict(lexicon or {})
@@ -62,15 +98,49 @@ class HangulG2P:
         w = word.lower()
         if w in self.lexicon:
             return self.lexicon[w]
-        out: list[str] = []
+        syls: list[list[int]] = []
         for ch in word:
             code = ord(ch)
             if 0xAC00 <= code <= 0xD7A3:
                 idx = code - 0xAC00
-                lead = idx // (21 * 28)
-                vowel = (idx % (21 * 28)) // 28
-                tail = idx % 28
-                out.append(_KO_LEADS[lead] + _KO_VOWELS[vowel] + _KO_TAILS[tail])
+                syls.append(
+                    [idx // (21 * 28), (idx % (21 * 28)) // 28, idx % 28]
+                )
+        # -- sandhi on the jamo sequence (pairwise, left to right) --
+        tails_ipa: dict[int, str] = {}
+        for i in range(len(syls) - 1):
+            cur, nxt = syls[i], syls[i + 1]
+            # 1. ㅎ-merger aspiration.
+            if cur[2] == 27 and nxt[0] in _KO_LENIS_TO_ASP:
+                cur[2] = 0
+                nxt[0] = _KO_LENIS_TO_ASP[nxt[0]]
+            elif nxt[0] == 18 and cur[2] in _KO_TAIL_TO_ASP_LEAD:
+                nxt[0] = _KO_TAIL_TO_ASP_LEAD[cur[2]]
+                cur[2] = 0
+            # 2. Nasal assimilation before ㄴ/ㅁ.
+            if nxt[0] in (2, 6):
+                if cur[2] in _KO_TAIL_VELAR:
+                    tails_ipa[i] = "ŋ"
+                elif cur[2] in _KO_TAIL_CORONAL:
+                    tails_ipa[i] = "n"
+                elif cur[2] in _KO_TAIL_LABIAL:
+                    tails_ipa[i] = "m"
+            # 3. Tensification after an obstruent coda.
+            elif cur[2] in _KO_TAIL_OBSTRUENT and nxt[0] in _KO_LENIS_TO_TENSE:
+                nxt[0] = _KO_LENIS_TO_TENSE[nxt[0]]
+        out: list[str] = []
+        for i, (lead, vowel, tail) in enumerate(syls):
+            # 4. Lenis voicing after a vowel or sonorant coda.
+            if (
+                i > 0
+                and lead in _KO_LENIS_TO_VOICED
+                and syls[i - 1][2] in _KO_TAIL_SONORANT
+            ):
+                lead_ipa = _KO_LENIS_TO_VOICED[lead]
+            else:
+                lead_ipa = _KO_LEADS[lead]
+            tail_ipa = tails_ipa.get(i, _KO_TAILS[tail])
+            out.append(lead_ipa + _KO_VOWELS[vowel] + tail_ipa)
         return "".join(out)
 
 
@@ -152,7 +222,14 @@ class KanaG2P:
         ipa = "".join(out)
         # Sokuon (っ) geminates the following consonant.
         ipa = re.sub(r"Q(.)", r"\1\1", ipa)
-        return ipa.replace("Q", "")
+        ipa = ipa.replace("Q", "")
+        # ん place assimilation: moraic nasal takes the following
+        # consonant's place (uvular ɴ only phrase-finally / before vowels
+        # and approximants) — reference japanese rules do the same.
+        ipa = re.sub(r"ɴ(?=[pbm])", "m", ipa)
+        ipa = re.sub(r"ɴ(?=[tdnɾszç]|tɕ|dʑ)", "n", ipa)
+        ipa = re.sub(r"ɴ(?=[kɡ])", "ŋ", ipa)
+        return ipa
 
 
 # ---------------------------------------------------------------------------
@@ -556,6 +633,9 @@ _AR_MAP = {
     "َ": "a", "ُ": "u", "ِ": "i", "ْ": "", "ّ": "ː", "ً": "an", "ٌ": "un", "ٍ": "in",
 }
 
+# Coronals that assimilate the definite article's lām (حروف شمسية).
+_AR_SUN_LETTERS = frozenset("تثدذرزسشصضطظلن")
+
 
 class ArabicG2P:
     def __init__(self, lexicon: dict[str, str] | None = None):
@@ -569,9 +649,16 @@ class ArabicG2P:
             return self.lexicon[word]
         w = word
         out: list[str] = []
-        # Definite article: assimilation skipped (diacritizer territory).
+        # Definite article ال: before a "sun letter" (coronal) the lām
+        # assimilates and the following consonant geminates —
+        # الشمس → aʃ-ʃams, not al-ʃams (reference arabic rules; full
+        # vocalization beyond this is diacritizer territory).
         if w.startswith("ال") and len(w) > 2:
-            out.append("al")
+            nxt = w[2]
+            if nxt in _AR_SUN_LETTERS:
+                out.append("a" + _AR_MAP.get(nxt, ""))
+            else:
+                out.append("al")
             w = w[2:]
         for i, ch in enumerate(w):
             if i == 0 and ch == "و":
