@@ -401,6 +401,17 @@ _RU_RULES: list[tuple[str, str]] = [
     (r"(?<=[#аеёиоуыэюя])е", "je"), (r"(?<=[#аеёиоуыэюя])ё", "jo"),
     (r"(?<=[#аеёиоуыэюя])ю", "ju"), (r"(?<=[#аеёиоуыэюя])я", "ja"),
     (r"е", "ʲe"), (r"ё", "ʲo"), (r"ю", "ʲu"), (r"я", "ʲa"),
+    # Regressive voicing assimilation: an obstruent takes the voicing of
+    # the obstruent that follows (водка→votka, вокзал→voɡzal,
+    # сделать→zdʲelatʲ, футбол→fudbol); в is transparent — it devoices
+    # but does not trigger voicing.  (The engine emits at the first
+    # matching rule per position, so these emit IPA directly.)
+    (r"б(?=[кпстфхцчшщ])", "p"), (r"в(?=[кпстфхцчшщ])", "f"),
+    (r"г(?=[кпстфхцчшщ])", "k"), (r"д(?=[кпстфхцчшщ])", "t"),
+    (r"ж(?=[кпстфхцчшщ])", "ʂ"), (r"з(?=[кпстфхцчшщ])", "s"),
+    (r"п(?=[бгджз])", "b"), (r"ф(?=[бгджз])", "v"),
+    (r"к(?=[бгджз])", "ɡ"), (r"т(?=[бгджз])", "d"),
+    (r"ш(?=[бгджз])", "ʐ"), (r"с(?=[бгджз])", "z"),
     # final devoicing
     (r"б(?=#)", "p"), (r"в(?=#)", "f"), (r"г(?=#)", "k"), (r"д(?=#)", "t"),
     (r"ж(?=#)", "ʂ"), (r"з(?=#)", "s"),
