@@ -29,6 +29,7 @@ TWO_CITIES = "/root/reference/test-assets/two_cities_16k.wav"
 def run_bench(
     model: str = "tiny_streaming",
     n_streams: int = 16,
+    n_cohorts: int = 1,
     update_seconds: float = 0.5,
     n_updates: int = 40,
     use_vad: bool = False,
@@ -58,11 +59,21 @@ def run_bench(
         )
 
     update_frames = int(update_seconds * 16000) // 80
-    svc = StreamingService(
-        params, cfg, tokenizer=None, n_streams=n_streams,
+    kw = dict(
         update_frames=update_frames, mem_bucket=mem_bucket, draft_cap=draft_cap,
         vad=vad, compute_dtype=jnp.bfloat16 if bf16 else None,
     )
+    if n_cohorts > 1:
+        # Staggered cohorts: each update() ticks one S/K-stream program
+        # (serving.ShardedStreamingService; bench.py --cohorts analog).
+        from ..serving import ShardedStreamingService
+
+        svc = ShardedStreamingService(
+            params, cfg, tokenizer=None, n_streams=n_streams,
+            n_cohorts=n_cohorts, **kw,
+        )
+    else:
+        svc = StreamingService(params, cfg, tokenizer=None, n_streams=n_streams, **kw)
     compile_s = svc.warmup() if warm else 0.0
 
     audio, sr = load_wav(audio_path)
@@ -74,19 +85,21 @@ def run_bench(
     final_ms: list[float] = []
     n_finals = 0
     t_bench0 = time.monotonic()
+    per = n_streams // n_cohorts
     for u in range(n_updates):
-        for i in range(n_streams):
-            lo = (offsets[i] + u * step) % len(audio)
-            chunk = np.concatenate([audio, audio])[lo : lo + step]
-            svc.add_audio(i, chunk)
-        t0 = time.monotonic()
-        events = svc.update()
-        dt = (time.monotonic() - t0) * 1000.0
-        update_ms.append(dt)
-        for ev in events:
-            if ev.is_final:
-                final_ms.append(ev.latency_ms)
-                n_finals += 1
+        for c in range(n_cohorts):
+            for i in range(c * per, (c + 1) * per):
+                lo = (offsets[i] + u * step) % len(audio)
+                chunk = np.concatenate([audio, audio])[lo : lo + step]
+                svc.add_audio(i, chunk)
+            t0 = time.monotonic()
+            events = svc.update(cohort=c) if n_cohorts > 1 else svc.update()
+            dt = (time.monotonic() - t0) * 1000.0
+            update_ms.append(dt)
+            for ev in events:
+                if ev.is_final:
+                    final_ms.append(ev.latency_ms)
+                    n_finals += 1
     wall = time.monotonic() - t_bench0
 
     audio_seconds = n_streams * n_updates * update_seconds
@@ -94,6 +107,7 @@ def run_bench(
         "model": model,
         "bf16": bf16,
         "n_streams": n_streams,
+        "n_cohorts": n_cohorts,
         "update_seconds": update_seconds,
         "n_updates": n_updates,
         "use_vad": use_vad,
@@ -116,6 +130,7 @@ def main() -> None:  # pragma: no cover - CLI
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="tiny_streaming")
     p.add_argument("--streams", type=int, default=16)
+    p.add_argument("--cohorts", type=int, default=1)
     p.add_argument("--updates", type=int, default=40)
     p.add_argument("--update-seconds", type=float, default=0.5)
     p.add_argument("--vad", action="store_true")
@@ -124,7 +139,8 @@ def main() -> None:  # pragma: no cover - CLI
     p.add_argument("--f32", action="store_true")
     args = p.parse_args()
     out = run_bench(
-        model=args.model, n_streams=args.streams, n_updates=args.updates,
+        model=args.model, n_streams=args.streams, n_cohorts=args.cohorts,
+        n_updates=args.updates,
         update_seconds=args.update_seconds, use_vad=args.vad,
         mem_bucket=args.mem_bucket, draft_cap=args.draft_cap, bf16=not args.f32,
     )
