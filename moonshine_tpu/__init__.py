@@ -19,6 +19,27 @@ if _platform:
 
     _jax.config.update("jax_platforms", _platform)
 
+# Persistent XLA compilation cache: the streaming service's program set
+# (per verify-bucket, per stream-count) costs minutes of compile at
+# load(); caching makes a server restart reuse them (the reference's
+# analog is shipping pre-converted .ort artifacts — compile once,
+# load forever).  MOONSHINE_TPU_COMPILE_CACHE overrides the location;
+# "0"/"off" disables.  Only programs that took >=2 s to compile are
+# persisted (the jit-cache already covers the small ones in-process).
+_cache = _os.environ.get("MOONSHINE_TPU_COMPILE_CACHE", "")
+if _cache.lower() not in ("0", "off", "none"):
+    import jax as _jax
+
+    _cache_dir = _cache or _os.path.join(
+        _os.path.expanduser("~"), ".cache", "moonshine_tpu", "xla"
+    )
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from .api import MicTranscriber, Transcriber
 from .core.config import (
     ARCHS,
