@@ -58,3 +58,14 @@ def test_agent_demo_example():
     out = _run(["examples/agent_demo.py"], stdin="set a timer\n5\nyes\n")
     assert "How many minutes" in out
     assert "Timer set" in out
+
+
+def test_serve_pool_example(wav_path):
+    out = _run([
+        "examples/serve_pool.py", wav_path,
+        "--streams", "4", "--cohorts", "2", "--seconds", "3",
+        "--update-seconds", "0.5",
+    ])
+    assert "warmup:" in out
+    assert "cohort 0" in out and "cohort 1" in out
+    assert "finalized segments across 4 streams" in out
