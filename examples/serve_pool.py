@@ -51,6 +51,7 @@ def main() -> None:
 
     audio, sr = load_wav(args.wav)
     assert sr == 16000
+    doubled = np.concatenate([audio, audio])  # wraparound reads, built once
     step = int(args.update_seconds * 16000)
     cursors = [int(i * len(audio) / args.streams) for i in range(args.streams)]
     for i in range(args.streams):
@@ -63,7 +64,7 @@ def main() -> None:
         c = t % args.cohorts
         for i in range(c * per, (c + 1) * per):
             lo = cursors[i] % len(audio)
-            svc.add_audio(i, np.concatenate([audio, audio])[lo : lo + step])
+            svc.add_audio(i, doubled[lo : lo + step])
             cursors[i] += step
         t0 = time.monotonic()
         events = svc.update(cohort=c)

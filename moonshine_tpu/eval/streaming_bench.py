@@ -78,6 +78,7 @@ def run_bench(
 
     audio, sr = load_wav(audio_path)
     assert sr == 16000
+    doubled = np.concatenate([audio, audio])  # wraparound reads, built once
     step = int(update_seconds * 16000)
     offsets = [int(i * len(audio) / n_streams) for i in range(n_streams)]
 
@@ -90,8 +91,7 @@ def run_bench(
         for c in range(n_cohorts):
             for i in range(c * per, (c + 1) * per):
                 lo = (offsets[i] + u * step) % len(audio)
-                chunk = np.concatenate([audio, audio])[lo : lo + step]
-                svc.add_audio(i, chunk)
+                svc.add_audio(i, doubled[lo : lo + step])
             t0 = time.monotonic()
             events = svc.update(cohort=c) if n_cohorts > 1 else svc.update()
             dt = (time.monotonic() - t0) * 1000.0

@@ -64,13 +64,25 @@ DRAFT_CAP = 256  # verified draft tokens per update (≈19 s at 13 tok/s)
 def cast_params(params: Params, dtype) -> Params:
     """Cast encoder/adapter/decoder params to ``dtype``; frontend stays f32
     (weight-norm per-channel magnitudes span ~17x on Tiny — reference
-    README.md quantization section keeps the frontend in float too)."""
+    README.md quantization section keeps the frontend in float too).
+    Exec-quantized trees keep their int8 ``w_q`` (non-floating) AND their
+    f32 ``w_scale`` — downcasting the per-channel scales to bf16 would
+    change the int8 dequant arithmetic the w8a8 tests validate."""
+
+    def cast(node):
+        if isinstance(node, dict):
+            return {
+                k: v if k == "w_scale" else cast(v) for k, v in node.items()
+            }
+        if isinstance(node, (list, tuple)):
+            return type(node)(cast(v) for v in node)
+        if hasattr(node, "dtype") and jnp.issubdtype(node.dtype, jnp.floating):
+            return node.astype(dtype)
+        return node
+
     out = dict(params)
     for k in ("encoder", "adapter", "decoder"):
-        out[k] = jax.tree.map(
-            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-            params[k],
-        )
+        out[k] = cast(params[k])
     return out
 
 

@@ -67,7 +67,21 @@ class TranscriptionServer:
         with self._lock:
             if not self._free:
                 return None
-            slot = self._free.pop()
+            if hasattr(self.service, "cohort_of"):
+                # Sharded service: place the client in the least-loaded
+                # cohort so load spreads instead of packing cohort 0
+                # (update ticks skip cohorts with no connections).
+                load: dict[int, int] = {}
+                for s in self._conns:
+                    c = self.service.cohort_of(s)
+                    load[c] = load.get(c, 0) + 1
+                slot = min(
+                    self._free,
+                    key=lambda s: load.get(self.service.cohort_of(s), 0),
+                )
+                self._free.remove(slot)
+            else:
+                slot = self._free.pop()
             self.service.open_slot(slot)
             return slot
 
@@ -82,7 +96,15 @@ class TranscriptionServer:
         while self._running:
             t0 = time.monotonic()
             with self._lock:
-                events = self.service.update() if self._conns else []
+                if not self._conns:
+                    events = []
+                elif hasattr(self.service, "update_live"):
+                    # Sharded service: tick the next cohort that holds a
+                    # connection — an empty cohort's device program is
+                    # pure burnt chip time.
+                    events = self.service.update_live(self._conns.keys())
+                else:
+                    events = self.service.update()
                 conns = dict(self._conns)
             for ev in events:
                 conn = conns.get(ev.slot)

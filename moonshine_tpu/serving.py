@@ -598,6 +598,18 @@ class ShardedStreamingService:
             events.extend(self.update(cohort=c))
         return events
 
+    def update_live(self, live_slots) -> list[StreamEvent]:
+        """Tick the next round-robin cohort that owns a slot in
+        ``live_slots``; skip (and don't dispatch device programs for)
+        cohorts with no live slots.  Returns [] when none are live."""
+        live = {self.cohort_of(s) for s in live_slots}
+        for _ in range(self.K):
+            c = self._next
+            self._next = (c + 1) % self.K
+            if c in live:
+                return self.update(cohort=c)
+        return []
+
     def warmup(self) -> float:
         """Compile once (cohort 0); siblings reuse the jit cache."""
         return sum(svc.warmup() for svc in self.cohorts)

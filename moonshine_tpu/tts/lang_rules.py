@@ -54,16 +54,25 @@ _KO_TAILS = [
 _KO_LENIS_TO_TENSE = {0: 1, 3: 4, 7: 8, 9: 10, 12: 13}  # ㄱㄷㅂㅅㅈ → tense
 _KO_LENIS_TO_ASP = {0: 15, 3: 16, 7: 17, 12: 14}  # ㄱㄷㅂㅈ → ㅋㅌㅍㅊ
 _KO_LENIS_TO_VOICED = {0: "ɡ", 3: "d", 7: "b", 12: "dʑ"}
-# Tail (jongseong) index groups.  0 = none.
-_KO_TAIL_VELAR = {1, 2, 3, 24}  # ㄱ ㄲ ㄳ ㅋ
+# Tail (jongseong) index groups.  0 = none.  Compound codas group by
+# their PRONOUNCED final: ㄺ(9) sounds k (velar), ㄵ(5)/ㄶ(6) sound n,
+# ㄻ(10) sounds m, ㄼ(11)/ㄽ(12)/ㄾ(13)/ㅀ(15) sound l.
+_KO_TAIL_VELAR = {1, 2, 3, 9, 24}  # ㄱ ㄲ ㄳ ㄺ ㅋ
 _KO_TAIL_CORONAL = {7, 19, 20, 22, 23, 25, 27}  # ㄷ ㅅ ㅆ ㅈ ㅊ ㅌ ㅎ
-_KO_TAIL_LABIAL = {17, 18, 26}  # ㅂ ㅄ ㅍ
-_KO_TAIL_SONORANT = {0, 4, 8, 16, 21}  # none ㄴ ㄹ ㅁ ㅇ
-_KO_TAIL_OBSTRUENT = (
-    _KO_TAIL_VELAR | _KO_TAIL_CORONAL | _KO_TAIL_LABIAL
-) - {27}
+_KO_TAIL_LABIAL = {14, 17, 18, 26}  # ㄿ ㅂ ㅄ ㅍ
+# Sonorant-final codas voice a following lenis (reference
+# korean.cpp:175-181 is_sonorant_jong: ㄴ-type 4-6, ㄹ-clusters/ㅁ 8-16,
+# ㅇ 21); tensification triggers are the reference's
+# jong_triggers_tense list verbatim (korean.cpp:183-199 — note the
+# compound codas are deliberately NOT tense triggers there).
+_KO_TAIL_SONORANT = {0, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15, 16, 21}
+_KO_TAIL_OBSTRUENT = {1, 2, 3, 7, 17, 18, 19, 20, 22, 23, 24, 25, 26}
 # Coda → aspirated onset when followed by lead ㅎ (입학 → i-pʰak).
 _KO_TAIL_TO_ASP_LEAD = {1: 15, 7: 16, 17: 17, 22: 14}
+# ㅎ-bearing codas: the ㅎ merges into a following lenis onset
+# (aspirating it) and the coda reduces to its sonorant base —
+# ㅎ(27)→none, ㄶ(6)→ㄴ(4), ㅀ(15)→ㄹ(8).  (않다 → antʰa, 잃다 → iltʰa)
+_KO_TAIL_H_REDUCED = {27: 0, 6: 4, 15: 8}
 
 
 class HangulG2P:
@@ -110,9 +119,10 @@ class HangulG2P:
         tails_ipa: dict[int, str] = {}
         for i in range(len(syls) - 1):
             cur, nxt = syls[i], syls[i + 1]
-            # 1. ㅎ-merger aspiration.
-            if cur[2] == 27 and nxt[0] in _KO_LENIS_TO_ASP:
-                cur[2] = 0
+            # 1. ㅎ-merger aspiration (incl. compound ㄶ/ㅀ codas, whose
+            # ㅎ merges while the sonorant base stays: 않다 → antʰa).
+            if cur[2] in _KO_TAIL_H_REDUCED and nxt[0] in _KO_LENIS_TO_ASP:
+                cur[2] = _KO_TAIL_H_REDUCED[cur[2]]
                 nxt[0] = _KO_LENIS_TO_ASP[nxt[0]]
             elif nxt[0] == 18 and cur[2] in _KO_TAIL_TO_ASP_LEAD:
                 nxt[0] = _KO_TAIL_TO_ASP_LEAD[cur[2]]

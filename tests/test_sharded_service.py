@@ -120,3 +120,58 @@ def test_bad_shard_args_raise():
     )
     with pytest.raises(ValueError, match="out of range"):
         svc.open_slot(S)
+
+
+def test_update_live_skips_empty_cohorts(monkeypatch):
+    params = _params()
+    svc = ShardedStreamingService(
+        params, CFG, tokenizer=None, n_streams=S, n_cohorts=K,
+        update_frames=16, mem_bucket=256, draft_cap=16,
+        max_segment_seconds=SEG_SECONDS,
+    )
+    calls = []
+    for c, cohort in enumerate(svc.cohorts):
+        orig = cohort.update
+        monkeypatch.setattr(
+            cohort, "update",
+            (lambda c=c, orig=orig: (calls.append(c), orig())[1]),
+        )
+    # Live slots only in cohort 1 (slots 2,3).
+    svc.open_slot(2)
+    svc.add_audio(2, _audio(2))
+    for _ in range(4):
+        svc.update_live([2])
+    assert calls and set(calls) == {1}
+    # No live slots at all: no device program runs.
+    calls.clear()
+    assert svc.update_live([]) == []
+    assert calls == []
+
+
+def test_w8a8_scales_stay_f32_under_bf16_cast():
+    """cast_params must not downcast exec-quantization scales: the int8
+    dequant arithmetic the w8a8 tests validate uses f32 per-channel
+    scales (code-review finding)."""
+    from moonshine_tpu.models import streaming_batch as sb
+    from moonshine_tpu.quant import quantize_tree_exec
+
+    params = quantize_tree_exec(_params())
+    cast = sb.cast_params(params, jnp.bfloat16)
+
+    def walk(node, path=""):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                yield from walk(v, path + "/" + k)
+        elif hasattr(node, "dtype"):
+            yield path, node
+
+    saw_scale = saw_bf16 = False
+    for path, leaf in walk(cast):
+        if path.endswith("/w_scale"):
+            assert leaf.dtype == jnp.float32, path
+            saw_scale = True
+        if path.endswith("/w_q"):
+            assert leaf.dtype == jnp.int8, path
+        if leaf.dtype == jnp.bfloat16:
+            saw_bf16 = True
+    assert saw_scale and saw_bf16
