@@ -388,6 +388,50 @@ class StreamingService:
             self._seg_consumed = [0] * self.S
         return time.monotonic() - t0
 
+    # -- failover snapshot/restore -------------------------------------------
+
+    def snapshot(self) -> dict:
+        """Host-serializable snapshot of every live stream: the device
+        state (frontend carries, windowed-encoder memory, cross/self KV,
+        cursors) plus each slot's host feed state.  Restoring into a
+        fresh process/chip resumes mid-segment with identical
+        transcripts (tests/test_sharded_service.py) — the serving
+        extension of the reference's incremental-state design
+        (moonshine-streaming-model.h:35-70): the state IS the
+        checkpoint.  VAD-mode services snapshot between segments only
+        (segmenter hysteresis is host-transient); always-voice mode
+        snapshots anywhere.
+        """
+        import copy
+
+        import jax
+
+        if self.vad is not None:
+            for i, s in enumerate(self.slots):
+                if s.fed_samples or len(s.pending):
+                    raise ValueError(
+                        f"slot {i} mid-segment: VAD-mode snapshots are "
+                        "only supported at segment boundaries"
+                    )
+        return {
+            "device_state": jax.tree_util.tree_map(np.asarray, self.state),
+            "slots": copy.deepcopy(self.slots),
+        }
+
+    def restore(self, snap: dict) -> None:
+        """Install a :meth:`snapshot` into this (same-config) service."""
+        import copy
+
+        import jax
+
+        if len(snap["slots"]) != self.S:
+            raise ValueError(
+                f"snapshot has {len(snap['slots'])} slots, service has {self.S}"
+            )
+        jnp = self._jnp
+        self.state = jax.tree_util.tree_map(jnp.asarray, snap["device_state"])
+        self.slots = copy.deepcopy(snap["slots"])
+
     # -- always-voice segmentation (reference vad_threshold=0 contract) -----
 
     def _ingest_always_voice(self, slot: int, audio: np.ndarray) -> None:
@@ -613,3 +657,15 @@ class ShardedStreamingService:
     def warmup(self) -> float:
         """Compile once (cohort 0); siblings reuse the jit cache."""
         return sum(svc.warmup() for svc in self.cohorts)
+
+    def snapshot(self) -> dict:
+        """Per-cohort :meth:`StreamingService.snapshot` bundle."""
+        return {"cohorts": [svc.snapshot() for svc in self.cohorts]}
+
+    def restore(self, snap: dict) -> None:
+        if len(snap["cohorts"]) != self.K:
+            raise ValueError(
+                f"snapshot has {len(snap['cohorts'])} cohorts, service has {self.K}"
+            )
+        for svc, s in zip(self.cohorts, snap["cohorts"]):
+            svc.restore(s)

@@ -175,3 +175,69 @@ def test_w8a8_scales_stay_f32_under_bf16_cast():
         if leaf.dtype == jnp.bfloat16:
             saw_bf16 = True
     assert saw_scale and saw_bf16
+
+
+def test_snapshot_restore_mid_stream_failover():
+    """A service snapshotted mid-segment and restored into a FRESH
+    service (new process/chip analog) must continue with transcripts
+    identical to an uninterrupted run — live-stream failover/migration
+    (the serving extension of the reference's incremental-state design)."""
+    params = _params()
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16,
+              max_segment_seconds=SEG_SECONDS)
+
+    def feed_phase1(svc):
+        for i in range(S):
+            svc.open_slot(i)
+            svc.add_audio(i, _audio(i)[:16000])  # first 1.0 s
+        out = []
+        for _ in range(10):  # mid-segment: 10*16*80 = 12800 of 16000 fed
+            out.extend((e.slot, e.segment_id, e.text, e.is_final)
+                       for e in svc.update())
+        return out
+
+    def feed_phase2(svc):
+        for i in range(S):
+            svc.add_audio(i, _audio(i)[16000:24000])
+            svc.close_slot(i)
+        out = []
+        for _ in range(30):
+            out.extend((e.slot, e.segment_id, e.text, e.is_final)
+                       for e in svc.update())
+        return out
+
+    # Uninterrupted reference run.
+    ref_svc = StreamingService(params, CFG, tokenizer=None, n_streams=S, **kw)
+    ref = feed_phase1(ref_svc) + feed_phase2(ref_svc)
+
+    # Interrupted run: snapshot mid-segment, restore into a fresh service.
+    a = StreamingService(params, CFG, tokenizer=None, n_streams=S, **kw)
+    got1 = feed_phase1(a)
+    snap = a.snapshot()
+    del a
+    b = StreamingService(params, CFG, tokenizer=None, n_streams=S, **kw)
+    b.restore(snap)
+    got = got1 + feed_phase2(b)
+    assert got == ref
+    assert any(t[3] for t in ref)  # the run really finalized segments
+
+
+def test_sharded_snapshot_restore():
+    params = _params()
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16,
+              max_segment_seconds=SEG_SECONDS)
+    a = ShardedStreamingService(params, CFG, tokenizer=None, n_streams=S,
+                                n_cohorts=K, **kw)
+    for i in range(S):
+        a.open_slot(i)
+        a.add_audio(i, _audio(i)[:8000])
+    for _ in range(4):
+        a.update_all()
+    snap = a.snapshot()
+    b = ShardedStreamingService(params, CFG, tokenizer=None, n_streams=S,
+                                n_cohorts=K, **kw)
+    b.restore(snap)
+    # Both continue identically from the restore point.
+    ev_a = [(e.slot, e.text) for _ in range(4) for e in a.update_all()]
+    ev_b = [(e.slot, e.text) for _ in range(4) for e in b.update_all()]
+    assert ev_a == ev_b
