@@ -499,6 +499,15 @@ class ServiceUpdateOut(NamedTuple):
     tokens: jnp.ndarray  # [S, max_seq_len] int32, EOS-padded hypotheses
     counts: jnp.ndarray  # [S] int32
     state: BatchedStreamingState
+    # tokens||count packed [S, max_seq_len+1]: fetch THIS with one host
+    # transfer instead of two (the relay charges per transfer round trip).
+    packed: jnp.ndarray | None = None
+
+
+def _with_packed(out: "ServiceUpdateOut") -> "ServiceUpdateOut":
+    return out._replace(
+        packed=jnp.concatenate([out.tokens, out.counts[:, None]], axis=1)
+    )
 
 
 @partial(
@@ -531,6 +540,63 @@ def service_update(
     Masked streams still pay padded compute; their outputs are ignored and
     their state advances by zero (all cursors move by masked amounts).
     """
+    return _with_packed(_service_update_impl(
+        params, cfg, state, chunk, n_frames, reset, is_final, draft,
+        draft_len, budget, decode_mask, mem_bucket, draft_cap, enc_passes,
+        decode,
+    ))
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "mem_bucket", "draft_cap", "enc_passes", "decode"),
+    donate_argnames=("state",),
+)
+def service_update_meta(
+    params: Params,
+    cfg: StreamingConfig,
+    state: BatchedStreamingState,
+    chunk: jnp.ndarray,  # [S, F*frame_len]
+    meta: jnp.ndarray,  # [6, S] int32 control plane, see below
+    draft: jnp.ndarray,  # [S, draft_cap]
+    mem_bucket: int = 2048,
+    draft_cap: int = DRAFT_CAP,
+    enc_passes: int = 2,
+    decode: bool = True,
+) -> ServiceUpdateOut:
+    """:func:`service_update` with a one-array control plane.
+
+    ``meta`` rows are (n_frames, reset, is_final, draft_len, budget,
+    decode_mask) as int32 — ONE host→device transfer per tick instead of
+    six (the axon relay charges a fixed cost per transfer; input puts
+    were ~25 ms of a 160 ms medium-32 tick, docs/PERF.md).  The serving
+    layer fetches ``out.packed`` with one device→host transfer likewise.
+    """
+    return _with_packed(_service_update_impl(
+        params, cfg, state, chunk,
+        meta[0], meta[1] != 0, meta[2] != 0, draft,
+        meta[3], meta[4], meta[5] != 0,
+        mem_bucket, draft_cap, enc_passes, decode,
+    ))
+
+
+def _service_update_impl(
+    params: Params,
+    cfg: StreamingConfig,
+    state: BatchedStreamingState,
+    chunk: jnp.ndarray,
+    n_frames: jnp.ndarray,
+    reset: jnp.ndarray,
+    is_final: jnp.ndarray,
+    draft: jnp.ndarray,
+    draft_len: jnp.ndarray,
+    budget: jnp.ndarray,
+    decode_mask: jnp.ndarray,
+    mem_bucket: int,
+    draft_cap: int,
+    enc_passes: int,
+    decode: bool,
+) -> ServiceUpdateOut:
     state = _mask_reset(state, reset)
 
     # Frontend (vmapped masked variable-length ingest).

@@ -242,23 +242,30 @@ class StreamingService:
 
         from . import profiling
 
-        zeros_i = np.zeros(S, np.int32)
-        zeros_b = np.zeros(S, bool)
+        # One-array control plane: rows (n_frames, reset, is_final,
+        # draft_len, budget, decode_mask) — a single host→device transfer
+        # (the relay charges per transfer, docs/PERF.md).
+        def pack_meta(nf, rs):
+            return np.stack([
+                nf, rs.astype(np.int32), is_final.astype(np.int32),
+                draft_len, budget, decode_mask.astype(np.int32),
+            ]).astype(np.int32)
+
+        zeros_chunk = np.zeros_like(chunk) if passes > 1 else chunk
         # Smallest verify bucket covering this tick's longest draft.
         max_dl = int(draft_len.max()) if S else 0
         cap = next(b for b in self.draft_buckets if b >= max_dl)
         first = True
         for _ in range(passes - 1):  # encode-only catch-up calls
             with profiling.log_run("service_encode_catchup"):
-                out = sb.service_update(
+                out = sb.service_update_meta(
                     self.params, self.cfg, self.state,
-                    jnp.asarray(chunk if first else np.zeros_like(chunk)),
-                    jnp.asarray(n_frames if first else zeros_i),
-                    jnp.asarray(reset if first else zeros_b),
-                    jnp.asarray(is_final),
+                    jnp.asarray(chunk if first else zeros_chunk),
+                    jnp.asarray(pack_meta(
+                        n_frames if first else np.zeros(S, np.int32),
+                        reset if first else np.zeros(S, bool),
+                    )),
                     jnp.asarray(draft[:, : self.draft_buckets[0]]),
-                    jnp.asarray(draft_len),
-                    jnp.asarray(budget), jnp.asarray(decode_mask),
                     mem_bucket=self.mem_bucket, draft_cap=self.draft_buckets[0],
                     enc_passes=1, decode=False,
                 )
@@ -266,22 +273,23 @@ class StreamingService:
             mirror_pass()
             first = False
         with profiling.log_run("service_update", streams=S, draft_bucket=cap):
-            out = sb.service_update(
+            out = sb.service_update_meta(
                 self.params, self.cfg, self.state,
-                jnp.asarray(chunk if first else np.zeros_like(chunk)),
-                jnp.asarray(n_frames if first else zeros_i),
-                jnp.asarray(reset if first else zeros_b),
-                jnp.asarray(is_final), jnp.asarray(draft[:, :cap]),
-                jnp.asarray(draft_len),
-                jnp.asarray(budget), jnp.asarray(decode_mask),
+                jnp.asarray(chunk if first else zeros_chunk),
+                jnp.asarray(pack_meta(
+                    n_frames if first else np.zeros(S, np.int32),
+                    reset if first else np.zeros(S, bool),
+                )),
+                jnp.asarray(draft[:, :cap]),
                 mem_bucket=self.mem_bucket, draft_cap=cap,
                 enc_passes=1, decode=True,
             )
         mirror_pass()
         self.state = out.state
-        # Host transfer is the device fence (axon: block_until_ready is not).
-        tokens = np.asarray(out.tokens)
-        counts = np.asarray(out.counts)
+        # ONE host transfer fetches tokens||count and is the device fence
+        # (axon: block_until_ready is not).
+        packed = np.asarray(out.packed)
+        tokens, counts = packed[:, :-1], packed[:, -1]
         latency_ms = (time.monotonic() - t0) * 1000.0
 
         events: list[StreamEvent] = []
@@ -331,14 +339,11 @@ class StreamingService:
         import jax.numpy as jnp
 
         for cap in self.draft_buckets[1:]:
-            out = sb.service_update(
+            out = sb.service_update_meta(
                 self.params, self.cfg, self.state,
                 jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
-                jnp.zeros(self.S, jnp.int32), jnp.zeros(self.S, bool),
-                jnp.zeros(self.S, bool),
+                jnp.zeros((6, self.S), jnp.int32),
                 jnp.full((self.S, cap), self.cfg.eos_id, jnp.int32),
-                jnp.zeros(self.S, jnp.int32), jnp.zeros(self.S, jnp.int32),
-                jnp.zeros(self.S, bool),
                 mem_bucket=self.mem_bucket, draft_cap=cap,
                 enc_passes=1, decode=True,
             )
@@ -362,14 +367,11 @@ class StreamingService:
                     jnp.zeros((self.S,), jnp.int32),
                     state,
                 )
-            zi = jnp.zeros(self.S, jnp.int32)
-            zb = jnp.zeros(self.S, bool)
-            out = sb.service_update(
+            out = sb.service_update_meta(
                 self.params, self.cfg, self.state,
                 jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
-                zi, zb, zb,
+                jnp.zeros((6, self.S), jnp.int32),
                 jnp.full((self.S, self.draft_buckets[0]), self.cfg.eos_id, jnp.int32),
-                zi, zi, zb,
                 mem_bucket=self.mem_bucket, draft_cap=self.draft_buckets[0],
                 enc_passes=1, decode=False,
             )
