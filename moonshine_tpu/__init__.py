@@ -36,7 +36,14 @@ if _cache.lower() not in ("0", "off", "none"):
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Persist EVERY program: through the axon remote-compile service
+        # even a one-op program costs seconds to compile, and a cold
+        # transcriber start touches ~60 small shape-varying programs
+        # (measured: first 10 s clip 334 s cold vs 6 s warm).  Entries
+        # are KBs; the usual persist-only-slow-compiles heuristic is
+        # tuned for local compiles and loses badly here.
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -194,6 +194,12 @@ class StreamingBackend:
         self._samples_processed = 0
         self._last_tokens: list[int] = []
         self._last_text = ""
+        # Exact host mirrors of the device's feat_count / enc_emitted
+        # cursors (deterministic integer arithmetic): every int(device
+        # scalar) was a relay round trip per update (docs/PERF.md packed
+        # control-plane analysis); the mirrors make updates sync-free.
+        self._feat_host = 0
+        self._emitted_host = 0
 
     def _begin_segment(self, segment_id: int) -> None:
         self._segment_id = segment_id
@@ -201,6 +207,8 @@ class StreamingBackend:
         self._samples_processed = 0
         self._last_tokens = []
         self._last_text = ""
+        self._feat_host = 0
+        self._emitted_host = 0
 
     def transcribe_segment(
         self, audio: np.ndarray, segment_id: int, is_final: bool
@@ -228,7 +236,7 @@ class StreamingBackend:
 
         # Respect the device buffer capacity (VAD force-split keeps real
         # segments far below this).
-        n_frames = min(n_frames, ms.SEG_CAP - int(self._state.feat_count))
+        n_frames = min(n_frames, ms.SEG_CAP - self._feat_host)
 
         from .. import profiling
 
@@ -243,11 +251,24 @@ class StreamingBackend:
                     self._state = ms.frontend_step(self.params, cfg, chunk, self._state)
                     offset += bucket * frame_len
                     remaining -= bucket
+                    self._feat_host += bucket
         self._samples_processed += offset
 
+        # Stable-frame arithmetic on host mirrors (no device sync).
+        stable = self._feat_host if is_final else max(
+            0, self._feat_host - cfg.total_lookahead
+        )
+        n_new = max(stable - self._emitted_host, 0)
         with profiling.log_run("encode_step"):
-            self._state, n_new = ms.encode(self.params, cfg, self._state, is_final)
-        if int(self._state.mem_len) == 0:
+            emitted = 0
+            while emitted < n_new:
+                step = min(n_new - emitted, ms.ENC_STEP)
+                self._state = ms.encode_step(
+                    self.params, cfg, self._state, jnp.asarray(step, jnp.int32)
+                )
+                emitted += step
+            self._emitted_host += n_new
+        if self._emitted_host == 0:
             return ""
         if n_new == 0 and not is_final and self._last_text:
             # Nothing newly stable: previous hypothesis still holds.
@@ -267,9 +288,15 @@ class StreamingBackend:
                 jnp.asarray(draft),
                 jnp.asarray(len(draft_list), jnp.int32),
                 jnp.asarray(cap, jnp.int32),
-                mem_bucket=ms.mem_bucket_for(int(self._state.mem_len)),
+                mem_bucket=ms.mem_bucket_for(self._emitted_host),
             )
-            tokens = [int(t) for t in np.asarray(tokens_arr)[: int(count)]]
+            # ONE fetch: tokens are EOS-padded and real tokens are never
+            # EOS, so the count is the first EOS position host-side —
+            # fetching `count` separately would be a second round trip.
+            tok_np = np.asarray(tokens_arr)
+            eos_pos = np.nonzero(tok_np == cfg.eos_id)[0]
+            n_tok = int(eos_pos[0]) if len(eos_pos) else len(tok_np)
+            tokens = [int(t) for t in tok_np[:n_tok]]
         self._last_tokens = tokens
         self._last_text = self.tokenizer.tokens_to_text(tokens)
         return self._last_text
