@@ -125,11 +125,11 @@ def trained(tokenizer_bin_path, two_cities_path):
                 break
     assert loss < 0.05, f"failed to overfit: loss={loss}"
     labels = [label for _, _, label in examples]
-    return state.params, labels, clip
+    return state.params, labels, clip, batch
 
 
 def test_offline_pipeline_exact_transcripts(trained, tokenizer_bin_path):
-    params, labels, clip = trained
+    params, labels, clip, _ = trained
     t = mt.Transcriber(
         model=MICRO, tokenizer_path=tokenizer_bin_path,
         vad_weights=TINYVAD_ONNX,
@@ -147,7 +147,7 @@ def test_streaming_events_exact_transcripts(trained, tokenizer_bin_path):
     """Feed 0.5 s chunks through a live stream; completed lines must carry
     the trained text and the event contract must hold (LineCompleted
     exactly once per line, with the final text)."""
-    params, labels, clip = trained
+    params, labels, clip, _ = trained
     t = mt.Transcriber(
         model=MICRO, tokenizer_path=tokenizer_bin_path,
         vad_weights=TINYVAD_ONNX,
@@ -186,7 +186,7 @@ def test_voice_driven_agent_flow(trained, tokenizer_bin_path, tmp_path):
     from moonshine_tpu.audio.wav import save_wav
     from moonshine_tpu.mic import MicTranscriber, WavSource
 
-    params, labels, clip = trained
+    params, labels, clip, _ = trained
     trigger = labels[0].strip().rstrip(",.").lower()
 
     fired = []
@@ -239,7 +239,7 @@ def test_int8_weights_preserve_trained_transcripts(trained, tokenizer_bin_path):
     weights that actually know it."""
     from moonshine_tpu.quant import fake_quantize_tree, quantize_tree, tree_nbytes
 
-    params, labels, clip = trained
+    params, labels, clip, _ = trained
     params_q = fake_quantize_tree(params)
     t = mt.Transcriber(
         model=MICRO, tokenizer_path=tokenizer_bin_path,
@@ -257,7 +257,7 @@ def test_int8_weights_preserve_trained_transcripts(trained, tokenizer_bin_path):
 def test_int8_kv_preserves_trained_transcripts(trained, tokenizer_bin_path):
     """kv_int8 through the PRODUCT pipeline (TranscriberOptions.kv_int8)
     on the trained model: transcripts verbatim."""
-    params, labels, clip = trained
+    params, labels, clip, _ = trained
     t = mt.Transcriber(
         model=MICRO, tokenizer_path=tokenizer_bin_path,
         vad_weights=TINYVAD_ONNX,
@@ -276,7 +276,7 @@ def test_w8a8_execution_preserves_trained_transcripts(trained, tokenizer_bin_pat
     rounding is real here."""
     from moonshine_tpu.quant import quantize_tree_exec
 
-    params, labels, clip = trained
+    params, labels, clip, _ = trained
     t = mt.Transcriber(
         model=MICRO, tokenizer_path=tokenizer_bin_path,
         vad_weights=TINYVAD_ONNX,
@@ -284,3 +284,60 @@ def test_w8a8_execution_preserves_trained_transcripts(trained, tokenizer_bin_pat
     transcript = t.transcribe(clip)
     got = [l.text.strip() for l in transcript.lines[: len(labels)]]
     assert got == [lab.strip() for lab in labels]
+
+
+def test_speculative_cross_model_trained_pair(trained, tokenizer_bin_path):
+    """Cross-model speculative decoding with a REAL trained draft/verify
+    pair (BASELINE config 4 beyond the random-weight floor/ceiling): a
+    half-size draft trained on the same audio proposes, the micro verify
+    model accepts — outputs must equal the verify model's own greedy
+    decode exactly, and the draft must actually help (accepted draft
+    tokens per lane well above the random-pair floor of ~0)."""
+    from moonshine_tpu.decoding.greedy import greedy_decode
+    from moonshine_tpu.decoding.speculative import speculative_decode_batched
+    from moonshine_tpu.models import moonshine as mm
+
+    verify_params, labels, clip, batch = trained
+
+    DRAFT = MoonshineArchConfig(
+        name="microdraft",
+        vocab_size=MICRO.vocab_size,
+        hidden_size=32,
+        intermediate_size=128,
+        encoder_layers=1,
+        decoder_layers=1,
+        encoder_heads=4,
+        decoder_heads=4,
+        encoder_kv_heads=4,
+        decoder_kv_heads=4,
+    )
+    opt = optax.adam(2e-3)
+    dstate = ts.init_train_state(DRAFT, opt, jax.random.PRNGKey(1))
+    dstep = ts.make_train_step(DRAFT, opt)
+    for i in range(800):
+        dstate, metrics = dstep(dstate, batch)
+        if (i + 1) % 25 == 0 and float(metrics["loss"]) < 0.02:
+            break
+    draft_params = dstate.params
+
+    audio = batch.audio
+    vmem, vmask = mm.encode(verify_params, MICRO, audio, batch.audio_lengths)
+    dmem, dmask = mm.encode(draft_params, DRAFT, audio, batch.audio_lengths)
+
+    max_tokens = int(batch.tokens_out.shape[1]) + 4
+    ref = greedy_decode(verify_params, MICRO, vmem, vmask, max_tokens=max_tokens)
+    spec = speculative_decode_batched(
+        draft_params, DRAFT, verify_params, MICRO,
+        dmem, dmask, vmem, vmask, gamma=4, max_tokens=max_tokens,
+    )
+    np.testing.assert_array_equal(np.asarray(spec.tokens), np.asarray(ref.tokens))
+    np.testing.assert_array_equal(np.asarray(spec.lengths), np.asarray(ref.lengths))
+
+    accepted = np.asarray(spec.accepted_draft_tokens)
+    lengths = np.asarray(spec.lengths)
+    # The trained draft must carry real weight: over the whole batch most
+    # emitted tokens come from accepted draft proposals (a random-weight
+    # pair accepts ~0 — the bench's measured floor).
+    assert accepted.sum() >= 0.5 * lengths.sum(), (accepted, lengths)
+    # And speculation saved verify passes vs one-token-per-pass greedy.
+    assert int(spec.rounds) < int(lengths.max())
