@@ -44,6 +44,12 @@ if _cache.lower() not in ("0", "off", "none"):
         # tuned for local compiles and loses badly here.
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        try:
+            # Bound on-disk growth (LRU eviction); persist-everything with
+            # no ceiling would grow forever across configs/restarts.
+            _jax.config.update("jax_compilation_cache_max_size", 4 << 30)
+        except Exception:  # older jax without the knob
+            pass
     except Exception:  # pragma: no cover - cache is best-effort
         pass
 

@@ -251,21 +251,29 @@ class StreamingService:
                 draft_len, budget, decode_mask.astype(np.int32),
             ]).astype(np.int32)
 
-        zeros_chunk = np.zeros_like(chunk) if passes > 1 else chunk
         # Smallest verify bucket covering this tick's longest draft.
         max_dl = int(draft_len.max()) if S else 0
         cap = next(b for b in self.draft_buckets if b >= max_dl)
+        # Device-resident inputs, uploaded ONCE: burst ticks (prefill /
+        # drain) reuse the same zero chunk + follow-up meta across every
+        # catch-up pass instead of re-paying per-transfer relay cost.
+        chunk_dev = jnp.asarray(chunk)
+        meta_dev = jnp.asarray(pack_meta(n_frames, reset))
+        if passes > 1:
+            zeros_chunk_dev = jnp.asarray(np.zeros_like(chunk))
+            zeros_s = np.zeros(S, np.int32)
+            meta_follow_dev = jnp.asarray(
+                pack_meta(zeros_s, zeros_s.astype(bool))
+            )
+            draft0_dev = jnp.asarray(draft[:, : self.draft_buckets[0]])
         first = True
         for _ in range(passes - 1):  # encode-only catch-up calls
             with profiling.log_run("service_encode_catchup"):
                 out = sb.service_update_meta(
                     self.params, self.cfg, self.state,
-                    jnp.asarray(chunk if first else zeros_chunk),
-                    jnp.asarray(pack_meta(
-                        n_frames if first else np.zeros(S, np.int32),
-                        reset if first else np.zeros(S, bool),
-                    )),
-                    jnp.asarray(draft[:, : self.draft_buckets[0]]),
+                    chunk_dev if first else zeros_chunk_dev,
+                    meta_dev if first else meta_follow_dev,
+                    draft0_dev,
                     mem_bucket=self.mem_bucket, draft_cap=self.draft_buckets[0],
                     enc_passes=1, decode=False,
                 )
@@ -275,11 +283,8 @@ class StreamingService:
         with profiling.log_run("service_update", streams=S, draft_bucket=cap):
             out = sb.service_update_meta(
                 self.params, self.cfg, self.state,
-                jnp.asarray(chunk if first else zeros_chunk),
-                jnp.asarray(pack_meta(
-                    n_frames if first else np.zeros(S, np.int32),
-                    reset if first else np.zeros(S, bool),
-                )),
+                chunk_dev if first else zeros_chunk_dev,
+                meta_dev if first else meta_follow_dev,
                 jnp.asarray(draft[:, :cap]),
                 mem_bucket=self.mem_bucket, draft_cap=cap,
                 enc_passes=1, decode=True,
@@ -410,18 +415,36 @@ class StreamingService:
 
         if self.vad is not None:
             for i, s in enumerate(self.slots):
-                if s.fed_samples or len(s.pending):
+                if (
+                    s.fed_samples
+                    or len(s.pending)
+                    or len(s.raw_buffer)
+                    or self._seg_consumed[i] < len(self._segmenters[i].segments)
+                ):
                     raise ValueError(
-                        f"slot {i} mid-segment: VAD-mode snapshots are "
-                        "only supported at segment boundaries"
+                        f"slot {i} mid-segment: VAD-mode snapshots require "
+                        "quiescent slots (the segmenter's hysteresis state "
+                        "is host-transient and is reset on restore)"
                     )
+        # np.array (not asarray): update() DONATES the state buffers, so a
+        # zero-copy view would mutate under a source that keeps serving.
         return {
-            "device_state": jax.tree_util.tree_map(np.asarray, self.state),
+            "device_state": jax.tree_util.tree_map(
+                lambda x: np.array(x), self.state
+            ),
             "slots": copy.deepcopy(self.slots),
         }
 
     def restore(self, snap: dict) -> None:
-        """Install a :meth:`snapshot` into this (same-config) service."""
+        """Install a :meth:`snapshot` into this (same-config) service.
+
+        Any prior state of THIS service is discarded, including VAD-side
+        machinery (segmenters, hop state): a warm standby that served
+        other traffic must not leak its old segment audio into the
+        restored streams.  jnp.array (not asarray) copies the snapshot's
+        host buffers so the donated update cannot corrupt the snapshot
+        for a second restore.
+        """
         import copy
 
         import jax
@@ -431,8 +454,22 @@ class StreamingService:
                 f"snapshot has {len(snap['slots'])} slots, service has {self.S}"
             )
         jnp = self._jnp
-        self.state = jax.tree_util.tree_map(jnp.asarray, snap["device_state"])
+        self.state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x), snap["device_state"]
+        )
         self.slots = copy.deepcopy(snap["slots"])
+        if self.vad is not None:
+            from .pipeline.vad_segmenter import VadSegmenter
+
+            self._vad_state = self.vad.init_state(self.S)
+            self._vad_probs = {}
+            self._segmenters = [
+                VadSegmenter(self._prob_reader(i), threshold=self.vad_threshold)
+                for i in range(self.S)
+            ]
+            for seg in self._segmenters:
+                seg.start()
+            self._seg_consumed = [0] * self.S
 
     # -- always-voice segmentation (reference vad_threshold=0 contract) -----
 
@@ -661,8 +698,12 @@ class ShardedStreamingService:
         return sum(svc.warmup() for svc in self.cohorts)
 
     def snapshot(self) -> dict:
-        """Per-cohort :meth:`StreamingService.snapshot` bundle."""
-        return {"cohorts": [svc.snapshot() for svc in self.cohorts]}
+        """Per-cohort :meth:`StreamingService.snapshot` bundle (plus the
+        round-robin cursor so restored ticking resumes where it left off)."""
+        return {
+            "cohorts": [svc.snapshot() for svc in self.cohorts],
+            "next_cohort": self._next,
+        }
 
     def restore(self, snap: dict) -> None:
         if len(snap["cohorts"]) != self.K:
@@ -671,3 +712,4 @@ class ShardedStreamingService:
             )
         for svc, s in zip(self.cohorts, snap["cohorts"]):
             svc.restore(s)
+        self._next = snap.get("next_cohort", 0) % self.K

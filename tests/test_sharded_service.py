@@ -241,3 +241,57 @@ def test_sharded_snapshot_restore():
     ev_a = [(e.slot, e.text) for _ in range(4) for e in a.update_all()]
     ev_b = [(e.slot, e.text) for _ in range(4) for e in b.update_all()]
     assert ev_a == ev_b
+
+
+def test_sharded_restore_preserves_round_robin_cursor():
+    params = _params()
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16,
+              max_segment_seconds=SEG_SECONDS)
+    a = ShardedStreamingService(params, CFG, tokenizer=None, n_streams=S,
+                                n_cohorts=K, **kw)
+    a.update()  # advance the round-robin cursor to cohort 1
+    snap = a.snapshot()
+    b = ShardedStreamingService(params, CFG, tokenizer=None, n_streams=S,
+                                n_cohorts=K, **kw)
+    b.restore(snap)
+    assert b._next == a._next == 1
+
+
+def test_restore_into_warm_vad_standby_discards_its_segments():
+    """A standby that served OTHER traffic must not leak its old VAD
+    segments into restored streams (code-review finding)."""
+    pytest.importorskip("pathlib")
+    import pathlib
+
+    onnx = "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
+    if not pathlib.Path(onnx).exists():
+        pytest.skip("reference TinyVadCNN onnx not available")
+    from moonshine_tpu.models.vad import TinyVad
+
+    vad = TinyVad.from_onnx(onnx)
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16,
+              max_segment_seconds=SEG_SECONDS, vad=vad, vad_threshold=0.1)
+    params = _params()
+
+    # Standby serves loud traffic (voiced segments accumulate).
+    standby = StreamingService(params, CFG, tokenizer=None, n_streams=S, **kw)
+    rng = np.random.RandomState(0)
+    for i in range(S):
+        standby.open_slot(i)
+        standby.add_audio(i, (rng.randn(16000) * 0.5).astype(np.float32))
+    for _ in range(3):
+        standby.update()
+
+    # Fresh quiescent source: snapshot allowed (all slots idle).
+    source = StreamingService(params, CFG, tokenizer=None, n_streams=S, **kw)
+    for i in range(S):
+        source.open_slot(i)
+    snap = source.snapshot()
+
+    standby.restore(snap)
+    # The standby's old segmenter history must be gone: updates with no
+    # new audio produce no events and no leaked feeds.
+    for _ in range(4):
+        assert standby.update() == []
+    for s in standby.slots:
+        assert s.fed_samples == 0 and len(s.pending) == 0
