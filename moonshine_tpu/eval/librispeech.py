@@ -73,15 +73,39 @@ def iter_librispeech(root: str | Path, limit: int | None = None) -> Iterator[Utt
                     return
 
 
-def _buckets(utts, batch_size: int, bucket_seconds=(4, 8, 16, 32)):
-    groups: dict[int, list] = {b: [] for b in bucket_seconds}
+def _buckets(cfg, utts, batch_size: int, max_frames: int = 1408):
+    """Group utterances into LANE-ALIGNED frame buckets.
+
+    The time axis rides 128-wide TPU lanes, so any bucket whose encoder
+    frame count is not a multiple of 128 pays physical padding on every
+    attention/cross-KV read (10 s → T=415 → 512 = 1.23×; +10.5 %
+    throughput measured from alignment alone, docs/PERF.md).  Buckets
+    are therefore defined directly at 128-aligned frame counts — also a
+    FINER ladder than whole-second buckets, so total padding drops.
+    Yields (n_samples, items) with n_samples the smallest sample count
+    reaching the bucket's frame count.
+    """
+    from ..models.moonshine import frames_for_samples, lane_aligned_samples
+
+    ladder = list(range(128, max_frames + 1, 128))
+    groups: dict[int, list] = {}
     for u, audio in utts:
-        dur = len(audio) / 16000
-        b = next((b for b in bucket_seconds if dur <= b), bucket_seconds[-1])
-        groups[b].append((u, audio))
-    for b, items in groups.items():
+        f = frames_for_samples(cfg, len(audio))
+        b = next((b for b in ladder if f <= b), ladder[-1])
+        groups.setdefault(b, []).append((u, audio))
+    for b, items in sorted(groups.items()):
+        n = lane_aligned_samples(cfg, 1)  # smallest 128-frame count
+        # Scale to this bucket: smallest sample count with >= b frames.
+        n = lane_aligned_samples(cfg, n + (b - 128) * _hop(cfg))
         for i in range(0, len(items), batch_size):
-            yield b, items[i : i + batch_size]
+            yield n, items[i : i + batch_size]
+
+
+def _hop(cfg) -> int:
+    h = 1
+    for s in cfg.conv_strides:
+        h *= s
+    return h
 
 
 def evaluate(
@@ -119,8 +143,7 @@ def evaluate(
     refs, hyps = [], []
     audio_seconds = 0.0
     t0 = time.perf_counter()
-    for bucket_s, items in _buckets(utts, batch_size):
-        n = bucket_s * 16000
+    for n, items in _buckets(cfg, utts, batch_size):
         b = len(items)
         batch = np.zeros((b, n), np.float32)
         lengths = np.zeros((b,), np.int32)
@@ -130,7 +153,7 @@ def evaluate(
             lengths[i] = k
         memory, mask = encode(params, jnp.asarray(batch), jnp.asarray(lengths))
         caps = np.maximum((lengths / 16000 * cfg.max_tokens_per_second).astype(np.int32), 1)
-        max_tokens = max(int(bucket_s * cfg.max_tokens_per_second), 8)
+        max_tokens = max(int(n / 16000 * cfg.max_tokens_per_second), 8)
         if beam_size > 1:
             res = beam_decode(
                 params, cfg, memory, mask, beam_size=beam_size,

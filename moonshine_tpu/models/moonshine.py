@@ -220,6 +220,33 @@ def _frames_for_samples_traced(cfg: MoonshineArchConfig, n: jnp.ndarray) -> jnp.
     return jnp.maximum(n, 0)
 
 
+def frames_for_samples(cfg: MoonshineArchConfig, n: int) -> int:
+    """Encoder frame count for ``n`` input samples (host int math)."""
+    for k, s in zip(cfg.conv_kernels, cfg.conv_strides):
+        n = (n - k) // s + 1
+    return max(n, 0)
+
+
+def lane_aligned_samples(cfg: MoonshineArchConfig, n: int, align: int = 128) -> int:
+    """Smallest padded sample count ≥ ``n`` whose encoder frame count is a
+    multiple of ``align``.
+
+    TPU arrays put the time axis on 128-wide lanes; a T=415 encode pads to
+    512 physically (1.23× wasted bandwidth on every attention/cross-KV
+    read).  Choosing batch-bucket lengths with 128-aligned frame counts
+    measured +10.5 % offline throughput at identical audio (docs/PERF.md
+    shape-choice note) — this helper makes that the bucketing default.
+    """
+    f = frames_for_samples(cfg, n)
+    target = max(-(-f // align) * align, align)
+    hop = 1
+    for s in cfg.conv_strides:
+        hop *= s
+    while frames_for_samples(cfg, n) < target:
+        n += hop * max(target - frames_for_samples(cfg, n), 1)
+    return n
+
+
 def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask, eps,
                          frame_mask=None, attn_impl: str = "xla"):
     x = layer_norm(lp["ln1"], h, eps)

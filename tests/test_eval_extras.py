@@ -112,3 +112,39 @@ class TestTtsIntelligibility:
             synth, lambda wav, sr: "Hello, World!", sentences=("hello world",)
         )
         assert res.cer == 0.0
+
+
+def test_lane_aligned_bucketing():
+    """Eval buckets sit at 128-aligned encoder frame counts (the +10.5%
+    lane-alignment result, docs/PERF.md) with a finer ladder than the old
+    whole-second buckets."""
+    import numpy as np
+
+    from moonshine_tpu.core.config import ARCHS
+    from moonshine_tpu.eval.librispeech import _buckets
+    from moonshine_tpu.models.moonshine import (
+        frames_for_samples,
+        lane_aligned_samples,
+    )
+
+    cfg = ARCHS["base"]
+
+    class U:  # minimal utterance stand-in
+        pass
+
+    utts = [
+        (U(), np.zeros(int(16000 * d), np.float32))
+        for d in (1.0, 3.9, 4.1, 8.0, 9.3, 10.0, 15.0)
+    ]
+    seen = []
+    for n, items in _buckets(cfg, utts, batch_size=4):
+        f = frames_for_samples(cfg, n)
+        assert f % 128 == 0
+        assert all(len(a) <= n for _, a in items)
+        seen.append(f)
+    assert seen == sorted(seen) and len(seen) >= 5  # finer than 4/8/16/32 s
+    # Helper invariants: minimal aligned padding.
+    for secs in (1, 4, 8, 10, 16):
+        n = lane_aligned_samples(cfg, secs * 16000)
+        assert frames_for_samples(cfg, n) % 128 == 0
+        assert n >= secs * 16000
