@@ -119,7 +119,7 @@ def offline_bench(args) -> dict:
             memory, mask = encode(params, audio)
             return beam_decode(
                 params, cfg, memory, mask, beam_size=args.beam_size,
-                max_tokens=max_tokens, token_caps=caps,
+                max_tokens=max_tokens, token_caps=caps, kv_int8=args.kv_int8,
             )
     else:
         def pipeline(params, audio):

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import MoonshineArchConfig
 from ..models import moonshine as mm
-from ..ops.beam_gather import gather_kv_rows
+from ..ops.beam_gather import gather_kv_rows, gather_scale_rows
 
 NEG_INF = -1e9
 
@@ -37,7 +37,7 @@ def _expand_per_beam(x: jnp.ndarray, k: int, axis: int) -> jnp.ndarray:
     return jnp.repeat(x, k, axis=axis)
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_tokens", "gather_impl"))
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_tokens", "gather_impl", "kv_int8"))
 def beam_decode(
     params: dict,
     cfg: MoonshineArchConfig,
@@ -51,6 +51,8 @@ def beam_decode(
     # auto = Pallas row-copy gather on a single TPU backend, jnp.take
     # elsewhere; sharded (pjit/GSPMD) callers should pass "xla" (a
     # pallas_call is opaque to GSPMD repartitioning).
+    kv_int8: bool = False,  # int8 KV with fused dequant (ops/int8_kv.py);
+    # the parent reorder also gathers the per-column scale arrays.
 ) -> BeamResult:
     b = memory.shape[0]
     k = beam_size
@@ -68,7 +70,10 @@ def beam_decode(
     # streaming per step (the dominant beam HBM cost).  Only the self
     # caches are per-beam (B*K rows).
     k_cross, v_cross = mm.compute_cross_kv(dec, cfg, memory)
-    cache = mm.init_cache(cfg, bk, max_tokens + 1, k_cross, v_cross, memory_mask, dtype=memory.dtype)
+    cache = mm.init_cache(
+        cfg, bk, max_tokens + 1, k_cross, v_cross, memory_mask,
+        dtype=memory.dtype, kv_int8=kv_int8,
+    )
 
     if token_caps is None:
         token_caps = jnp.full((b,), max_tokens, jnp.int32)
@@ -142,10 +147,19 @@ def beam_decode(
             k_self, v_self = gather_kv_rows(
                 cache.k_self, cache.v_self, flat_parent
             )
+            if kv_int8:
+                ks, vs = gather_scale_rows(
+                    cache.k_self_scale, cache.v_self_scale, flat_parent
+                )
         else:
             k_self = jnp.take(cache.k_self, flat_parent, axis=1)
             v_self = jnp.take(cache.v_self, flat_parent, axis=1)
+            if kv_int8:
+                ks = jnp.take(cache.k_self_scale, flat_parent, axis=1)
+                vs = jnp.take(cache.v_self_scale, flat_parent, axis=1)
         cache = cache._replace(k_self=k_self, v_self=v_self)
+        if kv_int8:
+            cache = cache._replace(k_self_scale=ks, v_self_scale=vs)
 
         is_eos = token == eos
         keep = jnp.logical_not(was_finished) & jnp.logical_not(is_eos)

@@ -71,3 +71,44 @@ def gather_kv_rows(
         ),
         interpret=interpret,
     )(idx.astype(jnp.int32), k_self, v_self)
+
+
+def _gather_scale_kernel(idx_ref, ks_ref, vs_ref, kso_ref, vso_ref):
+    kso_ref[...] = ks_ref[...]
+    vso_ref[...] = vs_ref[...]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def gather_scale_rows(
+    k_scale: jnp.ndarray,  # [L, B, H, S] per-column int8 KV scales
+    v_scale: jnp.ndarray,  # [L, B, H, S]
+    idx: jnp.ndarray,  # [B] int32
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Row gather for the int8-KV scale arrays (same pattern as
+    :func:`gather_kv_rows`, 4-D blocks)."""
+    l, b, h, s = k_scale.shape
+
+    def in_map(li, bi, idx_ref):
+        return (li, idx_ref[bi], 0, 0)
+
+    def out_map(li, bi, idx_ref):
+        return (li, bi, 0, 0)
+
+    blk_in = pl.BlockSpec((1, 1, h, s), in_map)
+    blk_out = pl.BlockSpec((1, 1, h, s), out_map)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(l, b),
+        in_specs=[blk_in, blk_in],
+        out_specs=[blk_out, blk_out],
+    )
+    return pl.pallas_call(
+        _gather_scale_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx.astype(jnp.int32), k_scale, v_scale)

@@ -134,3 +134,24 @@ def test_beam_k_fold_matches_expanded_cross(setup):
     np.testing.assert_allclose(
         np.asarray(got_cache.k_self), np.asarray(ref_cache.k_self), rtol=1e-6, atol=1e-6
     )
+
+
+def test_beam_kv_int8_close_to_float(setup):
+    """Beam with int8 KV (scales gathered alongside the caches in the
+    parent reorder) tracks the float-KV beam closely: same top beams on
+    most elements, and every returned sequence rescoreable."""
+    params, memory, mask = setup
+    b_f = beam_decode(params, CFG, memory, mask, beam_size=3, max_tokens=8,
+                      length_penalty=0.0)
+    b_q = beam_decode(params, CFG, memory, mask, beam_size=3, max_tokens=8,
+                      length_penalty=0.0, kv_int8=True)
+    # Scores of the quantized run must rescore within int8 noise.
+    for i in range(memory.shape[0]):
+        n = int(b_q.lengths[i])
+        tokens = [int(t) for t in b_q.tokens[i, :n]]
+        seq = tokens if n == 8 else tokens + [CFG.eos_token_id]
+        expected = seq_logprob(params, memory[i : i + 1], mask[i : i + 1], seq)
+        # float rescoring of the int8-searched sequence: near the float
+        # beam's score (quantization may pick a near-tie neighbor).
+        assert float(b_q.scores[i]) <= float(b_f.scores[i]) + 0.05
+        assert abs(float(b_q.scores[i]) - expected) < 0.25

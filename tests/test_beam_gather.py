@@ -45,3 +45,16 @@ def test_gather_bf16():
     np.testing.assert_array_equal(
         np.asarray(ko, np.float32), np.asarray(jnp.take(k, idx, axis=1), np.float32)
     )
+
+
+def test_scale_gather_matches_take():
+    from moonshine_tpu.ops.beam_gather import gather_scale_rows
+
+    rng = np.random.RandomState(3)
+    l, b, h, s = 2, 6, 4, 16
+    ks = jnp.asarray(rng.rand(l, b, h, s).astype(np.float32))
+    vs = jnp.asarray(rng.rand(l, b, h, s).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, b, size=b).astype(np.int32))
+    ko, vo = gather_scale_rows(ks, vs, idx, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ko), np.asarray(jnp.take(ks, idx, axis=1)))
+    np.testing.assert_array_equal(np.asarray(vo), np.asarray(jnp.take(vs, idx, axis=1)))
