@@ -120,6 +120,15 @@ def make_train_step(cfg: MoonshineArchConfig, optimizer, mesh: Mesh | None = Non
     def jitted(state: TrainState, batch: Batch):
         sp = jax.tree.map(lambda s: NamedSharding(mesh, s), state_pspecs(state))
         bp = jax.tree.map(lambda s: NamedSharding(mesh, s), batch_pspecs())
-        return jax.jit(step, in_shardings=(sp, bp), donate_argnums=0)(state, batch)
+        # Pin the OUTPUT state to the same shardings as the input: without
+        # this, GSPMD may emit an equivalent-but-different sharding for
+        # some leaf and the NEXT step's strict in_shardings reject it
+        # (multi-step mesh training; metrics stay replicated).
+        return jax.jit(
+            step,
+            in_shardings=(sp, bp),
+            out_shardings=(sp, NamedSharding(mesh, P())),
+            donate_argnums=0,
+        )(state, batch)
 
     return jitted
