@@ -53,7 +53,7 @@ _LETTERS = {
     "e": "e",
     "f": "f", "ef": "f", "eff": "f",
     "g": "g", "gee": "g",
-    "h": "h", "aitch": "h",
+    "h": "h", "aitch": "h", "haitch": "h",
     "i": "i", "eye": "i",
     "j": "j", "jay": "j",
     "k": "k", "kay": "k", "okay": "k", "ok": "k",
@@ -221,7 +221,45 @@ _CONNECTORS = (" as in ", " is for ", " like ", " for ")
 
 
 class SpellingMatcher:
-    """Utterance -> CHARACTER/STOPPED/CLEAR/UNDO/NONE."""
+    """Utterance -> CHARACTER/STOPPED/CLEAR/UNDO/NONE.
+
+    Mirrors the reference's ``AlphanumericMatcher`` construction surface
+    (reference: alphanumeric_listener.py:512-567): ``custom_words`` takes
+    highest priority over the built-in vocabulary, and the three
+    ``accept_*`` flags filter resolved characters by class (a character
+    the filter rejects is reported as NONE, exactly as if it had never
+    matched).  Default construction shares the module-level table.
+    """
+
+    def __init__(
+        self,
+        *,
+        custom_words: Optional[dict[str, str]] = None,
+        accept_letters: bool = True,
+        accept_digits: bool = True,
+        accept_specials: bool = True,
+    ):
+        if custom_words:
+            lookup = dict(LOOKUP)
+            for spoken, char in custom_words.items():
+                key = spelling_normalize(spoken)
+                if key:
+                    lookup[key] = char
+            self._lookup = lookup
+        else:
+            self._lookup = LOOKUP
+        self._accept_letters = accept_letters
+        self._accept_digits = accept_digits
+        self._accept_specials = accept_specials
+
+    def _char_accepted(self, char: str) -> bool:
+        if not char:
+            return False
+        if char.isdigit():
+            return self._accept_digits
+        if char.isalpha():
+            return self._accept_letters
+        return self._accept_specials
 
     def classify(self, raw_text: str) -> SpellingMatch:
         text = spelling_normalize(raw_text)
@@ -247,16 +285,43 @@ class SpellingMatcher:
         resolved = self._resolve(text)
         if not resolved:
             return SpellingMatch()
+        if not self._char_accepted(resolved):
+            return SpellingMatch()
         if make_upper and len(resolved) == 1 and resolved.isalpha():
             resolved = resolved.upper()
         return SpellingMatch(SpellingMatchType.CHARACTER, resolved)
+
+    def classify_sequence(self, raw_text: str) -> list[SpellingMatch]:
+        """Classify a potentially multi-token utterance.
+
+        Whole-utterance classification wins when it recognizes anything;
+        otherwise multi-token text falls back to per-token classification
+        so "h o m e" resolves to four CHARACTER matches.  Order is
+        preserved and the list stops after the first STOPPED (reference:
+        alphanumeric_listener.py:606-634).
+        """
+        whole = self.classify(raw_text)
+        if whole.is_recognized:
+            return [whole]
+        if not raw_text:
+            return [SpellingMatch()]
+        tokens = raw_text.replace("-", " ").split()
+        if len(tokens) <= 1:
+            return [SpellingMatch()]
+        results: list[SpellingMatch] = []
+        for tok in tokens:
+            m = self.classify(tok)
+            results.append(m)
+            if m.type == SpellingMatchType.STOPPED:
+                break
+        return results
 
     def is_weak_homonym(self, raw_text: str) -> bool:
         return spelling_normalize(raw_text) in WEAK_HOMONYMS
 
     def _resolve(self, text: str) -> Optional[str]:
-        if text in LOOKUP:
-            return LOOKUP[text]
+        if text in self._lookup:
+            return self._lookup[text]
         spelled = self._resolve_spelled_letter(text)
         if spelled is not None:
             return spelled
@@ -279,7 +344,7 @@ class SpellingMatcher:
             right = text[idx + len(connector):].strip()
             if not left or not right:
                 continue
-            left_char = LOOKUP.get(left)
+            left_char = self._lookup.get(left)
             if left_char is None or len(left_char) != 1 or not left_char.isalpha():
                 continue
             right_words = right.split()
@@ -289,6 +354,64 @@ class SpellingMatcher:
                 continue
             return left_char
         return None
+
+
+def letters_only_matcher(**kwargs) -> SpellingMatcher:
+    """Matcher that reports digits/specials as NONE (reference: :716)."""
+    return SpellingMatcher(accept_digits=False, accept_specials=False, **kwargs)
+
+
+def digits_only_matcher(**kwargs) -> SpellingMatcher:
+    """Matcher that reports letters/specials as NONE (reference: :720)."""
+    return SpellingMatcher(accept_letters=False, accept_specials=False, **kwargs)
+
+
+# TTS-friendly spoken names for echoing recognized characters back to the
+# user (reference: alphanumeric_listener.py:306-330 ``spoken_form``).
+# Letter sounds are spelled phonetically so the synthesizer says the
+# letter name rather than reading a one-letter word.
+_SPELL_OUT_LETTERS = {
+    "a": "ay", "b": "bee", "c": "see", "d": "dee", "e": "ee", "f": "eff",
+    "g": "gee", "h": "haitch", "i": "eye", "j": "jay", "k": "kay",
+    "l": "ell", "m": "em", "n": "en", "o": "oh", "p": "pee", "q": "cue",
+    "r": "are", "s": "ess", "t": "tee", "u": "you", "v": "vee",
+    "w": "double you", "x": "ex", "y": "why", "z": "zee",
+}
+_SPELL_OUT_DIGITS = {
+    "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
+    "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
+}
+_SPELL_OUT_SYMBOLS = {
+    ".": "period", ",": "comma", ":": "colon", ";": "semicolon",
+    "!": "exclamation mark", "?": "question mark",
+    "(": "open parenthesis", ")": "close parenthesis",
+    "[": "open bracket", "]": "close bracket",
+    "{": "open brace", "}": "close brace",
+    "@": "at sign", "#": "hash", "$": "dollar sign", "%": "percent",
+    "^": "caret", "&": "ampersand", "*": "asterisk", "-": "dash",
+    "_": "underscore", "+": "plus", "=": "equals", "|": "pipe",
+    "\\": "backslash", "/": "slash", "~": "tilde", "`": "backtick",
+    "'": "apostrophe", '"': "quote", " ": "space",
+}
+
+
+def spoken_form(char: str) -> str:
+    """TTS-friendly phrase for one character: letters use their spelling
+    sound ("h" -> "haitch"), upper case prefixes "capital ", digits and
+    symbols use their word form; anything else passes through unchanged
+    so callers never lose information silently."""
+    if not isinstance(char, str) or len(char) != 1:
+        return char
+    if char.isalpha():
+        token = _SPELL_OUT_LETTERS.get(char.lower(), char.lower())
+        if char.isupper():
+            token = f"capital {token}"
+        return token
+    if char in _SPELL_OUT_DIGITS:
+        return _SPELL_OUT_DIGITS[char]
+    if char in _SPELL_OUT_SYMBOLS:
+        return _SPELL_OUT_SYMBOLS[char]
+    return char
 
 
 @dataclass
