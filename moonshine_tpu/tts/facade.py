@@ -24,6 +24,57 @@ from .g2p import GraphemeToPhonemizer
 SAMPLE_RATE = tts_model.SAMPLE_RATE
 
 
+def split_say_utterances(text: str) -> list[str]:
+    """Approximate sentence split so ``say()`` can speak sooner.
+
+    Splits on ``.``/``!``/``?``/``:`` followed by whitespace — not a full
+    segmenter, but enough to start playback of the first clause while the
+    later ones synthesize (reference: tts.py:34-65).
+    """
+    stripped = (text or "").strip()
+    if not stripped:
+        return []
+    parts: list[str] = []
+    start = i = 0
+    n = len(stripped)
+    while i < n:
+        if stripped[i] in ".!?:" and i + 1 < n and stripped[i + 1].isspace():
+            piece = stripped[start : i + 1].strip()
+            if piece:
+                parts.append(piece)
+            i += 1
+            while i < n and stripped[i].isspace():
+                i += 1
+            start = i
+            continue
+        i += 1
+    tail = stripped[start:].strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _make_beep(kind: str, sr: int = SAMPLE_RATE) -> np.ndarray:
+    """Two-tone feedback cue: 'error' descends, 'success' ascends.
+
+    The reference plays bundled assets/{error,success}.wav; with no audio
+    assets in this tree the cues are synthesized once and cached — same
+    audible contract (short two-tone beep, reference: tts.py:124-151).
+    """
+    freqs = (880.0, 440.0) if kind == "error" else (440.0, 880.0)
+    tone_s, fade_s = 0.11, 0.008
+    out = []
+    for f in freqs:
+        t = np.arange(int(tone_s * sr), dtype=np.float32) / sr
+        tone = 0.4 * np.sin(2 * np.pi * f * t).astype(np.float32)
+        nf = max(1, int(fade_s * sr))
+        env = np.ones_like(tone)
+        env[:nf] = np.linspace(0.0, 1.0, nf, dtype=np.float32)
+        env[-nf:] = np.linspace(1.0, 0.0, nf, dtype=np.float32)
+        out.append(tone * env)
+    return np.concatenate(out)
+
+
 def save_voice_pack(
     path: str | Path,
     voices: Mapping[str, np.ndarray],
@@ -116,8 +167,16 @@ class TextToSpeech:
         self.voices: dict[str, np.ndarray] = {}
         self._g2p: GraphemeToPhonemizer | None = None
         self._playback_fn: Optional[Callable[[np.ndarray, int], None]] = None
-        self._queue: "queue.Queue[Optional[tuple[str, TTSOptions]]]" = queue.Queue()
+        # Two-stage pipeline (reference: tts.py:823-827): the say queue
+        # feeds a synthesis thread; the bounded play queue (maxsize=1)
+        # feeds a playback thread, so utterance N+1 synthesizes while N
+        # is still playing.
+        self._say_queue: "queue.Queue" = queue.Queue()
+        self._play_queue: "queue.Queue" = queue.Queue(maxsize=1)
         self._synth_thread: threading.Thread | None = None
+        self._play_thread: threading.Thread | None = None
+        self._playing = False
+        self._beep_cache: dict[str, np.ndarray] = {}
         self._said: list[str] = []
         self._loaded = False
         self._default_options = TTSOptions()
@@ -217,42 +276,109 @@ class TextToSpeech:
             wav = wav * opts.volume
         return wav, SAMPLE_RATE
 
-    # -- queued speech (reference: binding tts.py synthesis thread) ---------
+    # -- queued speech (reference: binding tts.py synthesis + playback
+    # threads; README.md:1574 — the next utterance synthesizes during
+    # playback) ---------------------------------------------------------
 
     def say(self, text: str, options: TTSOptions | None = None) -> None:
-        """Queue an utterance; synthesis runs on a worker thread and
-        playback happens through the injected hook."""
-        self._ensure_thread()
-        self._queue.put((text, options or self._default_options))
+        """Queue an utterance; synthesis runs on a worker thread, playback
+        on a second, so the first clause plays while later ones render."""
+        self._ensure_say_workers()
+        pieces = split_say_utterances(text)
+        if not pieces:
+            return
+        self._said.append(text)
+        for piece in pieces:
+            self._say_queue.put(("text", piece, options or self._default_options))
+
+    def play_error(self) -> None:
+        """Queue the short descending error beep (reference: tts.py:1093
+        — ordered through the say queue so it never races an in-flight
+        ``say``).  Pairs with :meth:`play_success` for recognized/
+        unrecognized audible feedback."""
+        self._ensure_say_workers()
+        self._say_queue.put(("beep", "error", None))
+
+    def play_success(self) -> None:
+        """Queue the short ascending success beep (reference: tts.py:1127)."""
+        self._ensure_say_workers()
+        self._say_queue.put(("beep", "success", None))
+
+    def is_talking(self) -> bool:
+        """True while utterances are queued, synthesizing, or playing."""
+        return (
+            not self._say_queue.empty()
+            or not self._play_queue.empty()
+            or self._playing
+        )
+
+    def wait(self) -> None:
+        """Block until all queued utterances are synthesized AND played."""
+        self._say_queue.join()
+        self._play_queue.join()
 
     def wait_for_all(self, timeout: float | None = None) -> None:
-        self._queue.join()
+        self.wait()
 
     def stop(self) -> None:
         if self._synth_thread is not None:
-            self._queue.put(None)
+            self._say_queue.put(None)
             self._synth_thread.join(timeout=5)
             self._synth_thread = None
+        if self._play_thread is not None:
+            self._play_thread.join(timeout=5)
+            self._play_thread = None
 
-    def _ensure_thread(self) -> None:
-        if self._synth_thread is None or not self._synth_thread.is_alive():
-            self._synth_thread = threading.Thread(target=self._worker, daemon=True)
-            self._synth_thread.start()
+    def _ensure_say_workers(self) -> None:
+        alive = (
+            self._synth_thread is not None
+            and self._synth_thread.is_alive()
+            and self._play_thread is not None
+            and self._play_thread.is_alive()
+        )
+        if alive:
+            return
+        self._synth_thread = threading.Thread(target=self._synth_worker, daemon=True)
+        self._play_thread = threading.Thread(target=self._play_worker, daemon=True)
+        self._synth_thread.start()
+        self._play_thread.start()
 
-    def _worker(self) -> None:
+    def _synth_worker(self) -> None:
         while True:
-            item = self._queue.get()
+            item = self._say_queue.get()
             try:
                 if item is None:
+                    self._play_queue.put(None)
                     return
-                text, opts = item
-                wav, sr = self.synthesize(text, opts)
-                self._said.append(text)
-                if self._playback_fn is not None:
-                    self._playback_fn(wav, sr)
+                kind, payload, opts = item
+                if kind == "beep":
+                    if payload not in self._beep_cache:
+                        self._beep_cache[payload] = _make_beep(payload)
+                    self._play_queue.put((self._beep_cache[payload], SAMPLE_RATE))
+                else:
+                    wav, sr = self.synthesize(payload, opts)
+                    self._play_queue.put((wav, sr))
             except Exception as e:  # noqa: BLE001 — a failed utterance must not kill the queue
                 import sys
 
                 print(f"TextToSpeech: synthesis failed: {e!r}", file=sys.stderr)
             finally:
-                self._queue.task_done()
+                self._say_queue.task_done()
+
+    def _play_worker(self) -> None:
+        while True:
+            item = self._play_queue.get()
+            try:
+                if item is None:
+                    return
+                wav, sr = item
+                self._playing = True
+                if self._playback_fn is not None:
+                    self._playback_fn(wav, sr)
+            except Exception as e:  # noqa: BLE001 — a broken output must not kill the queue
+                import sys
+
+                print(f"TextToSpeech: playback failed: {e!r}", file=sys.stderr)
+            finally:
+                self._playing = False
+                self._play_queue.task_done()

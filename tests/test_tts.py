@@ -256,3 +256,99 @@ def test_voice_pack_roundtrip(tmp_path):
     save_voice_pack(path2, voices)
     p3, v3 = load_voice_pack(path2)
     assert p3 is None and set(v3) == set(voices)
+
+
+def test_split_say_utterances():
+    from moonshine_tpu.tts.facade import split_say_utterances
+
+    assert split_say_utterances("One. Two! Three? Four: five") == [
+        "One.", "Two!", "Three?", "Four:", "five",
+    ]
+    # No split without trailing whitespace (decimals, URLs).
+    assert split_say_utterances("pi is 3.14 okay") == ["pi is 3.14 okay"]
+    assert split_say_utterances("   ") == []
+    assert split_say_utterances("plain") == ["plain"]
+
+
+def test_say_pipeline_splits_and_overlaps():
+    """say() splits into clauses; synthesis of clause N+1 overlaps playback
+    of clause N through the bounded play queue (reference: tts.py:823-827)."""
+    import threading
+
+    from moonshine_tpu.models.tts import TTSConfig
+    from moonshine_tpu.tts.facade import TextToSpeech
+
+    played = []
+    gate = threading.Event()
+
+    def slow_play(wav, sr):
+        played.append(len(wav))
+        gate.set()
+
+    tts = (
+        TextToSpeech(cfg=TTSConfig(dim=64, encoder_layers=1, decoder_layers=1, heads=4))
+        .play_with(slow_play)
+        .load()
+    )
+    tts.say("First clause. Second clause! Third?")
+    tts.wait()
+    tts.stop()
+    assert len(played) == 3
+    assert gate.is_set()
+    assert not tts.is_talking()
+
+
+def test_play_error_and_success_beeps_ordered():
+    from moonshine_tpu.models.tts import TTSConfig
+    from moonshine_tpu.tts.facade import SAMPLE_RATE, TextToSpeech, _make_beep
+
+    played = []
+    tts = (
+        TextToSpeech(cfg=TTSConfig(dim=64, encoder_layers=1, decoder_layers=1, heads=4))
+        .play_with(lambda wav, sr: played.append(np.asarray(wav)))
+        .load()
+    )
+    tts.say("hello")
+    tts.play_error()
+    tts.play_success()
+    tts.wait()
+    tts.stop()
+    assert len(played) == 3
+    # Beeps play after the in-flight say, in order; cached arrays match.
+    np.testing.assert_array_equal(played[1], _make_beep("error"))
+    np.testing.assert_array_equal(played[2], _make_beep("success"))
+    # Error descends, success ascends: compare dominant frequency halves.
+    err = _make_beep("error")
+    half = len(err) // 2
+    zc_first = np.count_nonzero(np.diff(np.signbit(err[:half])))
+    zc_second = np.count_nonzero(np.diff(np.signbit(err[half:])))
+    assert zc_first > zc_second
+    suc = _make_beep("success")
+    zc_first_s = np.count_nonzero(np.diff(np.signbit(suc[:half])))
+    zc_second_s = np.count_nonzero(np.diff(np.signbit(suc[half:])))
+    assert zc_first_s < zc_second_s
+    assert _make_beep("error").dtype == np.float32
+    assert SAMPLE_RATE == 24000
+
+
+def test_tts_backend_works_with_alphanumeric_listener():
+    """The facade satisfies the AlphanumericListener tts contract."""
+    from moonshine_tpu.agent.alphanumeric import AlphanumericListener
+    from moonshine_tpu.core.types import TranscriptLine
+    from moonshine_tpu.models.tts import TTSConfig
+    from moonshine_tpu.pipeline.transcriber import LineCompleted
+    from moonshine_tpu.tts.facade import TextToSpeech
+
+    played = []
+    tts = (
+        TextToSpeech(cfg=TTSConfig(dim=64, encoder_layers=1, decoder_layers=1, heads=4))
+        .play_with(lambda wav, sr: played.append(len(wav)))
+        .load()
+    )
+    lst = AlphanumericListener(lambda e: None, tts=tts)
+    lst(LineCompleted(line=TranscriptLine(id=0, text="bravo"), stream_id=0))
+    lst(LineCompleted(line=TranscriptLine(id=1, text="xyzzy"), stream_id=0))
+    tts.wait()
+    tts.stop()
+    assert lst.text == "b"
+    assert len(played) == 2  # "bee" echo + error beep
