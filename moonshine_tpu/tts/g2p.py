@@ -315,11 +315,27 @@ class GraphemeToPhonemizer:
     """Public G2P API (reference binding: GraphemeToPhonemizer;
     C ABI: moonshine-c-api.h:1140-1184)."""
 
-    def __init__(self, language: str = "en", lexicon_path: str | None = None):
+    def __init__(
+        self,
+        language: str = "en",
+        lexicon_path: str | None = None,
+        oov_model=None,
+    ):
+        """``oov_model``: a trained ``G2PTransformer`` (or a path to its
+        safetensors artifact) consulted for words the lexicon misses —
+        the neural-helper slot of the reference's G2P (reference:
+        lang-specific/g2p-transformer-model.h, english-hand-oov.h).
+        Lexicon hits always stay exact; rules remain the fallback when
+        no model is given."""
         self.language = language
         self.engine = _make_engine(language)
         if lexicon_path:
             self.engine.add_lexicon(load_cmudict_lexicon(lexicon_path))
+        if isinstance(oov_model, (str, Path)):
+            from .g2p_transformer import G2PTransformer
+
+            oov_model = G2PTransformer.load(oov_model)
+        self.oov_model = oov_model
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
         normalized = normalize_text(text, self.language)
@@ -342,7 +358,7 @@ class GraphemeToPhonemizer:
                 next_w = words[wi + 1] if wi + 1 < len(words) else ""
                 ipa = resolve_heteronym(token, prev_w, next_w)
             if ipa is None:
-                ipa = self.engine.word_to_ipa(token)
+                ipa = self.word_to_ipa(token)
             if self.language.startswith("fr") and prev_adjacent_word and ipa:
                 # Mandatory liaison: the trigger's silent final consonant
                 # surfaces as the onset of the vowel-initial next word
@@ -359,6 +375,11 @@ class GraphemeToPhonemizer:
         return " ".join(out)
 
     def word_to_ipa(self, word: str) -> str:
+        w = word.lower()
+        if self.oov_model is not None and w not in self.engine.lexicon:
+            ipa = self.oov_model.predict(w)
+            if ipa:
+                return ipa
         return self.engine.word_to_ipa(word)
 
 
