@@ -110,16 +110,28 @@ def group_norm_all(p: Params, x: jnp.ndarray, mask: jnp.ndarray | None, eps: flo
     x: [B, T, C].  mask: optional [B, T] validity mask — when given, the
     statistics cover only valid frames so batched padded inference matches
     unpadded batch-1 numerics exactly (unlike naive padded GroupNorm).
+
+    One-pass statistics (sum and sum-of-squares in a single fused
+    reduction; var = E[x²] − mean²): the [B,T,C] tensor is ~2 GB at
+    offline bench shapes and the centered two-pass form cost an extra
+    full fp32 read — measured 7.63 → 6.10 ms at [512,2498,416]
+    (scripts/spike_groupnorm.py).  Post-tanh values are in [-1,1], so
+    the cancellation term mean² ≪ E[x²] and fp32 accumulation keeps the
+    difference at bf16-rounding level.
     """
     xf = x.astype(jnp.float32)
     if mask is None:
-        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        denom = jnp.asarray(x.shape[1] * x.shape[2], jnp.float32)
+        s1 = jnp.sum(xf, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True)
     else:
         m = mask.astype(jnp.float32)[:, :, None]
         denom = jnp.maximum(jnp.sum(m, axis=(1, 2), keepdims=True) * x.shape[-1], 1.0)
-        mean = jnp.sum(xf * m, axis=(1, 2), keepdims=True) / denom
-        var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 2), keepdims=True) / denom
+        xm = xf * m
+        s1 = jnp.sum(xm, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(xm * xf, axis=(1, 2), keepdims=True)
+    mean = s1 / denom
+    var = jnp.maximum(s2 / denom - jnp.square(mean), 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     y = y * p["scale"] + p["bias"]
     return y.astype(x.dtype)

@@ -43,6 +43,10 @@ _IPA_SYMBOLS = [
     "æ", "ɑ", "ɔ", "ə", "ɛ", "ɝ", "ɪ", "ʊ", "ʌ", "ŋ", "ɡ", "ɹ", "ɾ",
     "ʃ", "ʒ", "θ", "ð", "ʝ", "ɲ", "ʔ",
     "aɪ", "aʊ", "eɪ", "oʊ", "ɔɪ", "tʃ", "dʒ", "ju", "kw", "ks",
+    # Appended (ids above stay stable): stress marks + r-colored schwa,
+    # emitted by the baked real-pronunciation dictionary (tts/g2p_dict.py;
+    # reference: micro/g2p/src/g2p_dict_data.h kG2pPhones).
+    "ˈ", "ˌ", "ɚ",
 ]
 PHONEME_TO_ID = {p: i for i, p in enumerate(_IPA_SYMBOLS)}
 VOCAB = len(_IPA_SYMBOLS)

@@ -72,16 +72,34 @@ burst church hurry purple turtle
 """
 
 
-def build_dataset(language: str, extra_words=()):
-    """-> (engine, [(word, ipa)]) with lexicon + rule-labeled words."""
+def build_dataset(
+    language: str,
+    extra_words=(),
+    use_baked_dict: bool = True,
+    exclude: frozenset[str] | set[str] = frozenset(),
+):
+    """-> (engine, [(word, ipa)]).
+
+    Labels, in priority order: REAL pronunciations from the shipped
+    10,855-word baked dictionary (tts/g2p_dict.py; English only — the
+    reference's helpers train on CMUdict the same way), then the engine's
+    lexicon+rules outputs for everything else.  With the dictionary
+    present the English model trains mostly on real data rather than
+    pure self-distillation.
+    """
     engine = _make_engine(language)
     words = set(engine.lexicon)
+    real: dict[str, str] = {}
     if language.split("_")[0] == "en":
         words.update(_EN_RULE_WORDS.split())
+        if use_baked_dict:
+            from ..tts.g2p_dict import load_baked_dict
+
+            real = load_baked_dict()
     words.update(extra_words)
     pairs = []
-    for w in sorted(words):
-        ipa = engine.word_to_ipa(w)
+    for w in sorted((words | set(real)) - set(exclude)):
+        ipa = real.get(w) or engine.word_to_ipa(w)
         if ipa:
             pairs.append((w, ipa))
     return engine, pairs
@@ -121,6 +139,7 @@ def distill(
     extra_words=(),
     log_every: int = 0,
     limit: int | None = None,
+    exclude: frozenset[str] | set[str] = frozenset(),
 ) -> tuple[G2PTransformer, float]:
     """Train the OOV model on the engine's outputs.
 
@@ -129,7 +148,7 @@ def distill(
     helper models report as "agreement with the dictionary".
     """
     cfg = cfg or G2PModelConfig()
-    engine, pairs = build_dataset(language, extra_words)
+    engine, pairs = build_dataset(language, extra_words, exclude=exclude)
     if limit is not None:
         pairs = pairs[:limit]
     vocab = G2PTransformer.build_out_vocab(ipa for _, ipa in pairs)

@@ -116,8 +116,8 @@ _EN_RULES: list[tuple[str, str]] = [
     (r"oi", "ɔɪ"), (r"oy", "ɔɪ"), (r"au", "ɔ"), (r"aw", "ɔ"),
     (r"ie(?=#)", "aɪ"), (r"ie", "i"), (r"ei", "eɪ"), (r"ey(?=#)", "i"),
     (r"ue(?=#)", "u"), (r"ui", "u"),
-    # r-colored vowels
-    (r"ar(?=#|[bcdfgklmnpstvz])", "ɑɹ"), (r"or", "ɔɹ"), (r"er(?=#)", "ɝ"),
+    # r-colored vowels; final -er(s) is unstressed -> ɚ (paper, workers)
+    (r"ar(?=#|[bcdfgklmnpstvz])", "ɑɹ"), (r"or", "ɔɹ"), (r"er(?=s?#)", "ɚ"),
     (r"er", "ɝ"), (r"ir", "ɝ"), (r"ur", "ɝ"),
     # magic-e long vowels: a_e, i_e, o_e, u_e
     (r"a(?=[bcdfgklmnpstvz]e#)", "eɪ"),
@@ -125,14 +125,38 @@ _EN_RULES: list[tuple[str, str]] = [
     (r"o(?=[bcdfgklmnpstvz]e#)", "oʊ"),
     (r"u(?=[bcdfgklmnpstvz]e#)", "ju"),
     (r"e(?=[bcdfgklmnpstvz]e#)", "i"),
+    # inflection endings whose vowel survives after a coronal/sibilant
+    # (wanted, needed; boxes, wishes)
+    (r"(?<=[td])ed(?=#)", "əd"), (r"(?<=[sxz])es(?=#)", "əz"),
+    (r"(?<=[cs]h)es(?=#)", "əz"),
+    # syllabic -le after a true consonant (little, table; not smile)
+    (r"(?<=[bcdfgkptz])le(?=#)", "əl"),
+    # a before l-clusters backs to ɔ (all, also, salt, always)
+    (r"a(?=ll|l[ktwsm])", "ɔ"),
+    # word-initial unstressed a- (about, abandon, ago, away)
+    (r"(?<=#)a(?=[bcdfgklmnpstvz][aeiouy])", "ə"),
+    # open-syllable long vowels: single consonant + vowel follows
+    # (paper, basic, open, moment, silent, music)
+    (r"a(?=[bcdfgklmnpstvz][aeiouy])", "eɪ"),
+    (r"o(?=[bcdfgklmnpstvz][aeiouy])", "oʊ"),
+    (r"i(?=[bcdfgklmnpstvz][aeiouy])", "aɪ"),
+    (r"u(?=[bcdfgklmnpstvz][aeiouy])", "ju"),
     # soft c / g
-    (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "dʒ"),
+    (r"cc(?=[eiy])", "ks"), (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "dʒ"),
+    # degemination: English has no geminates within morphemes
+    # (abbey, summer, dinner...); doubled consonants sound single.
+    (r"bb", "b"), (r"cc", "k"), (r"dd", "d"), (r"ff", "f"), (r"gg", "ɡ"),
+    (r"ll", "l"), (r"mm", "m"), (r"nn", "n"), (r"pp", "p"), (r"rr", "ɹ"),
+    (r"ss", "s"), (r"tt", "t"), (r"zz", "z"),
     # single letters
     (r"a(?=#)", "ə"), (r"a", "æ"), (r"b", "b"), (r"c", "k"), (r"d", "d"),
     (r"e(?=#)", ""), (r"e(?=d#)", ""), (r"e", "ɛ"), (r"f", "f"), (r"g", "ɡ"),
     (r"h", "h"), (r"i", "ɪ"), (r"j", "dʒ"), (r"k", "k"), (r"l", "l"),
-    (r"m", "m"), (r"n", "n"), (r"o(?=#)", "oʊ"), (r"o", "ɑ"), (r"p", "p"),
-    (r"r", "ɹ"), (r"s(?=#)", "z"), (r"s", "s"), (r"t", "t"), (r"u", "ʌ"),
+    (r"m", "m"), (r"n(?=k)", "ŋ"), (r"n", "n"), (r"o(?=#)", "oʊ"),
+    (r"o", "ɑ"), (r"p", "p"), (r"r", "ɹ"),
+    # final -s agrees in voicing with what precedes it (cats vs dogs)
+    (r"(?<=[ptkfθ])s(?=#)", "s"), (r"s(?=#)", "z"), (r"s", "s"),
+    (r"t", "t"), (r"u", "ʌ"),
     (r"v", "v"), (r"w", "w"), (r"y(?=#)", "i"), (r"y(?=[aeiou])", "j"),
     (r"y", "ɪ"), (r"z", "z"), (r"'", ""),
 ]
@@ -320,13 +344,20 @@ class GraphemeToPhonemizer:
         language: str = "en",
         lexicon_path: str | None = None,
         oov_model=None,
+        use_baked_dict: bool = True,
     ):
         """``oov_model``: a trained ``G2PTransformer`` (or a path to its
         safetensors artifact) consulted for words the lexicon misses —
         the neural-helper slot of the reference's G2P (reference:
         lang-specific/g2p-transformer-model.h, english-hand-oov.h).
         Lexicon hits always stay exact; rules remain the fallback when
-        no model is given."""
+        no model is given.
+
+        ``use_baked_dict``: for English, consult the shipped 10,855-word
+        real-pronunciation dictionary (tts/g2p_dict.py; reference:
+        micro/g2p/src/g2p_dict_data.h) after the hand lexicon and before
+        the neural/rule fallbacks.  Loads lazily; silently empty when the
+        artifact is not mounted."""
         self.language = language
         self.engine = _make_engine(language)
         if lexicon_path:
@@ -336,6 +367,11 @@ class GraphemeToPhonemizer:
 
             oov_model = G2PTransformer.load(oov_model)
         self.oov_model = oov_model
+        self.baked_dict: dict[str, str] = {}
+        if use_baked_dict and language.startswith("en"):
+            from .g2p_dict import load_baked_dict
+
+            self.baked_dict = load_baked_dict()
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
         normalized = normalize_text(text, self.language)
@@ -376,10 +412,17 @@ class GraphemeToPhonemizer:
 
     def word_to_ipa(self, word: str) -> str:
         w = word.lower()
-        if self.oov_model is not None and w not in self.engine.lexicon:
-            ipa = self.oov_model.predict(w)
-            if ipa:
-                return ipa
+        if w not in self.engine.lexicon:
+            if self.baked_dict:
+                from .g2p_dict import normalize_word_key
+
+                hit = self.baked_dict.get(normalize_word_key(w))
+                if hit:
+                    return hit
+            if self.oov_model is not None:
+                ipa = self.oov_model.predict(w)
+                if ipa:
+                    return ipa
         return self.engine.word_to_ipa(word)
 
 

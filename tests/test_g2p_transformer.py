@@ -29,14 +29,27 @@ def trained():
 
 
 def test_build_dataset_covers_lexicon_and_rules():
-    engine, pairs = build_dataset("en")
+    engine, pairs = build_dataset("en", use_baked_dict=False)
     words = {w for w, _ in pairs}
     assert "through" in words  # lexicon irregular
     assert "chat" in words  # rule-family word
     assert len(pairs) > 300
-    # Every target is the engine's own output (distillation labels).
+    # Without the baked dict, every target is the engine's own output.
     for w, ipa in pairs[:20]:
         assert engine.word_to_ipa(w) == ipa
+
+
+def test_build_dataset_prefers_real_pronunciations():
+    from moonshine_tpu.tts.g2p_dict import load_baked_dict
+
+    real = load_baked_dict()
+    if not real:
+        pytest.skip("reference assets not mounted")
+    _, pairs = build_dataset("en")
+    labels = dict(pairs)
+    # Real dictionary entries override engine labels (stress-marked IPA).
+    assert labels["people"] == real["people"] == "pˈipəl"
+    assert len(pairs) >= len(real)
 
 
 def test_distillation_learns(trained):
