@@ -266,11 +266,34 @@ class SpeakerDiarizer:
             labels = cluster_embeddings(embs, self.cluster_threshold)
 
         # Merge per-cluster segments into turns on the stream timeline.
+        # Turns are built from the binarized per-frame activity runs, not
+        # the window hull (first..last active frame): a 10 s analysis
+        # window usually contains several disjoint speech runs of a local
+        # speaker, and bridging the silence/other-speaker gaps between
+        # them would charge the whole window to one speaker (the
+        # community-1 pipeline also binarizes frames into regions).
         new_turns: list[tuple[int, float, float]] = []  # (label, start, end)
         for lbl in sorted(set(labels)):
-            spans = sorted(
-                (seg.start, seg.end) for seg, l in zip(active, labels) if l == lbl
-            )
+            spans = []
+            for seg, l in zip(active, labels):
+                if l != lbl:
+                    continue
+                frames = np.flatnonzero(seg.activity)
+                if len(frames) == 0:
+                    continue
+                breaks = np.flatnonzero(np.diff(frames) > 1)
+                run_starts = np.concatenate([[0], breaks + 1])
+                run_ends = np.concatenate([breaks, [len(frames) - 1]])
+                for a, b in zip(run_starts, run_ends):
+                    spans.append(
+                        (
+                            seg.window_start + frames[a] / FRAMES_PER_SECOND,
+                            seg.window_start + (frames[b] + 1) / FRAMES_PER_SECOND,
+                        )
+                    )
+            spans.sort()
+            if not spans:
+                continue
             cur_s, cur_e = spans[0]
             for s, e in spans[1:]:
                 if s <= cur_e + 0.5:

@@ -53,5 +53,13 @@ def two_cities_path():
 
 
 @pytest.fixture(scope="session")
+def beckett_path():
+    p = TEST_ASSETS / "beckett.wav"
+    if not p.exists():
+        pytest.skip("beckett.wav not available")
+    return str(p)
+
+
+@pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
