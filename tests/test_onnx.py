@@ -151,3 +151,21 @@ def test_tinyvad_segmenter_real_speech():
     dur = len(audio) / 16000.0
     assert 0.4 * dur < total_speech <= dur + 0.5
     assert all(s.is_complete for s in segs)
+
+
+@needs_ref
+def test_spelling_cnn_int8_deploy_artifact_accuracy_neutral():
+    """The int8-deploy 'shrunk' export scores the same 200/220.
+
+    The reference publishes that its int8 export is accuracy-neutral vs
+    fp32 on the captured set (reference: micro/models/README.md:63-65,
+    spelling_cnn_mel.shrunk.onnx — the compact int8-weight desktop
+    artifact).  Loading it through the same ONNX->XLA interpreter (the
+    int8 weights dequantize via the graph's own Cast/Mul pattern) must
+    reproduce that claim exactly.
+    """
+    from moonshine_tpu.eval.alphanumeric import evaluate_cnn
+
+    out = evaluate_cnn(ALPHA_DIR, f"{REF}/micro/models/spelling_cnn_mel.shrunk.onnx")
+    assert out["total"] == 220
+    assert out["correct"] == 200, out["correct"]
