@@ -109,7 +109,7 @@ def der(
         for _, start, stop in ref:
             for edge in (start, stop):
                 k = int(round(edge / frame))
-                scored[max(k - c, 0) : k + c] = False
+                scored[max(k - c, 0) : k + c + 1] = False
 
     ra = ref_act[:, scored] if len(ref_act) else np.zeros((0, scored.sum()), bool)
     ha = hyp_act[:, scored] if len(hyp_act) else np.zeros((0, scored.sum()), bool)

@@ -190,7 +190,7 @@ def _powerset_class_table() -> np.ndarray:
 def _pit_powerset_loss(params, windows, activity, class_table, perms):
     logits = segmentation_forward(params, windows)  # [B, T, C]
     logp = jax.nn.log_softmax(logits, axis=-1)
-    weights = jnp.asarray([1, 2, 4], jnp.int32)
+    weights = 2 ** jnp.arange(MAX_LOCAL_SPEAKERS, dtype=jnp.int32)
 
     def perm_loss(perm):
         y = activity[:, :, perm]
@@ -276,6 +276,12 @@ def _embedding_examples(
             xs.append(windows[w])
             ws.append(mask.astype(np.float32))
             ys.append(spk)
+    if not xs:
+        raise ValueError(
+            "no (window, speaker) pair reached the 0.4 s activity "
+            "threshold — the input recordings are too short or too "
+            "quiet to mint embedding training examples"
+        )
     return np.stack(xs), np.stack(ws), np.asarray(ys, np.int32)
 
 
@@ -314,9 +320,16 @@ def train_embedding(
     data_seed: int = 1,
 ) -> dict:
     """Train the speaker embedding with a pairwise contrastive objective."""
-    kp, _ = jax.random.split(rng_key)
+    kp, kprobe = jax.random.split(rng_key)
     mel_frames = WINDOW_SAMPLES // MEL_HOP + 1
-    seg_frames = mel_frames // 4 + (mel_frames % 4 > 0)
+    # Probe the segmentation net for its output frame count rather than
+    # duplicating the DOWNSAMPLE math (train_segmentation does the same).
+    seg_frames = int(
+        segmentation_forward(
+            init_segmentation_params(kprobe, dim=8, depth=1),
+            jnp.zeros((1, WINDOW_SAMPLES), jnp.float32),
+        ).shape[1]
+    )
     nprng = np.random.default_rng(data_seed)
     xs, ws, ys = _embedding_examples(
         nprng, crops_by_speaker, pool_windows, mel_frames, seg_frames

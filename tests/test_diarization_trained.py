@@ -101,7 +101,7 @@ def test_der_vbx_held_out(trained):
 
 
 def test_streaming_turns_match_one_shot_speakers(trained):
-    """Chunked add_audio reaches the same speaker separation."""
+    """Chunked add_audio matches the one-shot diarization of the same audio."""
     conv = _held_out_conversation(trained, seed=7)
     acts_fn, emb_fn = _fns(trained)
     dia = SpeakerDiarizer(acts_fn, emb_fn, cluster_threshold=0.5)
@@ -113,6 +113,14 @@ def test_streaming_turns_match_one_shot_speakers(trained):
     assert len({t.speaker_id for t in turns}) == 2
     m = der(conv.turns, turns)
     assert m["der"] < 0.15, m
+    # The real claim: streaming output agrees with the one-shot result on
+    # the SAME audio (scored as reference vs hypothesis, DER ≈ 0 up to
+    # window-boundary jitter).
+    one_shot = SpeakerDiarizer(
+        acts_fn, emb_fn, cluster_threshold=0.5
+    ).diarize(conv.audio)
+    agreement = der(one_shot, turns)
+    assert agreement["der"] < 0.10, agreement
 
 
 def test_speaker_eer_held_out(trained):
