@@ -1,4 +1,10 @@
-"""Pallas flash-decode attention for single-token cross-attention.
+"""SPIKE (not shipped): Pallas flash-decode attention for s=1 cross-attention.
+
+Demoted from ``moonshine_tpu/ops/`` in round 3: numerically exact but
+slower than the XLA einsum it would replace on this toolchain (details
+below), so it is kept here as a writeup + runnable experiment rather
+than as unwired product code.  Run ``python decode_attention_spike.py``
+for an interpreter-mode self-check against the oracle.
 
 The decode hot loop's dominant cost is streaming the cross-KV cache every
 step; XLA's batched s=1 attention einsum reaches only ~25% of HBM
@@ -175,3 +181,19 @@ def reference_decode_attention(q, k, v, lengths):
     logits = jnp.where(mask, logits, -1e30)
     w = jax.nn.softmax(logits, axis=-1)
     return jnp.einsum("bht,bthd->bhd", w, v.astype(jnp.float32)).astype(q.dtype)
+
+
+if __name__ == "__main__":
+    # Interpreter-mode self-check vs the oracle (was tests/test_decode_attention.py).
+    key = jax.random.PRNGKey(0)
+    for t in (7, 256, 417, 600):
+        b, h, hd = 3, 8, 52
+        q = jax.random.normal(key, (b, h, hd), jnp.float32)
+        k = jax.random.normal(jax.random.PRNGKey(1), (b, t, h, hd), jnp.float32)
+        v = jax.random.normal(jax.random.PRNGKey(2), (b, t, h, hd), jnp.float32)
+        lengths = jnp.asarray([t, max(t // 2, 1), 1], jnp.int32)
+        ref = np.asarray(reference_decode_attention(q, k, v, lengths))
+        out = np.asarray(flash_decode_attention(q, k, v, lengths, interpret=True))
+        np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+        print(f"T={t}: max|Δ|={np.abs(out - ref).max():.2e} OK")
+    print("spike self-check passed")
