@@ -21,35 +21,69 @@ from moonshine_tpu.core.config import MoonshineArchConfig
 from moonshine_tpu.models import moonshine as mm
 from moonshine_tpu.weights import import_hf_moonshine
 
-SMALL = dict(
-    hidden_size=64,
-    intermediate_size=256,
-    encoder_num_hidden_layers=2,
-    decoder_num_hidden_layers=2,
-    encoder_num_attention_heads=4,
-    decoder_num_attention_heads=4,
-    encoder_num_key_value_heads=4,
-    decoder_num_key_value_heads=4,
-    vocab_size=256,
-)
+# Three parity points: a fast toy config, plus the REAL Tiny and Base
+# architecture dims (head_dim 36 / 52 with partial_rotary_factor 0.9 —
+# rotary-dim rounding and accumulation behavior at the true dims is
+# exactly where a faithful-import bug would hide; reference arch tables:
+# README.md model tables, HF MoonshineConfig defaults).
+ARCH_CASES = {
+    "small": dict(
+        hidden_size=64,
+        intermediate_size=256,
+        encoder_num_hidden_layers=2,
+        decoder_num_hidden_layers=2,
+        encoder_num_attention_heads=4,
+        decoder_num_attention_heads=4,
+        encoder_num_key_value_heads=4,
+        decoder_num_key_value_heads=4,
+        vocab_size=256,
+    ),
+    # True Tiny: 288 hidden / 1152 mlp / 6 layers / 8 heads -> head_dim 36,
+    # rotary_dim round(36*0.9)=32.
+    "tiny": dict(
+        hidden_size=288,
+        intermediate_size=1152,
+        encoder_num_hidden_layers=6,
+        decoder_num_hidden_layers=6,
+        encoder_num_attention_heads=8,
+        decoder_num_attention_heads=8,
+        encoder_num_key_value_heads=8,
+        decoder_num_key_value_heads=8,
+        vocab_size=32768,
+    ),
+    # True Base: 416 hidden / 1664 mlp / 8 layers / 8 heads -> head_dim 52,
+    # rotary_dim int(52*0.9)=46.
+    "base": dict(
+        hidden_size=416,
+        intermediate_size=1664,
+        encoder_num_hidden_layers=8,
+        decoder_num_hidden_layers=8,
+        encoder_num_attention_heads=8,
+        decoder_num_attention_heads=8,
+        encoder_num_key_value_heads=8,
+        decoder_num_key_value_heads=8,
+        vocab_size=32768,
+    ),
+}
 
 
-@pytest.fixture(scope="module")
-def hf_and_ours():
+@pytest.fixture(scope="module", params=list(ARCH_CASES))
+def hf_and_ours(request):
+    spec = ARCH_CASES[request.param]
     torch.manual_seed(0)
-    hf_cfg = transformers.MoonshineConfig(**SMALL)
+    hf_cfg = transformers.MoonshineConfig(**spec)
     hf = transformers.MoonshineForConditionalGeneration(hf_cfg).eval()
     cfg = MoonshineArchConfig(
-        name="test",
-        vocab_size=SMALL["vocab_size"],
-        hidden_size=SMALL["hidden_size"],
-        intermediate_size=SMALL["intermediate_size"],
-        encoder_layers=2,
-        decoder_layers=2,
-        encoder_heads=4,
-        decoder_heads=4,
-        encoder_kv_heads=4,
-        decoder_kv_heads=4,
+        name=request.param,
+        vocab_size=spec["vocab_size"],
+        hidden_size=spec["hidden_size"],
+        intermediate_size=spec["intermediate_size"],
+        encoder_layers=spec["encoder_num_hidden_layers"],
+        decoder_layers=spec["decoder_num_hidden_layers"],
+        encoder_heads=spec["encoder_num_attention_heads"],
+        decoder_heads=spec["decoder_num_attention_heads"],
+        encoder_kv_heads=spec["encoder_num_key_value_heads"],
+        decoder_kv_heads=spec["decoder_num_key_value_heads"],
     )
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
     params = import_hf_moonshine(sd, cfg)
