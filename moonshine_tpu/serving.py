@@ -46,6 +46,16 @@ class StreamEvent:
 
 
 @dataclass
+class _PendingUpdate:
+    """A dispatched-but-uncollected service tick (update_begin/update_end)."""
+
+    out: object  # sb.ServiceOutput with device arrays still in flight
+    t0: float
+    is_final: np.ndarray
+    decode_mask: np.ndarray
+
+
+@dataclass
 class _Slot:
     active: bool = False
     eos: bool = False  # end-of-stream: finalize every remaining segment
@@ -72,7 +82,15 @@ class _Slot:
 
 
 class StreamingService:
-    """Batched streaming transcription over a fixed number of slots."""
+    """Batched streaming transcription over a fixed number of slots.
+
+    ``device``: optional ``jax.Device`` this service's weights and KV
+    state live on.  When set, every update program runs on that device
+    (committed inputs pin XLA's placement) — the unit of stream-level
+    data parallelism: K services on K mesh devices serve K·S streams
+    with ZERO hot-path collectives (each stream's state is private, so
+    nothing is exchanged; see docs/SCALING.md).
+    """
 
     def __init__(
         self,
@@ -89,13 +107,36 @@ class StreamingService:
         vad_threshold: float = 0.5,
         compute_dtype=None,  # e.g. jnp.bfloat16 for the encode/decode path
         kv_int8: bool = False,  # int8 KV caches w/ fused dequant (ops/int8_kv.py)
+        device=None,  # jax.Device to pin this service's state/programs to
     ):
+        import jax
         import jax.numpy as jnp
 
         self._jnp = jnp
+        self.device = device
+
+        def _put_leaf(x):
+            # Skip already-resident leaves: device_put is NOT an identity
+            # no-op (it returns a fresh Array object), and cohorts sharing
+            # one device must share one weight pytree.
+            if getattr(x, "devices", None) and x.devices() == {device}:
+                return x
+            return jax.device_put(x, device)
+
+        self._place = (
+            (lambda t: jax.tree_util.tree_map(_put_leaf, t))
+            if device is not None
+            else (lambda t: t)
+        )
+        # Host->device upload for per-tick inputs: straight to this
+        # service's device (committed) rather than via the default device.
+        self._upload = (
+            (lambda x: jax.device_put(x, device)) if device is not None else jnp.asarray
+        )
         self.compute_dtype = compute_dtype or jnp.float32
         if self.compute_dtype != jnp.float32:
             params = sb.cast_params(params, self.compute_dtype)
+        params = self._place(params)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -117,9 +158,11 @@ class StreamingService:
         self.draft_buckets.append(draft_cap)
         self.max_tps = max_tokens_per_second
         self.max_segment_samples = int(max_segment_seconds * 16000)
-        self.state = sb.init_batch_state(
-            cfg, n_streams, dtype=self.compute_dtype, mem_cap=mem_bucket,
-            kv_int8=kv_int8,
+        self.state = self._place(
+            sb.init_batch_state(
+                cfg, n_streams, dtype=self.compute_dtype, mem_cap=mem_bucket,
+                kv_int8=kv_int8,
+            )
         )
         self.slots = [_Slot() for _ in range(n_streams)]
         self.vad = vad
@@ -170,8 +213,30 @@ class StreamingService:
         else:
             s.raw_buffer = np.concatenate([s.raw_buffer, audio])
 
-    def update(self) -> list[StreamEvent]:
+    def update(self, decode_tick: bool = True) -> list[StreamEvent]:
         """One fused device call for all slots; returns transcript events."""
+        return self.update_end(self.update_begin(decode_tick=decode_tick))
+
+    def update_begin(self, decode_tick: bool = True) -> "_PendingUpdate":
+        """Dispatch this tick's device work WITHOUT waiting for it.
+
+        Returns a pending handle for :meth:`update_end`.  Device-placed
+        services (``device=``) use this pair to overlap ticks across mesh
+        devices: dispatch every device's program first (XLA dispatch is
+        async), then collect — the programs run concurrently, so K
+        devices serve K× the streams at one device's per-tick latency
+        (``ShardedStreamingService.update_all_parallel``).
+
+        ``decode_tick=False`` runs an INGEST-ONLY tick: frontend +
+        windowed encode keep up with the incoming audio, but the
+        speculative-verify/greedy decode — the dominant per-update cost —
+        is skipped and no events are produced (segment finals wait for
+        the next decode tick).  This is the unit of the service-tier
+        overload backoff (:class:`ServiceGovernor`): decoding every b-th
+        period cuts decode work per audio-second ~b× while ingestion
+        stays realtime, the service analog of the reference's 10×
+        update-interval stretch (reference: transcriber.py:432-542).
+        """
         jnp = self._jnp
         t0 = time.monotonic()
         if self.vad is not None:
@@ -206,10 +271,10 @@ class StreamingService:
                 s.feat_total += nf
                 n_frames[i] = nf
             flushed = len(s.pending) < FRAME_LEN
-            if s.seg_final_queued and flushed:
+            if s.seg_final_queued and flushed and decode_tick:
                 is_final[i] = True
                 finals.append(i)
-            if s.fed_samples > 0 and (nf > 0 or is_final[i]):
+            if decode_tick and s.fed_samples > 0 and (nf > 0 or is_final[i]):
                 decode_mask[i] = True
                 dl = min(len(s.tokens), self.draft_cap)
                 if dl:
@@ -251,21 +316,22 @@ class StreamingService:
                 draft_len, budget, decode_mask.astype(np.int32),
             ]).astype(np.int32)
 
-        # Smallest verify bucket covering this tick's longest draft.
-        max_dl = int(draft_len.max()) if S else 0
+        # Smallest verify bucket covering this tick's longest draft
+        # (ingest-only ticks carry no draft: smallest bucket).
+        max_dl = int(draft_len.max()) if (S and decode_tick) else 0
         cap = next(b for b in self.draft_buckets if b >= max_dl)
         # Device-resident inputs, uploaded ONCE: burst ticks (prefill /
         # drain) reuse the same zero chunk + follow-up meta across every
         # catch-up pass instead of re-paying per-transfer relay cost.
-        chunk_dev = jnp.asarray(chunk)
-        meta_dev = jnp.asarray(pack_meta(n_frames, reset))
+        chunk_dev = self._upload(chunk)
+        meta_dev = self._upload(pack_meta(n_frames, reset))
         if passes > 1:
-            zeros_chunk_dev = jnp.asarray(np.zeros_like(chunk))
+            zeros_chunk_dev = self._upload(np.zeros_like(chunk))
             zeros_s = np.zeros(S, np.int32)
-            meta_follow_dev = jnp.asarray(
+            meta_follow_dev = self._upload(
                 pack_meta(zeros_s, zeros_s.astype(bool))
             )
-            draft0_dev = jnp.asarray(draft[:, : self.draft_buckets[0]])
+            draft0_dev = self._upload(draft[:, : self.draft_buckets[0]])
         first = True
         for _ in range(passes - 1):  # encode-only catch-up calls
             with profiling.log_run("service_encode_catchup"):
@@ -285,12 +351,20 @@ class StreamingService:
                 self.params, self.cfg, self.state,
                 chunk_dev if first else zeros_chunk_dev,
                 meta_dev if first else meta_follow_dev,
-                jnp.asarray(draft[:, :cap]),
+                self._upload(draft[:, :cap]),
                 mem_bucket=self.mem_bucket, draft_cap=cap,
-                enc_passes=1, decode=True,
+                enc_passes=1, decode=decode_tick,
             )
         mirror_pass()
         self.state = out.state
+        return _PendingUpdate(
+            out=out, t0=t0, is_final=is_final, decode_mask=decode_mask
+        )
+
+    def update_end(self, pending: "_PendingUpdate") -> list[StreamEvent]:
+        """Wait for a dispatched tick and turn its output into events."""
+        out, t0 = pending.out, pending.t0
+        is_final, decode_mask = pending.is_final, pending.decode_mask
         # ONE host transfer fetches tokens||count and is the device fence
         # (axon: block_until_ready is not).
         packed = np.asarray(out.packed)
@@ -382,9 +456,11 @@ class StreamingService:
             )
             self.state = out.state
         # Reset everything after the warm pass.
-        self.state = sb.init_batch_state(
-            self.cfg, self.S, dtype=self.compute_dtype, mem_cap=self.mem_bucket,
-            kv_int8=self.state.k_self_scale is not None,
+        self.state = self._place(
+            sb.init_batch_state(
+                self.cfg, self.S, dtype=self.compute_dtype, mem_cap=self.mem_bucket,
+                kv_int8=self.state.k_self_scale is not None,
+            )
         )
         for i in range(self.S):
             self.slots[i] = _Slot(active=True)
@@ -455,7 +531,7 @@ class StreamingService:
             )
         jnp = self._jnp
         self.state = jax.tree_util.tree_map(
-            lambda x: jnp.array(x), snap["device_state"]
+            lambda x: self._place(jnp.array(x)), snap["device_state"]
         )
         self.slots = copy.deepcopy(snap["slots"])
         if self.vad is not None:
@@ -598,6 +674,17 @@ class ShardedStreamingService:
     ``[c*S/K, (c+1)*S/K)``.  :meth:`update` ticks the next cohort and
     returns its events (slot ids re-mapped to global); :meth:`update_all`
     ticks every cohort once.
+
+    **Multi-device stream-DP** (``devices=``): cohort ``c`` is pinned to
+    ``devices[c % len(devices)]`` — its weights, KV state and update
+    programs live on that mesh device.  Streams never exchange state, so
+    the hot path has ZERO collectives and scaling is bounded only by
+    host dispatch; :meth:`update_all_parallel` dispatches every device's
+    program before collecting any, so the per-device programs run
+    concurrently (weak scaling measured in docs/SCALING.md via
+    scripts/weak_scaling.py).  This is the TPU-native serving analog of
+    the reference's thread-per-stream multiplexing, lifted from threads
+    on one CPU to programs on a device mesh.
     """
 
     def __init__(
@@ -608,12 +695,14 @@ class ShardedStreamingService:
         n_streams: int,
         n_cohorts: int = 2,
         compute_dtype=None,
+        devices=None,  # list[jax.Device]: cohort c -> devices[c % len]
         **kw,
     ):
         if n_streams % n_cohorts != 0:
             raise ValueError(
                 f"n_streams={n_streams} not divisible by n_cohorts={n_cohorts}"
             )
+        import jax
         import jax.numpy as jnp
 
         dtype = compute_dtype or jnp.float32
@@ -624,12 +713,31 @@ class ShardedStreamingService:
         self.S = n_streams
         self.K = n_cohorts
         self.per_cohort = n_streams // n_cohorts
+        self.devices = list(devices) if devices is not None else None
+        if self.devices:
+            # One weight copy per DISTINCT device (cohorts on the same
+            # device share it — StreamingService's device_put of an
+            # already-resident pytree is a no-op returning the same arrays).
+            per_dev = {
+                d: jax.device_put(params, d)
+                for d in dict.fromkeys(self.devices)
+            }
+            cohort_params = [
+                per_dev[self.devices[c % len(self.devices)]]
+                for c in range(n_cohorts)
+            ]
+            cohort_dev = [
+                self.devices[c % len(self.devices)] for c in range(n_cohorts)
+            ]
+        else:
+            cohort_params = [params] * n_cohorts
+            cohort_dev = [None] * n_cohorts
         self.cohorts = [
             StreamingService(
-                params, cfg, tokenizer, self.per_cohort,
-                compute_dtype=dtype, **kw,
+                cohort_params[c], cfg, tokenizer, self.per_cohort,
+                compute_dtype=dtype, device=cohort_dev[c], **kw,
             )
-            for _ in range(n_cohorts)
+            for c in range(n_cohorts)
         ]
         self._next = 0
 
@@ -659,7 +767,9 @@ class ShardedStreamingService:
     def cohort_of(self, slot: int) -> int:
         return slot // self.per_cohort
 
-    def update(self, cohort: int | None = None) -> list[StreamEvent]:
+    def update(
+        self, cohort: int | None = None, decode_tick: bool = True
+    ) -> list[StreamEvent]:
         """Tick ONE cohort (round-robin unless ``cohort`` is given).
 
         Call this every ``update_period / n_cohorts`` seconds; each stream
@@ -671,7 +781,8 @@ class ShardedStreamingService:
             self._next = (c + 1) % self.K
         base = c * self.per_cohort
         return [
-            replace(e, slot=e.slot + base) for e in self.cohorts[c].update()
+            replace(e, slot=e.slot + base)
+            for e in self.cohorts[c].update(decode_tick=decode_tick)
         ]
 
     def update_all(self) -> list[StreamEvent]:
@@ -679,6 +790,27 @@ class ShardedStreamingService:
         events: list[StreamEvent] = []
         for c in range(self.K):
             events.extend(self.update(cohort=c))
+        return events
+
+    def update_all_parallel(self, decode_tick: bool = True) -> list[StreamEvent]:
+        """Tick every cohort once, overlapping device execution.
+
+        Phase 1 dispatches each cohort's update program (async XLA
+        dispatch); phase 2 collects.  With cohorts on K distinct devices
+        the K programs run concurrently, so the wall time of one full
+        period approaches a single cohort's tick instead of K× it —
+        the multi-device serving mode's hot loop.  Event order matches
+        :meth:`update_all` (cohort-major).
+        """
+        pendings = [
+            svc.update_begin(decode_tick=decode_tick) for svc in self.cohorts
+        ]
+        events: list[StreamEvent] = []
+        for c, (svc, p) in enumerate(zip(self.cohorts, pendings)):
+            base = c * self.per_cohort
+            events.extend(
+                replace(e, slot=e.slot + base) for e in svc.update_end(p)
+            )
         return events
 
     def update_live(self, live_slots) -> list[StreamEvent]:
@@ -713,3 +845,115 @@ class ShardedStreamingService:
         for svc, s in zip(self.cohorts, snap["cohorts"]):
             svc.restore(s)
         self._next = snap.get("next_cohort", 0) % self.K
+
+
+class ServiceGovernor:
+    """Service-tier overload policy: decode backoff + admission control.
+
+    The reference handles an overloaded machine by stretching a stream's
+    update interval up to 10x so it batches instead of falling behind
+    (reference: language-bindings/python transcriber.py:432-542 and
+    README.md:367).  At the service tier the same policy is applied to
+    the DECODE cadence: ingestion (frontend + windowed encode) must stay
+    realtime no matter what, but the speculative-verify/greedy decode —
+    the dominant per-tick cost, and the part that explodes ~5x under a
+    hypothesis-churn storm (docs/PERF.md churn floor) — can legitimately
+    run every b-th period at the price of transcript latency.
+
+    Protocol: call :meth:`decode_this_tick` once per update period and
+    pass its answer as ``decode_tick`` to the service's update; report
+    the observed tick wall time back via :meth:`record`.  The governor
+    maintains an EWMA of decode-tick cost and picks the smallest backoff
+    ``b`` such that the per-period budget covers one decode tick plus
+    (b-1) ingest ticks:
+
+        ingest_ewma + (decode_ewma - ingest_ewma) / b  <=  margin * budget
+
+    b rises instantly under overload and decays one step per recovered
+    period (slow recovery avoids oscillation).  :meth:`admit` refuses
+    new streams when even ``max_backoff`` cannot fit the budget — the
+    admission-control tier (shed offered load, never the live streams).
+    """
+
+    def __init__(
+        self,
+        update_period_s: float,
+        n_cohorts: int = 1,
+        max_backoff: int = 10,
+        margin: float = 0.85,
+        alpha: float = 0.25,
+    ):
+        if max_backoff < 1:
+            raise ValueError("max_backoff must be >= 1")
+        self.budget_ms = update_period_s * 1000.0 / max(n_cohorts, 1)
+        self.max_backoff = max_backoff
+        self.margin = margin
+        self.alpha = alpha
+        self.backoff = 1
+        self._tick = 0
+        self._decode_ewma: float | None = None
+        self._ingest_ewma: float | None = None
+        self._last_was_decode = True
+
+    # -- per-period protocol -------------------------------------------------
+
+    def decode_this_tick(self) -> bool:
+        """True when this period's tick should decode (every b-th)."""
+        decode = self._tick % self.backoff == 0
+        self._tick += 1
+        self._last_was_decode = decode
+        return decode
+
+    def record(self, wall_ms: float) -> None:
+        """Report the wall time of the tick just executed; adapts b."""
+        if self._last_was_decode:
+            e = self._decode_ewma
+            self._decode_ewma = (
+                wall_ms if e is None else e + self.alpha * (wall_ms - e)
+            )
+        else:
+            e = self._ingest_ewma
+            self._ingest_ewma = (
+                wall_ms if e is None else e + self.alpha * (wall_ms - e)
+            )
+        self.backoff = self._pick_backoff()
+
+    # -- queries --------------------------------------------------------------
+
+    def projected_tick_ms(self, b: int | None = None) -> float:
+        """Average per-period cost at backoff ``b`` under current EWMAs."""
+        b = self.backoff if b is None else b
+        dec = self._decode_ewma
+        if dec is None:
+            return 0.0
+        ing = self._ingest_ewma if self._ingest_ewma is not None else dec * 0.3
+        ing = min(ing, dec)
+        return ing + (dec - ing) / b
+
+    def overloaded(self) -> bool:
+        return self.projected_tick_ms(1) > self.margin * self.budget_ms
+
+    def admit(self) -> bool:
+        """False when even max_backoff cannot keep the service realtime —
+        refuse NEW streams rather than degrade live ones further."""
+        return self.projected_tick_ms(self.max_backoff) <= self.margin * self.budget_ms
+
+    def _pick_backoff(self) -> int:
+        if self._decode_ewma is None:
+            return 1
+        target = self.margin * self.budget_ms
+        for b in range(1, self.max_backoff + 1):
+            if self.projected_tick_ms(b) <= target:
+                # Decay: recover at most one step per period.
+                return min(b, max(self.backoff - 1, 1)) if b < self.backoff else b
+        return self.max_backoff
+
+    def stats(self) -> dict:
+        return {
+            "backoff": self.backoff,
+            "decode_ewma_ms": self._decode_ewma,
+            "ingest_ewma_ms": self._ingest_ewma,
+            "budget_ms": self.budget_ms,
+            "overloaded": self.overloaded(),
+            "admitting": self.admit(),
+        }

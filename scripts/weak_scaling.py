@@ -1,0 +1,141 @@
+"""Weak-scaling measurement of the multi-device serving mode.
+
+Runs ``serving.ShardedStreamingService`` with K cohorts pinned to K mesh
+devices (stream-level data parallelism: every stream's KV state is
+private to its device, so the hot path has ZERO collectives) and
+measures aggregate audio-seconds/s + per-tick latency as devices are
+added at a FIXED per-device stream count (weak scaling).
+
+Multi-chip TPU hardware is not available in this environment, so the
+mesh is the virtual ``xla_force_host_platform_device_count`` CPU mesh —
+the same substrate the sharding tests and the driver's dryrun use.  The
+numbers therefore measure the SERVING PATH's scaling behavior (host
+dispatch, per-device program independence, overlap), bounded by the
+host's physical core count; on a real pod slice each "device" is a chip
+with its own compute, so the per-device program time does not contend.
+Results are recorded in docs/SCALING.md.
+
+Usage (one process per mesh size — the device count is fixed at jax
+import):
+
+    for d in 1 2 4 8; do python scripts/weak_scaling.py --devices $d; done
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, default=8)
+    p.add_argument("--streams-per-device", type=int, default=8)
+    p.add_argument("--updates", type=int, default=30, help="timed full periods")
+    p.add_argument("--arch", default="tiny_streaming")
+    p.add_argument("--update-frames", type=int, default=128, help="0.64 s ticks")
+    p.add_argument("--seg-seconds", type=float, default=5.0)
+    p.add_argument("--mem-bucket", type=int, default=1152)
+    p.add_argument("--draft-cap", type=int, default=64)
+    p.add_argument("--serial", action="store_true",
+                   help="tick cohorts one at a time (no overlap) for contrast")
+    args = p.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from moonshine_tpu.audio.wav import load_wav
+    from moonshine_tpu.core.config import STREAMING_ARCHS
+    from moonshine_tpu.models import streaming as ms
+    from moonshine_tpu.serving import ShardedStreamingService
+
+    devs = jax.devices()
+    assert len(devs) == args.devices, (len(devs), args.devices)
+    cfg = STREAMING_ARCHS[args.arch]
+    params = ms.init_params(cfg, jax.random.PRNGKey(0))
+    # Stable-hypothesis weights (see bench.py streaming_bench): steady-state
+    # acceptance without training; per-op cost identical.
+    o = dict(params["decoder"]["layers"]["cross_attn"]["o"])
+    o["w"] = o["w"] * 0.0
+    params = dict(
+        params,
+        decoder=dict(
+            params["decoder"],
+            layers=dict(
+                params["decoder"]["layers"],
+                cross_attn=dict(params["decoder"]["layers"]["cross_attn"], o=o),
+            ),
+        ),
+    )
+
+    S = args.devices * args.streams_per_device
+    step = args.update_frames * cfg.frame_len
+    svc = ShardedStreamingService(
+        params, cfg, tokenizer=None, n_streams=S, n_cohorts=args.devices,
+        devices=devs, update_frames=args.update_frames,
+        mem_bucket=args.mem_bucket, draft_cap=args.draft_cap,
+        max_segment_seconds=args.seg_seconds,
+    )
+    t_compile = svc.warmup()
+
+    try:
+        audio, _sr = load_wav("/root/reference/test-assets/two_cities_16k.wav")
+    except Exception:
+        audio = (np.random.RandomState(0).randn(16000 * 44) * 0.1).astype(np.float32)
+    tiled = np.concatenate([audio] * 4)
+    cursors = [int(i * len(audio) / S) for i in range(S)]
+
+    def feed_all() -> None:
+        for i in range(S):
+            c = cursors[i]
+            svc.add_audio(i, tiled[c : c + step])
+            cursors[i] = c + step
+
+    for i in range(S):
+        svc.open_slot(i)
+    tick = svc.update_all if args.serial else svc.update_all_parallel
+    # Stagger segment phases, then drain untimed.
+    period = int(args.seg_seconds * 16000)
+    for i in range(S):
+        n = (i * period // S) // step * step
+        svc.add_audio(i, tiled[cursors[i] : cursors[i] + n])
+        cursors[i] += n
+    for _ in range(int(args.seg_seconds / 0.64) + 4):
+        tick()
+
+    tick_ms = []
+    t0 = time.perf_counter()
+    for _ in range(args.updates):
+        feed_all()
+        t1 = time.perf_counter()
+        tick()
+        tick_ms.append((time.perf_counter() - t1) * 1000.0)
+    wall = time.perf_counter() - t0
+
+    audio_seconds = S * args.updates * step / 16000.0
+    print(json.dumps({
+        "devices": args.devices,
+        "streams": S,
+        "streams_per_device": args.streams_per_device,
+        "mode": "serial" if args.serial else "parallel",
+        "agg_audio_s_per_s": round(audio_seconds / wall, 2),
+        "p50_tick_ms": round(float(np.percentile(tick_ms, 50)), 1),
+        "p95_tick_ms": round(float(np.percentile(tick_ms, 95)), 1),
+        "compile_s": round(t_compile, 1),
+        "host_cores": os.cpu_count(),
+        "arch": args.arch,
+    }))
+
+
+if __name__ == "__main__":
+    main()

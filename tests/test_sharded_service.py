@@ -295,3 +295,83 @@ def test_restore_into_warm_vad_standby_discards_its_segments():
         assert standby.update() == []
     for s in standby.slots:
         assert s.fed_samples == 0 and len(s.pending) == 0
+
+
+# -- multi-device stream-DP (virtual 8-device CPU mesh, conftest) ----------
+
+
+def test_device_placed_matches_unplaced_transcripts():
+    """Cohorts pinned to distinct mesh devices must produce transcripts
+    identical to the single-device service — the stream-DP serving mode's
+    correctness contract (zero hot-path collectives: per-stream state is
+    private, so placement cannot change any result)."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    params = _params()
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16,
+              max_segment_seconds=SEG_SECONDS)
+    plain = StreamingService(params, CFG, tokenizer=None, n_streams=S, **kw)
+    placed = ShardedStreamingService(
+        params, CFG, tokenizer=None, n_streams=S, n_cohorts=4,
+        devices=devs[:4], **kw,
+    )
+    ref = _run(plain, plain.update)
+    got = _run(placed, placed.update_all_parallel)
+    assert ref == got
+    # The cohorts really live on distinct devices.
+    owners = {
+        next(iter(jax.tree.leaves(svc.state)[0].devices()))
+        for svc in placed.cohorts
+    }
+    assert len(owners) == 4
+
+
+def test_device_placed_snapshot_restores_across_devices():
+    """A snapshot taken from cohorts on devices [0,1] restores into a
+    service on devices [2,3] and continues identically — failover across
+    mesh devices."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    params = _params()
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16,
+              max_segment_seconds=SEG_SECONDS)
+    a = ShardedStreamingService(params, CFG, tokenizer=None, n_streams=S,
+                                n_cohorts=K, devices=devs[:2], **kw)
+    for i in range(S):
+        a.open_slot(i)
+        a.add_audio(i, _audio(i)[:8000])
+    for _ in range(4):
+        a.update_all_parallel()
+    snap = a.snapshot()
+    b = ShardedStreamingService(params, CFG, tokenizer=None, n_streams=S,
+                                n_cohorts=K, devices=devs[2:4], **kw)
+    b.restore(snap)
+    ev_a = [(e.slot, e.text) for _ in range(4) for e in a.update_all_parallel()]
+    ev_b = [(e.slot, e.text) for _ in range(4) for e in b.update_all_parallel()]
+    assert ev_a == ev_b
+    owners = {
+        next(iter(jax.tree.leaves(svc.state)[0].devices()))
+        for svc in b.cohorts
+    }
+    assert owners == set(devs[2:4])
+
+
+def test_same_device_cohorts_share_weight_copy():
+    """Two cohorts mapped to ONE device share a single weight pytree
+    (no duplicate HBM); cohorts on different devices hold per-device
+    copies."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs >=2 devices")
+    params = _params()
+    kw = dict(update_frames=16, mem_bucket=256, draft_cap=16)
+    svc = ShardedStreamingService(
+        params, CFG, tokenizer=None, n_streams=8, n_cohorts=4,
+        devices=[devs[0], devs[0], devs[1], devs[1]], **kw,
+    )
+    a, b, c, d = (jax.tree.leaves(s.params) for s in svc.cohorts)
+    assert all(x is y for x, y in zip(a, b))
+    assert all(x is y for x, y in zip(c, d))
+    assert not any(x is y for x, y in zip(a, c))
