@@ -238,11 +238,41 @@ class TextToSpeech:
     def synthesize(
         self, text: str, options: TTSOptions | None = None
     ) -> tuple[np.ndarray, int]:
-        """Text -> (waveform float32, 24000)."""
+        """Text -> (waveform float32, sample rate).
+
+        Engine auto-pick per voice prefix (reference: moonshine-tts.cpp
+        engine selection by voice name): voices named ``neural-pack*``
+        route to the reference's published in-tree voice
+        (tts/neural_pack.py, 16 kHz); everything else uses the trained
+        style-conditioned acoustic model (24 kHz).
+        """
         if not self._loaded:
             raise RuntimeError("Call load() before synthesize()")
+        if self._voice_name.startswith("neural-pack"):
+            return self._neural_synthesize(text, options, ipa=None)
         ipa = self._g2p.text_to_ipa(text)
         return self.synthesize_from_phonemes(ipa, options)
+
+    def _neural_synthesize(
+        self, text: str | None, options: TTSOptions | None, ipa: str | None
+    ) -> tuple[np.ndarray, int]:
+        from .neural_pack import NeuralPackTTS
+
+        if getattr(self, "_neural", None) is None:
+            self._neural = NeuralPackTTS()
+        opts = options or self._default_options
+        pcm = (
+            self._neural.synthesize_ipa(ipa) if ipa is not None
+            else self._neural.synthesize(text or "")
+        )
+        wav = pcm.astype(np.float32) / 32768.0
+        if opts.normalize and wav.size:
+            peak = np.max(np.abs(wav))
+            if peak > 1e-6:
+                wav = wav * (0.95 / max(peak, 0.95))
+        if opts.volume != 1.0:
+            wav = wav * opts.volume
+        return wav, 16000
 
     def synthesize_from_phonemes(
         self, ipa: str, options: TTSOptions | None = None
@@ -253,6 +283,8 @@ class TextToSpeech:
 
         if not self._loaded:
             raise RuntimeError("Call load() before synthesize()")
+        if self._voice_name.startswith("neural-pack"):
+            return self._neural_synthesize(None, options, ipa=ipa)
         opts = options or self._default_options
         ids = tts_model.ipa_to_ids(ipa.replace(" ", ""))
         phonemes = np.zeros(tts_model.MAX_PHONEMES, np.int32)
