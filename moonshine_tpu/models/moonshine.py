@@ -248,7 +248,8 @@ def lane_aligned_samples(cfg: MoonshineArchConfig, n: int, align: int = 128) -> 
 
 
 def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask, eps,
-                         frame_mask=None, attn_impl: str = "xla"):
+                         frame_mask=None, attn_impl: str = "xla", mesh=None,
+                         interpret: bool = False):
     x = layer_norm(lp["ln1"], h, eps)
     a = lp["attn"]
     q = _split_heads(dense(a["q"], x), cfg.encoder_heads)
@@ -260,6 +261,14 @@ def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask
         from ..ops.encoder_attention import encoder_attention
 
         o = encoder_attention(q, k, v, frame_mask)
+    elif attn_impl == "pallas_shmap":
+        # GSPMD callers: the kernel under an explicit shard_map partition
+        # (batch over data, heads over model) instead of the XLA fallback.
+        from ..ops.encoder_attention import encoder_attention_sharded
+
+        o = encoder_attention_sharded(
+            q, k, v, frame_mask, mesh, interpret=interpret
+        )
     else:
         o = _attention(q, k, v, mask)
     h = h + dense(a["o"], o.reshape(o.shape[0], o.shape[1], -1))
@@ -287,7 +296,10 @@ def encoder_apply(
     cfg: MoonshineArchConfig,
     features: jnp.ndarray,  # [B, T, D]
     frame_mask: jnp.ndarray | None = None,  # [B, T]
-    attn_impl: str = "xla",  # "pallas": VMEM-resident logits kernel; "auto"
+    attn_impl: str = "xla",  # "pallas": VMEM-resident logits kernel; "auto";
+                              # "pallas_shmap": kernel under shard_map (mesh=)
+    mesh=None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Rotary transformer encoder -> [B, T, D] hidden states."""
     attn_impl = _resolve_attn_impl(attn_impl)
@@ -302,7 +314,8 @@ def encoder_apply(
 
     def body(h, lp):
         return _encoder_layer_apply(
-            cfg, h, lp, cos, sin, mask, eps, frame_mask=frame_mask, attn_impl=attn_impl
+            cfg, h, lp, cos, sin, mask, eps, frame_mask=frame_mask,
+            attn_impl=attn_impl, mesh=mesh, interpret=interpret,
         ), None
 
     h, _ = jax.lax.scan(body, features, p["layers"])
@@ -315,12 +328,14 @@ def encode(
     audio: jnp.ndarray,
     lengths: jnp.ndarray | None = None,
     attn_impl: str = "xla",
+    mesh=None,
+    interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """audio [B, N] -> (memory [B, T, D], frame_mask [B, T])."""
     feats, mask = frontend_apply(params["frontend"], cfg, audio, lengths)
     memory = encoder_apply(
         params["encoder"], cfg, feats, mask if lengths is not None else None,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, mesh=mesh, interpret=interpret,
     )
     return memory, mask
 

@@ -106,3 +106,45 @@ def encoder_attention(
         interpret=interpret,
     )(qh, kh, vh, mask_i32)
     return out.transpose(0, 2, 1, 3)  # [B, T, H, hd]
+
+
+def encoder_attention_sharded(
+    q: jnp.ndarray,  # [B, T, H, hd]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    frame_mask: jnp.ndarray | None,  # [B, T]
+    mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The VMEM-attention kernel under GSPMD, via shard_map.
+
+    A pallas_call is an opaque custom call GSPMD cannot repartition, so
+    sharded callers previously fell back to XLA and gave the kernel's
+    1.33x back (round-2 SCALING.md caveat).  shard_map makes the
+    partitioning explicit instead: batch shards over the ``data`` axis
+    and heads over the ``model`` axis (the Megatron head split of
+    parallel/sharding.py), and each shard runs the unmodified kernel on
+    its local [B/d, T, H/m, hd] block — attention is embarrassingly
+    parallel over (batch, head), so no collectives are introduced.
+
+    Requires B % mesh.data == 0 and H % mesh.model == 0 (the same
+    divisibility the sharding rules already demand).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, t, h, hd = q.shape
+    data, model = mesh.axis_names
+    qkv_spec = P(data, None, model, None)
+    if frame_mask is None:
+        frame_mask = jnp.ones((b, t), bool)
+    fn = shard_map(
+        lambda qq, kk, vv, mm: encoder_attention(qq, kk, vv, mm, interpret=interpret),
+        mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(data, None)),
+        out_specs=qkv_spec,
+        # pallas_call output carries no varying-mesh-axes annotation; the
+        # partitioning is fully described by the specs above.
+        check_vma=False,
+    )
+    return fn(q, k, v, frame_mask)

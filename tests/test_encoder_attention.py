@@ -80,3 +80,74 @@ def test_encoder_apply_pallas_path():
         ea.encoder_attention = orig
     out_x = mm.encoder_apply(params["encoder"], cfg, feats, None, attn_impl="xla")
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_kernel_matches_xla_on_mesh():
+    """encoder_attention under shard_map (batch over data, heads over
+    model) equals the XLA path — the GSPMD-kept-kernel contract
+    (round-2 SCALING.md caveat closed)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+
+    from moonshine_tpu.ops.encoder_attention import encoder_attention_sharded
+    from moonshine_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh(data=4, model=2)
+    b, t, h, hd = 8, 96, 4, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, t, h, hd)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, t)) > 0.2)
+
+    out = encoder_attention_sharded(q, k, v, mask, mesh, interpret=True)
+
+    # XLA oracle with identical masking semantics.
+    scale = hd ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    w = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("bhqk,bkhd->bqhd", w, v)
+
+    got = np.asarray(out)
+    refn = np.asarray(ref)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        got[valid], refn[valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_encode_with_shmap_attention_matches_xla_encode():
+    """Full encode() with attn_impl='pallas_shmap' on a DPxTP mesh equals
+    the plain XLA encode."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from moonshine_tpu.core.config import MoonshineArchConfig
+    from moonshine_tpu.models import moonshine as mm
+    from moonshine_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh(data=4, model=2)
+    cfg = MoonshineArchConfig(
+        name="t", vocab_size=128, hidden_size=64, intermediate_size=128,
+        encoder_layers=2, decoder_layers=2, encoder_heads=4, decoder_heads=4,
+        encoder_kv_heads=4, decoder_kv_heads=4,
+    )
+    params = mm.init_params(cfg, jax.random.PRNGKey(0))
+    audio = jnp.asarray(
+        np.random.default_rng(1).standard_normal((8, 8000)) * 0.1, jnp.float32
+    )
+    ref, _ = mm.encode(params, cfg, audio)
+    got, _ = mm.encode(
+        params, cfg, audio, attn_impl="pallas_shmap", mesh=mesh, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5, rtol=1e-4)
