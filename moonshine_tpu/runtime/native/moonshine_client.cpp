@@ -399,7 +399,10 @@ struct Conn {
 
   // Waits for one complete application message (TEXT/BINARY), transparently
   // answering pings and close frames.  Returns 1/0/negative like poll_event.
-  int recv_message(std::string& out, int timeout_ms) {
+  // TEXT-only by default (the stream protocol); RPC callers pass kind_out
+  // to also receive BINARY payload frames.
+  int recv_message(std::string& out, int timeout_ms,
+                   uint8_t* kind_out = nullptr) {
     std::lock_guard<std::mutex> lk(recv_mu);
     auto deadline = std::chrono::steady_clock::now() +
                     std::chrono::milliseconds(timeout_ms);
@@ -429,8 +432,11 @@ struct Conn {
           out.assign(msg.begin(), msg.end());
           uint8_t kind = msg_opcode;
           msg.clear();
-          if (kind == OP_TEXT) return 1;
-          // The server never sends binary; skip unknown kinds.
+          if (kind == OP_TEXT || (kind_out != nullptr && kind == OP_BINARY)) {
+            if (kind_out != nullptr) *kind_out = kind;
+            return 1;
+          }
+          // Stream protocol: the server never sends binary; skip.
         }
       }
       if (malformed) {
@@ -658,6 +664,184 @@ int32_t mt_client_poll_event(int32_t handle, mt_client_event_t* out,
 
 int32_t mt_client_free(int32_t handle) {
   return handles().erase(handle) ? MT_CLIENT_OK : MT_CLIENT_ERR_HANDLE;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// One-shot RPC surface.
+// ---------------------------------------------------------------------------
+
+namespace mtclient {
+
+inline std::string json_escape(const char* s) {
+  std::string out;
+  for (const char* p = s; p && *p; ++p) {
+    unsigned char c = (unsigned char)*p;
+    switch (c) {
+      case '"': out += "\\\""; break;
+      case '\\': out += "\\\\"; break;
+      case '\n': out += "\\n"; break;
+      case '\r': out += "\\r"; break;
+      case '\t': out += "\\t"; break;
+      default:
+        if (c < 0x20) {
+          char buf[8];
+          snprintf(buf, sizeof(buf), "\\u%04x", c);
+          out += buf;
+        } else {
+          out.push_back(char(c));
+        }
+    }
+  }
+  return out;
+}
+
+// Connect, send one TEXT request, read the TEXT header reply (and report
+// protocol errors from the server's error messages).
+inline int rpc_send(std::unique_ptr<Conn>& conn, const char* host, int port,
+                    const std::string& request) {
+  conn = ws_connect(host, port);
+  if (!conn) return MT_CLIENT_ERR_CONNECT;
+  return conn->send_frame(OP_TEXT,
+                          reinterpret_cast<const uint8_t*>(request.data()),
+                          request.size());
+}
+
+constexpr int kRpcTimeoutMs = 120000;  // first call may compile on-device
+
+inline int rpc_recv_header(Conn& c, std::map<std::string, JsonValue>& kv) {
+  std::string raw;
+  int rc = c.recv_message(raw, kRpcTimeoutMs);
+  if (rc == 0) return MT_CLIENT_ERR_IO;
+  if (rc < 0) return rc;
+  if (!parse_json_object(raw, kv)) return MT_CLIENT_ERR_PROTOCOL;
+  if (kv.count("type") && kv["type"].str == "error") return MT_CLIENT_ERR_PROTOCOL;
+  return MT_CLIENT_OK;
+}
+
+inline int rpc_recv_binary(Conn& c, std::string& payload) {
+  uint8_t kind = 0;
+  int rc = c.recv_message(payload, kRpcTimeoutMs, &kind);
+  if (rc == 0) return MT_CLIENT_ERR_IO;
+  if (rc < 0) return rc;
+  if (kind != OP_BINARY) return MT_CLIENT_ERR_PROTOCOL;
+  return MT_CLIENT_OK;
+}
+
+}  // namespace mtclient
+
+extern "C" {
+
+int32_t mt_client_tts(const char* host, int32_t port, const char* text,
+                      const char* ipa, const char* voice, float* out_pcm,
+                      int32_t cap, int32_t* sample_rate) {
+  std::string req = "{\"type\": \"tts\"";
+  if (ipa != nullptr)
+    req += ", \"ipa\": \"" + json_escape(ipa) + "\"";
+  else
+    req += ", \"text\": \"" + json_escape(text ? text : "") + "\"";
+  if (voice != nullptr) req += ", \"voice\": \"" + json_escape(voice) + "\"";
+  req += "}";
+  std::unique_ptr<Conn> conn;
+  int rc = rpc_send(conn, host, int(port), req);
+  if (rc != MT_CLIENT_OK) return rc;
+  std::map<std::string, JsonValue> kv;
+  rc = rpc_recv_header(*conn, kv);
+  if (rc != MT_CLIENT_OK) return rc;
+  if (!kv.count("n")) return MT_CLIENT_ERR_PROTOCOL;
+  std::string payload;
+  rc = rpc_recv_binary(*conn, payload);
+  if (rc != MT_CLIENT_OK) return rc;
+  int32_t n = int32_t(kv["n"].num);
+  if (size_t(n) * 4 != payload.size()) return MT_CLIENT_ERR_PROTOCOL;
+  if (sample_rate != nullptr && kv.count("sample_rate"))
+    *sample_rate = int32_t(kv["sample_rate"].num);
+  int32_t copy = n < cap ? n : cap;
+  if (out_pcm != nullptr && copy > 0)
+    memcpy(out_pcm, payload.data(), size_t(copy) * 4);
+  return n;
+}
+
+int32_t mt_client_g2p(const char* host, int32_t port, const char* text,
+                      const char* language, char* out_ipa, int32_t cap) {
+  std::string req = "{\"type\": \"g2p\", \"text\": \"" +
+                    json_escape(text ? text : "") + "\"";
+  if (language != nullptr)
+    req += ", \"language\": \"" + json_escape(language) + "\"";
+  req += "}";
+  std::unique_ptr<Conn> conn;
+  int rc = rpc_send(conn, host, int(port), req);
+  if (rc != MT_CLIENT_OK) return rc;
+  std::map<std::string, JsonValue> kv;
+  rc = rpc_recv_header(*conn, kv);
+  if (rc != MT_CLIENT_OK) return rc;
+  if (!kv.count("ipa")) return MT_CLIENT_ERR_PROTOCOL;
+  if (out_ipa != nullptr && cap > 0)
+    copy_text(out_ipa, size_t(cap), kv["ipa"].str);
+  return int32_t(kv["ipa"].str.size());
+}
+
+int32_t mt_client_embed(const char* host, int32_t port,
+                        const char* const* texts, int32_t n_texts, float* out,
+                        int32_t cap, int32_t* dim) {
+  std::string req = "{\"type\": \"embed\", \"texts\": [";
+  for (int32_t i = 0; i < n_texts; ++i) {
+    if (i) req += ", ";
+    req += "\"" + json_escape(texts[i]) + "\"";
+  }
+  req += "]}";
+  std::unique_ptr<Conn> conn;
+  int rc = rpc_send(conn, host, int(port), req);
+  if (rc != MT_CLIENT_OK) return rc;
+  std::map<std::string, JsonValue> kv;
+  rc = rpc_recv_header(*conn, kv);
+  if (rc != MT_CLIENT_OK) return rc;
+  if (!kv.count("n") || !kv.count("dim")) return MT_CLIENT_ERR_PROTOCOL;
+  std::string payload;
+  rc = rpc_recv_binary(*conn, payload);
+  if (rc != MT_CLIENT_OK) return rc;
+  int32_t total = int32_t(kv["n"].num) * int32_t(kv["dim"].num);
+  if (size_t(total) * 4 != payload.size()) return MT_CLIENT_ERR_PROTOCOL;
+  if (dim != nullptr) *dim = int32_t(kv["dim"].num);
+  int32_t copy = total < cap ? total : cap;
+  if (out != nullptr && copy > 0) memcpy(out, payload.data(), size_t(copy) * 4);
+  return total;
+}
+
+int32_t mt_client_speech_clip(const char* host, int32_t port, const float* pcm,
+                              int32_t n, int32_t sample_rate,
+                              mt_clip_result_t* out) {
+  if (out == nullptr || n < 0) return MT_CLIENT_ERR_PROTOCOL;
+  char head[96];
+  snprintf(head, sizeof(head),
+           "{\"type\": \"speech_clip\", \"sample_rate\": %d}",
+           int(sample_rate));
+  std::unique_ptr<Conn> conn;
+  int rc = rpc_send(conn, host, int(port), head);
+  if (rc != MT_CLIENT_OK) return rc;
+  // Stream the audio in bounded frames, then the end marker.
+  const size_t kChunk = 65536;
+  for (size_t off = 0; off < size_t(n); off += kChunk) {
+    size_t take = std::min(kChunk, size_t(n) - off);
+    rc = conn->send_frame(OP_BINARY,
+                          reinterpret_cast<const uint8_t*>(pcm + off),
+                          take * 4);
+    if (rc != MT_CLIENT_OK) return rc;
+  }
+  const char* endmsg = "{\"type\": \"end\"}";
+  rc = conn->send_frame(OP_TEXT, reinterpret_cast<const uint8_t*>(endmsg),
+                        strlen(endmsg));
+  if (rc != MT_CLIENT_OK) return rc;
+  std::map<std::string, JsonValue> kv;
+  rc = rpc_recv_header(*conn, kv);
+  if (rc != MT_CLIENT_OK) return rc;
+  memset(out, 0, sizeof(*out));
+  if (kv.count("found")) out->found = int32_t(kv["found"].num);
+  if (kv.count("start_s")) out->start_s = kv["start_s"].num;
+  if (kv.count("end_s")) out->end_s = kv["end_s"].num;
+  if (kv.count("speech_s")) out->speech_s = kv["speech_s"].num;
+  return MT_CLIENT_OK;
 }
 
 }  // extern "C"

@@ -91,6 +91,53 @@ MT_CLIENT_EXPORT int32_t mt_client_poll_event(int32_t handle,
 /* Close the socket and free the handle.  Idempotent. */
 MT_CLIENT_EXPORT int32_t mt_client_free(int32_t handle);
 
+/* ---- One-shot RPC surface --------------------------------------------
+ * Native-caller analogs of the reference's non-transcription C ABI entry
+ * points (reference: moonshine-c-api.h:849-890/:1087-1111 TTS,
+ * :1140-1184 G2P, :703-758 embeddings, :812 speech-clip), carried over
+ * the service boundary: each call opens a WebSocket, performs one
+ * request, and closes.  Output buffers are caller-owned (no library-
+ * owned memory, no next-call invalidation). */
+
+/* Synthesize `text` (or IPA when `ipa` is non-NULL; `voice` may be NULL
+ * for the default voice).  Writes up to `cap` float32 samples into
+ * out_pcm and the rate into *sample_rate.  Returns the sample count
+ * (which may exceed `cap`; the copy is truncated — call again with a
+ * bigger buffer), or a negative mt_client_status. */
+MT_CLIENT_EXPORT int32_t mt_client_tts(const char* host, int32_t port,
+                                       const char* text, const char* ipa,
+                                       const char* voice, float* out_pcm,
+                                       int32_t cap, int32_t* sample_rate);
+
+/* Grapheme-to-phoneme: UTF-8 IPA into out_ipa (NUL-terminated,
+ * truncated at a codepoint boundary).  language may be NULL ("en_us"). */
+MT_CLIENT_EXPORT int32_t mt_client_g2p(const char* host, int32_t port,
+                                       const char* text, const char* language,
+                                       char* out_ipa, int32_t cap);
+
+/* Embed n_texts strings; writes n_texts * (*dim) float32 values into
+ * out (row-major) when they fit in `cap` floats.  Returns the total
+ * float count, or negative status. */
+MT_CLIENT_EXPORT int32_t mt_client_embed(const char* host, int32_t port,
+                                         const char* const* texts,
+                                         int32_t n_texts, float* out,
+                                         int32_t cap, int32_t* dim);
+
+typedef struct mt_clip_result_t {
+  int32_t found;     /* 1 when a qualifying clip exists */
+  double start_s;    /* clip start in input seconds */
+  double end_s;      /* clip end in input seconds */
+  double speech_s;   /* voiced seconds inside the clip */
+} mt_clip_result_t;
+
+/* Best ~4 s mostly-speech window of the supplied audio (the voice-clone
+ * clip extractor; reference: speech-clip.h).  pcm is n float32 samples
+ * at sample_rate. */
+MT_CLIENT_EXPORT int32_t mt_client_speech_clip(const char* host, int32_t port,
+                                               const float* pcm, int32_t n,
+                                               int32_t sample_rate,
+                                               mt_clip_result_t* out);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

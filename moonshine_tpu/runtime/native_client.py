@@ -44,6 +44,15 @@ class _Event(ctypes.Structure):
     ]
 
 
+class _ClipResult(ctypes.Structure):
+    _fields_ = [
+        ("found", ctypes.c_int32),
+        ("start_s", ctypes.c_double),
+        ("end_s", ctypes.c_double),
+        ("speech_s", ctypes.c_double),
+    ]
+
+
 def build_native(force: bool = False) -> Path | None:
     out = _BUILD_DIR / _LIB
     src = _NATIVE_DIR / "moonshine_client.cpp"
@@ -91,6 +100,28 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     ]
     lib.mt_client_free.restype = ctypes.c_int32
     lib.mt_client_free.argtypes = [ctypes.c_int32]
+    lib.mt_client_tts.restype = ctypes.c_int32
+    lib.mt_client_tts.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mt_client_g2p.restype = ctypes.c_int32
+    lib.mt_client_g2p.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_int32,
+    ]
+    lib.mt_client_embed.restype = ctypes.c_int32
+    lib.mt_client_embed.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mt_client_speech_clip.restype = ctypes.c_int32
+    lib.mt_client_speech_clip.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(_ClipResult),
+    ]
     _lib = lib
     return _lib
 
@@ -161,3 +192,82 @@ class NativeClientStream:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+# -- one-shot RPC wrappers (the native ABI's non-transcription surface) ------
+
+
+def native_tts(
+    host: str, port: int, text: str | None = None, *,
+    ipa: str | None = None, voice: str | None = None, max_samples: int = 16000 * 60,
+) -> tuple[np.ndarray, int]:
+    """Synthesize via mt_client_tts -> (float32 PCM, sample_rate)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native client library unavailable")
+    buf = np.zeros(max_samples, np.float32)
+    sr = ctypes.c_int32(0)
+    n = lib.mt_client_tts(
+        host.encode(), port,
+        text.encode() if text is not None else None,
+        ipa.encode() if ipa is not None else None,
+        voice.encode() if voice is not None else None,
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_samples,
+        ctypes.byref(sr),
+    )
+    if n < 0:
+        raise ConnectionError(f"mt_client_tts -> {n}")
+    return buf[: min(n, max_samples)].copy(), int(sr.value)
+
+
+def native_g2p(host: str, port: int, text: str, language: str = "en_us") -> str:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native client library unavailable")
+    buf = ctypes.create_string_buffer(1 << 16)
+    n = lib.mt_client_g2p(
+        host.encode(), port, text.encode(), language.encode(), buf, len(buf)
+    )
+    if n < 0:
+        raise ConnectionError(f"mt_client_g2p -> {n}")
+    return buf.value.decode("utf-8", "replace")
+
+
+def native_embed(host: str, port: int, texts: list[str]) -> np.ndarray:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native client library unavailable")
+    arr = (ctypes.c_char_p * len(texts))(*[t.encode() for t in texts])
+    cap = 1 << 22
+    buf = np.zeros(cap, np.float32)
+    dim = ctypes.c_int32(0)
+    total = lib.mt_client_embed(
+        host.encode(), port, arr, len(texts),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap,
+        ctypes.byref(dim),
+    )
+    if total < 0:
+        raise ConnectionError(f"mt_client_embed -> {total}")
+    d = int(dim.value)
+    return buf[:total].reshape(len(texts), d).copy() if total else np.zeros((0, 0))
+
+
+def native_speech_clip(
+    host: str, port: int, pcm: np.ndarray, sample_rate: int = 16000
+) -> dict:
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native client library unavailable")
+    pcm = np.ascontiguousarray(pcm, np.float32)
+    out = _ClipResult()
+    rc = lib.mt_client_speech_clip(
+        host.encode(), port,
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), pcm.size,
+        sample_rate, ctypes.byref(out),
+    )
+    if rc < 0:
+        raise ConnectionError(f"mt_client_speech_clip -> {rc}")
+    return {
+        "found": bool(out.found), "start_s": out.start_s,
+        "end_s": out.end_s, "speech_s": out.speech_s,
+    }

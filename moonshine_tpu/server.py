@@ -14,8 +14,26 @@ Protocol (one WebSocket per stream):
                       "start": s, "end": s, "latency_ms": f}
                      {"type": "stopped"}   after the final flush
 
+One-shot RPC (first message selects the mode; the connection carries one
+request and closes) — the service-boundary analogs of the reference's
+non-transcription C ABI entry points (reference: moonshine-c-api.h
+:849-890/:1087-1111 TTS, :1140-1184 G2P, :703-758 embeddings, :812
+speech-clip extraction):
+  {"type": "tts", "text": ...}            -> {"type":"tts_audio",
+                                              "sample_rate":sr,"n":N}
+                                             + one binary float32 frame
+  {"type": "g2p", "text": ...}            -> {"type":"g2p_result","ipa":...}
+  {"type": "embed", "texts": [...]}       -> {"type":"embedding","n":N,
+                                              "dim":D} + binary float32 [N,D]
+  {"type": "speech_clip", "sample_rate":r}
+      then binary PCM frames, then {"type":"end"}
+                                          -> {"type":"clip","start_s":...,
+                                              "end_s":...,"found":bool}
+
 The device loop runs in one thread at the service cadence; asyncio
 handlers only move bytes — audio into slots, events out to sockets.
+RPC work runs on a thread-pool executor so it never blocks the stream
+event loop.
 """
 
 from __future__ import annotations
@@ -49,11 +67,19 @@ class TranscriptionServer:
         tick_seconds: float = 0.25,
         host: str = "127.0.0.1",
         port: int = 8765,
+        tts_engine=None,  # tts.facade.TextToSpeech (loaded) or None -> lazy
+        g2p_engine=None,  # tts.g2p.GraphemeToPhonemizer or None -> lazy
+        embedder=None,  # models.gemma.GemmaEmbedder-like or None -> refused
+        vad_hop_prob_fn=None,  # for speech_clip RPC; None -> refused
     ):
         self.service = service
         self.tick = tick_seconds
         self.host = host
         self.port = port
+        self._tts = tts_engine
+        self._g2p = g2p_engine
+        self._embedder = embedder
+        self._vad_hop_prob_fn = vad_hop_prob_fn
         self._free = list(range(service.S))[::-1]
         self._conns: dict[int, _Conn] = {}
         self._lock = threading.Lock()
@@ -142,9 +168,121 @@ class TranscriptionServer:
             or s.seg_final_queued
         )
 
+    # -- one-shot RPC surface ---------------------------------------------------
+
+    _RPC_TYPES = ("tts", "g2p", "embed", "speech_clip")
+
+    def _rpc_tts(self, msg: dict):
+        if self._tts is None:
+            from .tts.facade import TextToSpeech
+
+            voice = msg.get("voice")
+            t = TextToSpeech()
+            if voice:
+                t = t.voice(voice)
+            self._tts = t.load()
+        if msg.get("ipa"):
+            wav, sr = self._tts.synthesize_from_phonemes(msg["ipa"])
+        else:
+            wav, sr = self._tts.synthesize(str(msg.get("text", "")))
+        return wav.astype(np.float32), sr
+
+    def _rpc_g2p(self, msg: dict) -> str:
+        if self._g2p is None:
+            from .tts.g2p import GraphemeToPhonemizer
+
+            self._g2p = GraphemeToPhonemizer(
+                language=str(msg.get("language", "en_us"))
+            )
+        return self._g2p.text_to_ipa(str(msg.get("text", "")))
+
+    def _rpc_embed(self, texts: list[str]) -> np.ndarray:
+        if self._embedder is None:
+            raise RuntimeError("embedding model not configured")
+        return np.stack([
+            np.asarray(self._embedder.get_embeddings(t), np.float32)
+            for t in texts
+        ])
+
+    async def _handle_rpc(self, websocket, msg: dict) -> None:
+        loop = asyncio.get_running_loop()
+        kind = msg.get("type")
+        try:
+            if kind == "tts":
+                wav, sr = await loop.run_in_executor(None, self._rpc_tts, msg)
+                await websocket.send(json.dumps(
+                    {"type": "tts_audio", "sample_rate": sr, "n": int(len(wav))}
+                ))
+                await websocket.send(wav.astype("<f4").tobytes())
+            elif kind == "g2p":
+                ipa = await loop.run_in_executor(None, self._rpc_g2p, msg)
+                await websocket.send(json.dumps({"type": "g2p_result", "ipa": ipa}))
+            elif kind == "embed":
+                texts = [str(t) for t in msg.get("texts", [])]
+                emb = await loop.run_in_executor(None, self._rpc_embed, texts)
+                await websocket.send(json.dumps({
+                    "type": "embedding", "n": int(emb.shape[0]),
+                    "dim": int(emb.shape[1]) if emb.size else 0,
+                }))
+                await websocket.send(emb.astype("<f4").tobytes())
+            elif kind == "speech_clip":
+                if self._vad_hop_prob_fn is None:
+                    raise RuntimeError("speech-clip VAD not configured")
+                sr = int(msg.get("sample_rate", 16000))
+                chunks: list[np.ndarray] = []
+                async for message in websocket:
+                    if isinstance(message, (bytes, bytearray)):
+                        chunks.append(np.frombuffer(message, np.float32))
+                    else:
+                        if json.loads(message).get("type") == "end":
+                            break
+                audio = (
+                    np.concatenate(chunks) if chunks else np.zeros(0, np.float32)
+                )
+                if sr != 16000:
+                    from .audio.resample import resample_audio
+
+                    audio = resample_audio(audio, sr, 16000)
+                from .pipeline.speech_clip import extract_speech_clip
+
+                clip = await loop.run_in_executor(
+                    None, extract_speech_clip, audio, self._vad_hop_prob_fn
+                )
+                await websocket.send(json.dumps({
+                    "type": "clip",
+                    "found": bool(clip.is_complete),
+                    "start_s": round(float(clip.start_time_seconds), 3),
+                    "end_s": round(
+                        float(clip.start_time_seconds) + len(clip.audio) / 16000.0, 3
+                    ),
+                    "speech_s": round(float(clip.speech_seconds), 3),
+                }))
+        except Exception as e:
+            await websocket.send(json.dumps({"type": "error", "error": repr(e)}))
+        finally:
+            await websocket.close()
+
     # -- websocket handler ------------------------------------------------------
 
     async def _handle(self, websocket) -> None:
+        # Mode select on the first message: a known RPC type handles one
+        # request without consuming a stream slot; anything else is the
+        # streaming protocol with the first message replayed.
+        try:
+            first = await websocket.recv()
+        except Exception:
+            return
+        if isinstance(first, str):
+            try:
+                head = json.loads(first)
+            except ValueError:
+                head = {}
+            if head.get("type") in self._RPC_TYPES:
+                await self._handle_rpc(websocket, head)
+                return
+        await self._handle_stream(websocket, first)
+
+    async def _handle_stream(self, websocket, first) -> None:
         slot = self._acquire_slot()
         if slot is None:
             await websocket.send(json.dumps({"type": "error", "error": "server full"}))
@@ -162,24 +300,29 @@ class TranscriptionServer:
                     return
 
         send_task = asyncio.create_task(sender())
-        try:
-            async for message in websocket:
-                if isinstance(message, (bytes, bytearray)):
-                    audio = np.frombuffer(message, np.float32)
-                    if conn.sample_rate != 16000:
-                        from .audio.resample import resample_audio
 
-                        audio = resample_audio(audio, conn.sample_rate, 16000)
+        def process(message) -> None:
+            if isinstance(message, (bytes, bytearray)):
+                audio = np.frombuffer(message, np.float32)
+                if conn.sample_rate != 16000:
+                    from .audio.resample import resample_audio
+
+                    audio = resample_audio(audio, conn.sample_rate, 16000)
+                with self._lock:
+                    self.service.add_audio(slot, audio)
+            else:
+                msg = json.loads(message)
+                if msg.get("type") == "start":
+                    conn.sample_rate = int(msg.get("sample_rate", 16000))
+                elif msg.get("type") == "stop":
                     with self._lock:
-                        self.service.add_audio(slot, audio)
-                else:
-                    msg = json.loads(message)
-                    if msg.get("type") == "start":
-                        conn.sample_rate = int(msg.get("sample_rate", 16000))
-                    elif msg.get("type") == "stop":
-                        with self._lock:
-                            self.service.close_slot(slot)
-                        conn.stopping = True
+                        self.service.close_slot(slot)
+                    conn.stopping = True
+
+        try:
+            process(first)
+            async for message in websocket:
+                process(message)
             await asyncio.wait_for(send_task, timeout=30.0)
         except Exception:
             send_task.cancel()

@@ -231,3 +231,140 @@ def test_cpp_wrapper_end_to_end(tmp_path):
             text=True, timeout=180,
         )
     assert "cpp_demo OK" in out.stdout
+
+
+# -- one-shot RPC surface (TTS / G2P / embeddings / speech-clip) -------------
+
+
+class _StubTts:
+    def synthesize(self, text, options=None):
+        n = 1600 + 100 * len(text)
+        t = np.arange(n, dtype=np.float32)
+        return np.sin(2 * np.pi * 220.0 * t / 16000.0).astype(np.float32), 16000
+
+    def synthesize_from_phonemes(self, ipa, options=None):
+        return self.synthesize(ipa)
+
+
+class _StubEmbedder:
+    def get_embeddings(self, text):
+        v = np.zeros(8, np.float32)
+        v[0] = float(len(text))
+        v[1] = float(sum(map(ord, text)) % 97)
+        return v
+
+
+def _rpc_harness():
+    """Server harness with RPC engines injected (stub TTS/embedder, real
+    G2P rules engine, stub VAD prob fn for speech-clip)."""
+    h = _ServerHarness()
+
+    def hop_prob(hops):
+        # voiced where the hop has energy (the stub "VAD")
+        return (np.abs(hops).mean(axis=1) > 0.05).astype(np.float32)
+
+    from moonshine_tpu.tts.g2p import GraphemeToPhonemizer
+
+    h.server._tts = _StubTts()
+    h.server._g2p = GraphemeToPhonemizer(language="en_us", use_baked_dict=False)
+    h.server._embedder = _StubEmbedder()
+    h.server._vad_hop_prob_fn = hop_prob
+    return h
+
+
+def test_rpc_tts_roundtrip():
+    with _rpc_harness() as h:
+        pcm, sr = native_client.native_tts(
+            "127.0.0.1", h.server.port, "hello world"
+        )
+        assert sr == 16000
+        assert len(pcm) == 1600 + 100 * len("hello world")
+        # The sine survived the float32 wire round trip bit-exactly.
+        ref, _ = _StubTts().synthesize("hello world")
+        np.testing.assert_array_equal(pcm, ref)
+
+
+def test_rpc_g2p_roundtrip():
+    with _rpc_harness() as h:
+        ipa = native_client.native_g2p("127.0.0.1", h.server.port, "hello")
+        from moonshine_tpu.tts.g2p import GraphemeToPhonemizer
+
+        want = GraphemeToPhonemizer(
+            language="en_us", use_baked_dict=False
+        ).text_to_ipa("hello")
+        assert ipa == want and ipa  # non-empty UTF-8 IPA through the C ABI
+
+
+def test_rpc_embed_roundtrip():
+    with _rpc_harness() as h:
+        emb = native_client.native_embed(
+            "127.0.0.1", h.server.port, ["alpha", "beta bee"]
+        )
+        assert emb.shape == (2, 8)
+        np.testing.assert_array_equal(emb[0], _StubEmbedder().get_embeddings("alpha"))
+        np.testing.assert_array_equal(
+            emb[1], _StubEmbedder().get_embeddings("beta bee")
+        )
+
+
+def test_rpc_speech_clip():
+    with _rpc_harness() as h:
+        rng = np.random.RandomState(0)
+        audio = np.zeros(16000 * 8, np.float32)
+        audio[16000 * 2 : 16000 * 7] = (rng.randn(16000 * 5) * 0.3).astype(
+            np.float32
+        )
+        res = native_client.native_speech_clip(
+            "127.0.0.1", h.server.port, audio
+        )
+        assert res["found"]
+        # The chosen ~4 s window lies inside the voiced span.
+        assert 1.5 <= res["start_s"] <= 3.5
+        assert res["speech_s"] >= 2.0
+
+
+def test_rpc_error_reported_not_hung():
+    """An unconfigured embedder turns into a clean protocol error, not a
+    hang or crash."""
+    with _ServerHarness() as h:  # no engines injected
+        with pytest.raises(ConnectionError):
+            native_client.native_embed("127.0.0.1", h.server.port, ["x"])
+
+
+def test_rpc_and_streaming_share_one_server():
+    """RPC connections must not consume stream slots: a full RPC workload
+    runs while a live stream transcribes on the same server."""
+    with _rpc_harness() as h:
+        events = []
+        t = threading.Thread(
+            target=lambda: events.extend(_stream_audio(h.server.port, seed=3)),
+        )
+        t.start()
+        for _ in range(3):
+            ipa = native_client.native_g2p("127.0.0.1", h.server.port, "mix")
+            assert ipa
+        t.join(timeout=120.0)
+        assert any(e.type == native_client.MT_EVENT_STOPPED for e in events)
+
+
+# -- JNI consumer compile check ----------------------------------------------
+
+
+def test_jni_shim_compiles_and_links(tmp_path):
+    """The Android JNI shim is a thin wrapper over moonshine_client.h:
+    prove it by compiling + linking it into a shared object exposing the
+    Java_* symbols (jni_compat.h declares the JNI subset; a JDK build
+    uses the real <jni.h> unchanged)."""
+    jni_dir = NATIVE_DIR.parent / "bindings" / "jni"
+    out = tmp_path / "libmoonshine_jni.so"
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", "-fPIC", "-shared", "-pthread",
+         str(jni_dir / "moonshine_jni.cpp"),
+         str(NATIVE_DIR / "moonshine_client.cpp"), "-o", str(out)],
+        check=True, capture_output=True, text=True,
+    )
+    syms = subprocess.run(
+        ["nm", "-D", str(out)], check=True, capture_output=True, text=True
+    ).stdout
+    for fn in ("connect", "addAudio", "pollEventText", "tts", "g2p"):
+        assert f"Java_ai_moonshine_tpu_MoonshineClient_{fn}" in syms
