@@ -1,0 +1,53 @@
+"""Ratchet test: G2P agreement with the reference engines must not regress.
+
+Goldens are pre-generated reference-engine IPA (see
+tests/data/g2p_ref/README.md and scripts/g2p_oracle/). Floors sit just
+below the currently measured per-dialect word agreement; raise them as the
+engines improve.
+"""
+
+import pytest
+
+from moonshine_tpu.eval.g2p_reference_agreement import (
+    DIALECT_TO_LANG,
+    default_data_dir,
+    score_language,
+)
+
+# dialect -> (word_agreement floor, char_similarity floor)
+FLOORS = {
+    "ar": (0.00, 0.60),
+    "de": (0.25, 0.80),
+    "en": (0.85, 0.96),
+    "es_es": (0.67, 0.92),
+    "es_mx": (0.80, 0.95),
+    "fr": (0.58, 0.89),
+    "hi": (0.00, 0.52),
+    "it": (0.63, 0.93),
+    "ja": (0.04, 0.52),
+    "ko": (0.08, 0.69),
+    "nl": (0.61, 0.91),
+    "pt_br": (0.11, 0.68),
+    "pt_pt": (0.21, 0.74),
+    "ru": (0.19, 0.81),
+    "tr": (0.76, 0.95),
+    "uk": (0.33, 0.85),
+    "vi": (0.02, 0.61),
+}
+
+
+@pytest.mark.parametrize("dialect", sorted(FLOORS))
+def test_agreement_floor(dialect):
+    s = score_language(dialect)
+    floor, char_floor = FLOORS[dialect]
+    assert s.word_agreement >= floor, (
+        f"{dialect}: word agreement {s.word_agreement:.1%} fell below the "
+        f"ratchet floor {floor:.0%}")
+    assert s.char_similarity >= char_floor
+
+
+def test_all_goldens_have_floors():
+    present = {p.name.split(".")[0]
+               for p in default_data_dir().glob("*.golden.tsv")}
+    assert present == set(FLOORS)
+    assert present <= set(DIALECT_TO_LANG)
