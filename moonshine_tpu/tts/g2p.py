@@ -335,6 +335,29 @@ _PT_RULES: list[tuple[str, str]] = [
 _PUNCT_PAUSE = {".": "‖", "!": "‖", "?": "‖", ",": "|", ";": "|", ":": "|"}
 
 
+def _tokenize_words(text: str) -> list[str]:
+    """Words (letters/digits + COMBINING MARKS + apostrophe) and pause
+    punctuation.  ``\\w`` alone drops category-M marks, which shreds any
+    script that writes vowels as combining signs (Devanagari matras,
+    virama, Arabic harakat, decomposed Latin accents)."""
+    import unicodedata as _ud
+
+    toks: list[str] = []
+    cur: list[str] = []
+    for ch in text:
+        if ch == "'" or _ud.category(ch)[0] in ("L", "M", "N"):
+            cur.append(ch)
+        else:
+            if cur:
+                toks.append("".join(cur))
+                cur = []
+            if ch in ".,!?;:":
+                toks.append(ch)
+    if cur:
+        toks.append("".join(cur))
+    return toks
+
+
 class GraphemeToPhonemizer:
     """Public G2P API (reference binding: GraphemeToPhonemizer;
     C ABI: moonshine-c-api.h:1140-1184)."""
@@ -375,7 +398,7 @@ class GraphemeToPhonemizer:
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
         normalized = normalize_text(text, self.language)
-        tokens = re.findall(r"[\w']+|[.,!?;:]", normalized)
+        tokens = _tokenize_words(normalized)
         words = [t for t in tokens if t not in _PUNCT_PAUSE]
         out: list[str] = []
         wi = 0

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
+from dataclasses import dataclass, field
 
 # ---------------------------------------------------------------------------
 # Korean — algorithmic Hangul decomposition
@@ -543,28 +544,36 @@ class VietnameseG2P:
 # Hindi — Devanagari with inherent schwa + final schwa deletion
 # ---------------------------------------------------------------------------
 
+# Consonant inventory matches the reference's hindi.cpp base_cons_map
+# exactly (plain t/d, ascii g, ʰ aspiration throughout) so the two engines
+# agree symbol-for-symbol (reference: lang-specific/hindi.cpp:72-93).
 _HI_CONSONANTS = {
-    "क": "k", "ख": "kʰ", "ग": "ɡ", "घ": "ɡʱ", "ङ": "ŋ",
-    "च": "tʃ", "छ": "tʃʰ", "ज": "dʒ", "झ": "dʒʱ", "ञ": "ɲ",
-    "ट": "ʈ", "ठ": "ʈʰ", "ड": "ɖ", "ढ": "ɖʱ", "ण": "ɳ",
-    "त": "t̪", "थ": "t̪ʰ", "द": "d̪", "ध": "d̪ʱ", "न": "n",
-    "प": "p", "फ": "pʰ", "ब": "b", "भ": "bʱ", "म": "m",
-    "य": "j", "र": "ɾ", "ल": "l", "व": "ʋ", "श": "ʃ",
-    "ष": "ʂ", "स": "s", "ह": "ɦ", "ज़": "z", "फ़": "f",
-    "क़": "q", "ख़": "x", "ग़": "ɣ", "ड़": "ɽ", "ढ़": "ɽʱ",
+    "क": "k", "ख": "kʰ", "ग": "g", "घ": "gʰ", "ङ": "ŋ",
+    "च": "tʃ", "छ": "tʃʰ", "ज": "dʒ", "झ": "dʒʰ", "ञ": "ɲ",
+    "ट": "ʈ", "ठ": "ʈʰ", "ड": "ɖ", "ढ": "ɖʰ", "ण": "ɳ",
+    "त": "t", "थ": "tʰ", "द": "d", "ध": "dʰ", "न": "n",
+    "प": "p", "फ": "pʰ", "ब": "b", "भ": "bʰ", "म": "m",
+    "य": "j", "र": "r", "ल": "l", "ळ": "ɭ", "व": "ʋ", "श": "ʃ",
+    "ष": "ʂ", "स": "s", "ह": "ɦ",
+}
+_HI_NUKTA_OVERRIDE = {
+    "क": "q", "ख": "x", "ग": "ɣ", "ज": "z", "ड": "ɽ", "ढ": "ɽʰ",
+    "फ": "f",
 }
 _HI_VOWELS = {
     "अ": "ə", "आ": "aː", "इ": "ɪ", "ई": "iː", "उ": "ʊ", "ऊ": "uː",
-    "ऋ": "ɾɪ", "ए": "eː", "ऐ": "ɛː", "ओ": "oː", "औ": "ɔː",
+    "ए": "eː", "ऐ": "ɛː", "ओ": "oː", "औ": "ɔː",
 }
 _HI_MATRAS = {
-    "ा": "aː", "ि": "ɪ", "ी": "iː", "ु": "ʊ", "ू": "uː", "ृ": "ɾɪ",
+    "ा": "aː", "ि": "ɪ", "ी": "iː", "ु": "ʊ", "ू": "uː",
     "े": "eː", "ै": "ɛː", "ो": "oː", "ौ": "ɔː",
 }
+_HI_LONG = {"aː", "iː", "uː", "eː", "oː", "ɛː", "ɔː"}
 _HI_VIRAMA = "्"
 _HI_ANUSVARA = "ं"
 _HI_CHANDRABINDU = "ँ"
 _HI_VISARGA = "ः"
+_HI_NUKTA = "़"
 
 
 def _normalize_nukta_keys(d: dict[str, str]) -> dict[str, str]:
@@ -578,65 +587,195 @@ def _normalize_nukta_keys(d: dict[str, str]) -> dict[str, str]:
     return out
 
 
+def _hi_nasal_for_place(onset: str) -> str:
+    """Place-assimilated anusvara nasal, matching the reference's
+    nasal_for_place (hindi.cpp:116-153) decision order."""
+    if not onset:
+        return "ŋ"
+    if onset.startswith(("tʃ", "dʒ")) or onset == "ɲ":
+        return "ɲ"
+    if onset.startswith(("k", "g")) or onset == "q":
+        return "ŋ"
+    if onset.startswith(("ʈ", "ɖ", "ɳ", "ɽ")):
+        return "ɳ"
+    if onset.startswith(("t", "d", "n")):
+        return "n"
+    if onset.startswith(("p", "b", "m")):
+        return "m"
+    return "n"
+
+
+@dataclass
+class _HiSyllable:
+    onset: list[str] = field(default_factory=list)
+    vowel: str | None = None  # None = halant-final (no nucleus)
+    inherent_schwa: bool = False
+    chandrabindu: bool = False
+    anusvara: bool = False
+    visarga: bool = False
+
+
 class DevanagariG2P:
+    """Syllable-based Devanagari G2P mirroring the reference's hindi.cpp
+    behavior: virama-joined onset clusters, inherent-schwa syncope
+    (word-final + medial before palatal onsets), place-assimilated
+    anusvara, weight-based stress, ``.``-separated syllables
+    (reference: lang-specific/hindi.cpp:201-422)."""
+
     def __init__(self, lexicon: dict[str, str] | None = None):
         self.lexicon = dict(lexicon or {})
-        self._consonants = _normalize_nukta_keys(_HI_CONSONANTS)
 
     def add_lexicon(self, lexicon: dict[str, str]) -> None:
         self.lexicon.update(lexicon)
 
+    def _parse(self, word: str) -> list[_HiSyllable]:
+        chars = unicodedata.normalize("NFC", word)
+        # Re-split any precomposed nukta consonants into base+nukta so one
+        # code path handles both compositions.
+        chars = unicodedata.normalize("NFD", chars)
+        cps = [c for c in chars if c not in ("‌", "‍")]
+        out: list[_HiSyllable] = []
+        n = len(cps)
+        i = 0
+        while i < n:
+            ch = cps[i]
+            if ch in _HI_VOWELS:
+                sy = _HiSyllable(vowel=_HI_VOWELS[ch])
+                i += 1
+                if i < n and cps[i] == _HI_CHANDRABINDU:
+                    sy.chandrabindu = True
+                    i += 1
+                if i < n and cps[i] == _HI_ANUSVARA:
+                    sy.anusvara = True
+                    i += 1
+                if i < n and cps[i] == _HI_VISARGA:
+                    sy.visarga = True
+                    i += 1
+                out.append(sy)
+                continue
+            if ch not in _HI_CONSONANTS:
+                i += 1
+                continue
+            onset: list[str] = []
+            halant_end = False
+            while i < n and cps[i] in _HI_CONSONANTS:
+                base = cps[i]
+                i += 1
+                nukta = i < n and cps[i] == _HI_NUKTA
+                if nukta:
+                    i += 1
+                if nukta and base in _HI_NUKTA_OVERRIDE:
+                    onset.append(_HI_NUKTA_OVERRIDE[base])
+                else:
+                    onset.append(_HI_CONSONANTS[base])
+                if i < n and cps[i] == _HI_VIRAMA:
+                    i += 1
+                    if i < n and cps[i] in _HI_CONSONANTS:
+                        continue
+                    halant_end = True
+                    break
+                break
+            if halant_end:
+                sy = _HiSyllable(onset=onset, vowel=None)
+                if i < n and cps[i] == _HI_VISARGA:
+                    sy.visarga = True
+                    i += 1
+                out.append(sy)
+                continue
+            vowel: str | None = None
+            inherent = False
+            if i < n and cps[i] in _HI_MATRAS:
+                vowel = _HI_MATRAS[cps[i]]
+                i += 1
+            if vowel is None:
+                vowel = "ə"
+                inherent = True
+            sy = _HiSyllable(onset=onset, vowel=vowel,
+                             inherent_schwa=inherent)
+            if i < n and cps[i] == _HI_CHANDRABINDU:
+                sy.chandrabindu = True
+                i += 1
+            if i < n and cps[i] == _HI_ANUSVARA:
+                sy.anusvara = True
+                i += 1
+            if i < n and cps[i] == _HI_VISARGA:
+                sy.visarga = True
+                i += 1
+            out.append(sy)
+        return out
+
+    @staticmethod
+    def _syncope(syls: list[_HiSyllable]) -> None:
+        if len(syls) < 2:
+            return
+        last = syls[-1]
+        if last.vowel == "ə" and last.inherent_schwa:
+            last.vowel = ""
+            last.inherent_schwa = False
+        for a, b in zip(syls[:-1], syls[1:]):
+            if a.vowel != "ə" or not a.inherent_schwa or not b.onset:
+                continue
+            bo = b.onset[0]
+            if bo.startswith(("dʒ", "tʃ", "ʃ")) or bo == "ɲ":
+                a.vowel = ""
+                a.inherent_schwa = False
+
+    def _render(self, syls: list[_HiSyllable], with_stress: bool = True) -> str:
+        def one(j: int) -> str:
+            s = syls[j]
+            body = "".join(s.onset)
+            if s.vowel is None:
+                return body + ("ɦ" if s.visarga else "")
+            v = s.vowel
+            if s.chandrabindu and v:
+                v += "̃"
+            if s.anusvara:
+                nxt = ""
+                for k in range(j + 1, len(syls)):
+                    if syls[k].onset:
+                        nxt = syls[k].onset[0]
+                        break
+                if not nxt:
+                    v += "̃"
+                else:
+                    body += _hi_nasal_for_place(nxt)
+            body += v
+            if s.visarga:
+                body += "ɦ"
+            return body
+
+        raw: list[str] = []
+        weights: list[int] = []
+        for j, s in enumerate(syls):
+            r = one(j)
+            if r:
+                raw.append(r)
+                if s.vowel:
+                    weights.append(2 if s.vowel in _HI_LONG else 1)
+                else:
+                    weights.append(0)
+        if not raw:
+            return ""
+        if not with_stress or len(raw) == 1:
+            return ".".join(raw)
+        best_i, best_w = 0, -1
+        for i, w in enumerate(weights):
+            if w > best_w:
+                best_i, best_w = i, w
+        if best_w <= 0:
+            best_i = len(raw) - 2 if len(raw) >= 2 else 0
+        parts = [("ˈ" + r) if (i == best_i and best_w > 0) else r
+                 for i, r in enumerate(raw)]
+        return ".".join(parts)
+
     def word_to_ipa(self, word: str) -> str:
         if word in self.lexicon:
             return self.lexicon[word]
-        # Merge consonant+nukta (U+093C) into single units so ड़/ज़/…
-        # behave as one consonant regardless of (de)composition.
-        merged: list[str] = []
-        for ch in word:
-            if ch == "़" and merged:
-                merged[-1] = merged[-1] + ch
-            else:
-                merged.append(ch)
-        chars = merged
-        out: list[str] = []
-        n = len(chars)
-        i = 0
-        while i < n:
-            ch = chars[i]
-            nxt = chars[i + 1] if i + 1 < n else ""
-            if ch in self._consonants:
-                out.append(self._consonants[ch])
-                if nxt == _HI_VIRAMA:
-                    i += 2
-                    continue
-                if nxt in _HI_MATRAS:
-                    out.append(_HI_MATRAS[nxt])
-                    i += 2
-                    continue
-                # inherent schwa, deleted word-finally
-                is_last_consonant = all(
-                    c in (_HI_ANUSVARA, _HI_CHANDRABINDU, _HI_VISARGA)
-                    for c in chars[i + 1 :]
-                )
-                if not is_last_consonant:
-                    out.append("ə")
-                i += 1
-            elif ch in _HI_VOWELS:
-                out.append(_HI_VOWELS[ch])
-                i += 1
-            elif ch == _HI_ANUSVARA or ch == _HI_CHANDRABINDU:
-                if out:
-                    out.append("̃")
-                i += 1
-            elif ch == _HI_VISARGA:
-                out.append("h")
-                i += 1
-            elif ch in _HI_MATRAS:  # stray matra (e.g. after a nukta form)
-                out.append(_HI_MATRAS[ch])
-                i += 1
-            else:
-                i += 1
-        return "".join(out)
+        syls = self._parse(word)
+        if not syls:
+            return ""
+        self._syncope(syls)
+        return self._render(syls)
 
 
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ FLOORS = {
     "es_es": (0.67, 0.92),
     "es_mx": (0.80, 0.95),
     "fr": (0.58, 0.89),
-    "hi": (0.00, 0.52),
+    "hi": (0.97, 0.99),
     "it": (0.63, 0.93),
     "ja": (0.04, 0.52),
     "ko": (0.08, 0.69),
