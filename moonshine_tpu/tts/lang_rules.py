@@ -782,22 +782,184 @@ class DevanagariG2P:
 # Arabic — abjad mapping (full vocalization needs the diacritizer ONNX)
 # ---------------------------------------------------------------------------
 
-_AR_MAP = {
-    "ا": "aː", "أ": "ʔa", "إ": "ʔi", "آ": "ʔaː", "ء": "ʔ", "ؤ": "ʔ", "ئ": "ʔ",
+# Consonant onsets, matching the reference's onset_ipa
+# (lang-specific/arabic-ipa.cpp:203-271).  Long vowels / hamza carriers /
+# ة are handled positionally in the cluster walk below.
+_AR_ONSET = {
+    "ء": "ʔ", "أ": "ʔ", "إ": "ʔ", "ؤ": "ʔ", "ئ": "ʔ", "آ": "ʔaː",
     "ب": "b", "ت": "t", "ث": "θ", "ج": "dʒ", "ح": "ħ", "خ": "x",
     "د": "d", "ذ": "ð", "ر": "r", "ز": "z", "س": "s", "ش": "ʃ",
     "ص": "sˤ", "ض": "dˤ", "ط": "tˤ", "ظ": "ðˤ", "ع": "ʕ", "غ": "ɣ",
     "ف": "f", "ق": "q", "ك": "k", "ل": "l", "م": "m", "ن": "n",
-    "ه": "h", "و": "uː", "ي": "iː", "ى": "aː", "ة": "a",
-    # short-vowel diacritics (when present)
-    "َ": "a", "ُ": "u", "ِ": "i", "ْ": "", "ّ": "ː", "ً": "an", "ٌ": "un", "ٍ": "in",
+    "ه": "h", "و": "w", "ي": "j",
 }
 
 # Coronals that assimilate the definite article's lām (حروف شمسية).
 _AR_SUN_LETTERS = frozenset("تثدذرزسشصضطظلن")
 
+_AR_FATHA, _AR_DAMMA, _AR_KASRA = "َ", "ُ", "ِ"
+_AR_FATHATAN, _AR_DAMMATAN, _AR_KASRATAN = "ً", "ٌ", "ٍ"
+_AR_SUKUN, _AR_SHADDA, _AR_TATWEEL = "ْ", "ّ", "ـ"
+_AR_VOWEL_MARKS = {_AR_FATHA, _AR_DAMMA, _AR_KASRA,
+                   _AR_FATHATAN, _AR_DAMMATAN, _AR_KASRATAN, _AR_SUKUN}
+# Letters that never take the default fatha
+# (arabic-ipa.cpp apply_default_fatha_u32:171-176).
+_AR_NO_FATHA = frozenset("اويىآة")
+
+
+def _ar_is_combining(ch: str) -> bool:
+    o = ord(ch)
+    if 0x064B <= o <= 0x065F or o == 0x0670:
+        return True
+    return 0x0600 <= o <= 0x06FF and unicodedata.category(ch) == "Mn"
+
+
+def _ar_is_base_letter(ch: str) -> bool:
+    o = ord(ch)
+    if 0x064B <= o <= 0x065F:
+        return False
+    return (0x0621 <= o <= 0x063A or 0x0641 <= o <= 0x064A
+            or o in (0x671, 0x672, 0x673))
+
+
+def _ar_clusters(s: str) -> list[tuple[str, str]]:
+    """(base letter, trailing combining marks) pairs over NFC text."""
+    s = unicodedata.normalize("NFC", s)
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if _ar_is_combining(ch):
+            if out:
+                out[-1] = (out[-1][0], out[-1][1] + ch)
+            i += 1
+            continue
+        if _ar_is_base_letter(ch) or (0x0600 <= ord(ch) <= 0x06FF
+                                      and unicodedata.category(ch) == "Lo"):
+            j = i + 1
+            marks = []
+            while j < n and _ar_is_combining(s[j]):
+                marks.append(s[j])
+                j += 1
+            out.append((ch, "".join(marks)))
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _ar_vowel_from_marks(marks: str) -> str:
+    body = marks.replace(_AR_SHADDA, "")
+    if _AR_FATHA in body:
+        return "a"
+    if _AR_DAMMA in body:
+        return "u"
+    if _AR_KASRA in body:
+        return "i"
+    if _AR_FATHATAN in body:
+        return "an"
+    if _AR_DAMMATAN in body:
+        return "un"
+    if _AR_KASRATAN in body:
+        return "in"
+    if _AR_SUKUN in marks:
+        return ""
+    if _AR_TATWEEL in marks:
+        return "ː"
+    return ""
+
+
+def _ar_gem(onset: str) -> str:
+    if not onset:
+        return ""
+    if onset.startswith("ʔ"):
+        return onset
+    return onset + onset
+
+
+def strip_arabic_diacritics(s: str) -> str:
+    return "".join(ch for ch in s if not _ar_is_combining(ch))
+
+
+def apply_default_fatha(s: str) -> str:
+    """Every unvocalized base consonant gains a fatha — the reference's
+    "mouth-full" fallback for undiacritized MSA text
+    (arabic-ipa.cpp:160-201)."""
+    acc: list[str] = []
+    for base, marks in _ar_clusters(unicodedata.normalize("NFC", s)):
+        if not _ar_is_base_letter(base) or base in _AR_NO_FATHA:
+            acc.append(base + marks)
+            continue
+        m2 = marks.replace(_AR_TATWEEL, "")
+        has_vowel = any(m in _AR_VOWEL_MARKS for m in m2)
+        if not has_vowel and _AR_SHADDA in m2:
+            acc.append(base + m2)
+        elif not has_vowel:
+            acc.append(base + _AR_FATHA + m2)
+        else:
+            acc.append(base + m2)
+    return unicodedata.normalize("NFC", "".join(acc))
+
+
+def _ar_diac_word_to_ipa(word: str) -> str:
+    parts: list[str] = []
+    for base, marks in _ar_clusters(unicodedata.normalize("NFC", word)):
+        if base in " ,;?!":
+            continue
+        if not _ar_is_base_letter(base) and unicodedata.category(base) != "Lo":
+            continue
+        v = _ar_vowel_from_marks(marks)
+        sukun = _AR_SUKUN in marks
+        shadda = _AR_SHADDA in marks
+        onset = _AR_ONSET.get(base, "")
+        if base == "ا" and not marks:
+            if parts and parts[-1] in ("a", "i", "u"):
+                parts[-1] += "ː"
+            else:
+                parts.append("aː")
+            continue
+        if base == "ى" and not marks:
+            parts.append("aː")
+            continue
+        if base == "ة":
+            parts.append("a" if (not sukun and not v) else "t")
+            continue
+        if base == "و":
+            if v == "u":
+                parts.append("uː")
+            elif not marks:
+                parts.append("w")
+            else:
+                parts.append("w" + v)
+            continue
+        if base == "ي":
+            if v == "i":
+                parts.append("iː")
+            elif not marks:
+                parts.append("j")
+            else:
+                parts.append("j" + v)
+            continue
+        if onset == "ʔaː":
+            parts.append("ʔaː")
+            continue
+        if not onset and base == "ا":
+            continue
+        seg = _ar_gem(onset) if (shadda and onset) else onset
+        if v:
+            parts.append((seg + v) if seg else v)
+        elif seg:
+            parts.append(seg)
+    return "".join(parts)
+
 
 class ArabicG2P:
+    """MSA G2P mirroring the reference's rules tier: default-fatha fill of
+    unvocalized text, cluster walk with hamza/long-vowel/tāʾ-marbūṭa
+    handling, sun-letter assimilation of the definite article
+    (reference: lang-specific/arabic-ipa.cpp + arabic.cpp:158-211; the
+    diacritizer ONNX tier refines vowels when its model is available)."""
+
     def __init__(self, lexicon: dict[str, str] | None = None):
         self.lexicon = dict(lexicon or {})
 
@@ -805,29 +967,26 @@ class ArabicG2P:
         self.lexicon.update(lexicon)
 
     def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w or not any(0x0600 <= ord(c) <= 0x06FF for c in w):
+            return ""
+        key = strip_arabic_diacritics(unicodedata.normalize("NFC", w))
+        if key in self.lexicon:
+            return self.lexicon[key]
         if word in self.lexicon:
             return self.lexicon[word]
-        w = word
-        out: list[str] = []
-        # Definite article ال: before a "sun letter" (coronal) the lām
-        # assimilates and the following consonant geminates —
-        # الشمس → aʃ-ʃams, not al-ʃams (reference arabic rules; full
-        # vocalization beyond this is diacritizer territory).
-        if w.startswith("ال") and len(w) > 2:
-            nxt = w[2]
-            if nxt in _AR_SUN_LETTERS:
-                out.append("a" + _AR_MAP.get(nxt, ""))
-            else:
-                out.append("al")
-            w = w[2:]
-        for i, ch in enumerate(w):
-            if i == 0 and ch == "و":
-                out.append("w")
-            elif i == 0 and ch == "ي":
-                out.append("j")
-            else:
-                out.append(_AR_MAP.get(ch, ""))
-        return "".join(out)
+        filled = apply_default_fatha(w)
+        bare = key
+        if (len(bare) >= 3 and bare[0] == "ا" and bare[1] == "ل"
+                and bare[2] in _AR_SUN_LETTERS):
+            stem = unicodedata.normalize("NFC", filled)[2:]
+            onset = _AR_ONSET.get(bare[2], "")
+            stem_ipa = _ar_diac_word_to_ipa(stem)
+            if onset and stem_ipa.startswith(onset):
+                stem_ipa = stem_ipa[len(onset):]
+            gem = _ar_gem(onset)
+            return ("a" + gem + stem_ipa) if stem_ipa else ("a" + gem)
+        return _ar_diac_word_to_ipa(filled)
 
 
 # ---------------------------------------------------------------------------

@@ -16,7 +16,7 @@ from moonshine_tpu.eval.g2p_reference_agreement import (
 
 # dialect -> (word_agreement floor, char_similarity floor)
 FLOORS = {
-    "ar": (0.00, 0.60),
+    "ar": (0.97, 0.97),
     "de": (0.25, 0.80),
     "en": (0.85, 0.96),
     "es_es": (0.67, 0.92),
