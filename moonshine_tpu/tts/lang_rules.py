@@ -487,57 +487,198 @@ _NL_RULES: list[tuple[str, str]] = [
 # Vietnamese — full diacritic inventory, tones as IPA tone letters
 # ---------------------------------------------------------------------------
 
-_VI_TONES = {
-    "́": "˧˥",  # sắc (acute)
-    "̀": "˨˩",  # huyền (grave)
-    "̉": "˧˩˧",  # hỏi (hook)
-    "̃": "˧ˀ˥",  # ngã (tilde)
-    "̣": "˨ˀ˩",  # nặng (dot below)
+# NFD tone mark -> tone id (1 = ngang, unmarked).
+_VI_TONE_MARKS = {"̀": 2, "́": 5, "̃": 4, "̉": 3,
+                  "̣": 6}
+# Tone contours per the reference's tone_suffix_ipa
+# (vietnamese.cpp:602-630): sắc (5) is ˦˥ only before an obstruent coda,
+# ˨˦ otherwise; nặng (6) adds a final ʔ on open syllables and on labialized
+# -ng codas.
+_VI_TONE_SUFFIX = {1: "˧˧", 2: "˧˨", 3: "˧˩˨", 4: "˧ˀ˥", 6: "˨ˀ˩"}
+_VI_SAC_OBSTRUENT = "˦˥"
+_VI_SAC_OPEN = "˨˦"
+
+# Onset digraphs -> IPA (longest-match; reference parse_onset
+# vietnamese.cpp:173-289 — note ch/tr both -> c, d/r/gi -> z, kh -> x).
+_VI_ONSET_SINGLE = {
+    "b": "b", "c": "k", "k": "k", "d": "z", "h": "h", "l": "l", "m": "m",
+    "n": "n", "p": "p", "r": "z", "s": "s", "t": "t", "v": "v", "x": "s",
+    "g": "ɣ", "đ": "d",
 }
 
-_VI_RULES: list[tuple[str, str]] = [
-    (r"ngh", "ŋ"), (r"ng", "ŋ"), (r"nh", "ɲ"), (r"gh", "ɣ"),
-    (r"gi(?=[aeiouyâăơôêư])", "z"), (r"gi", "zi"),
-    (r"kh", "x"), (r"ph", "f"), (r"th", "tʰ"), (r"tr", "ʈ"), (r"ch", "tɕ"),
-    (r"qu", "kw"),
-    (r"ươ", "ɨə"), (r"uô", "uə"), (r"iê", "iə"), (r"yê", "iə"),
-    (r"ư", "ɨ"), (r"ơ", "əː"), (r"ô", "o"), (r"ê", "e"), (r"â", "ə"),
-    (r"ă", "a"), (r"đ", "ɗ"), (r"y", "i"),
-    (r"a", "aː"), (r"e", "ɛ"), (r"i", "i"), (r"o", "ɔ"), (r"u", "u"),
-    (r"b", "ɓ"), (r"c", "k"), (r"d", "z"), (r"g", "ɣ"), (r"h", "h"),
-    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
-    (r"r", "z"), (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"x", "s"),
+# Nucleus multigraphs in match order (reference nucleus_to_ipa
+# vietnamese.cpp:355-553).
+_VI_NUCLEUS = [
+    ("iêu", "iəw"), ("ươi", "ɯəj"), ("ươu", "ɯəw"), ("ươ", "ɯə"),
+    ("iê", "iə"), ("yê", "iə"), ("uô", "uo"),
+    ("oa", "wa"), ("oe", "wɛ"), ("uy", "wj"),
+    ("ai", "aj"), ("ay", "aj"), ("ao", "aw"), ("au", "aw"),
+    ("âu", "əw"), ("ây", "əj"),
+    ("ơi", "ɤj"), ("ơu", "ɤw"),
+    ("ưa", "ɯə"), ("ưi", "ɯj"), ("ưu", "ɯw"),
+    ("ia", "iə"), ("iu", "iw"), ("êu", "ew"),
+    ("ơ", "ɤ"), ("ư", "ɯ"), ("ô", "o"), ("â", "ɤ̆"), ("ă", "ɐ"),
+    ("ê", "e"),
+    ("e", "ɛ"), ("o", "ɔ"), ("a", "a"), ("i", "i"), ("u", "u"), ("y", "i"),
 ]
 
+_VI_CODAS = ["ch", "nh", "ng", "c", "k", "m", "n", "p", "t"]
+_VI_FRONT_VOWELS = set("ieêíìỉĩịéèẻẽẹếềểễệ")
+_VI_A_PLAIN = set("aáàảãạ")
+_VI_E_CIRC = set("êếềểễệ")
+
+
+def _vi_split_tone(word: str) -> tuple[str, int]:
+    nfd = unicodedata.normalize("NFD", word)
+    tone = 1
+    kept = []
+    for ch in nfd:
+        if ch in _VI_TONE_MARKS:
+            tone = _VI_TONE_MARKS[ch]
+        else:
+            kept.append(ch)
+    return unicodedata.normalize("NFC", "".join(kept)), tone
+
+
+def _vi_parse_onset(body: str) -> tuple[str, str]:
+    n = len(body)
+    if n >= 4 and body.startswith("ngh") and body[3] in _VI_FRONT_VOWELS:
+        return "ŋ", body[3:]
+    if n >= 3 and body.startswith("ng") and body[2] in "aeiouyâăơôêưi":
+        return "ŋ", body[2:]
+    if n >= 3 and body.startswith("ch"):
+        return "c", body[2:]
+    if n >= 3 and body.startswith("gh") and body[2] in _VI_FRONT_VOWELS:
+        return "ɣ", body[2:]
+    if n >= 2 and body.startswith("gi"):
+        if n == 2:
+            return "ɣ", "i"
+        rest = body[2:]
+        if rest == "i":
+            return "ɣ", rest
+        return "z", rest
+    if n >= 3 and body.startswith("qu"):
+        return "kw", body[2:]
+    if n >= 3 and body.startswith("tr"):
+        return "c", body[2:]
+    if n >= 3 and body.startswith("th"):
+        return "tʰ", body[2:]
+    if n >= 3 and body.startswith("ph"):
+        return "f", body[2:]
+    if n >= 3 and body.startswith("kh"):
+        return "x", body[2:]
+    if n >= 3 and body.startswith("nh"):
+        return "ɲ", body[2:]
+    if n >= 2 and body[0] == "đ":
+        return "d", body[1:]
+    if n >= 2 and body[0] in _VI_ONSET_SINGLE:
+        return _VI_ONSET_SINGLE[body[0]], body[1:]
+    return "", body
+
+
+def _vi_nucleus_to_ipa(nuc: str) -> str:
+    out = []
+    rest = nuc
+    while rest:
+        for orth, ipa in _VI_NUCLEUS:
+            if rest.startswith(orth):
+                out.append(ipa)
+                rest = rest[len(orth):]
+                break
+        else:
+            rest = rest[1:]
+    return "".join(out)
+
+
+def _vi_wants_labial(nuc_ipa: str) -> bool:
+    if not nuc_ipa or "ɯ" in nuc_ipa:
+        return False
+    return nuc_ipa.endswith(("o", "ɔ", "u", "w", "əw", "ow"))
+
+
+def _vi_coda_simple(coda: str, nuc_ipa: str) -> str:
+    lab = _vi_wants_labial(nuc_ipa)
+    if coda == "nh":
+        return "ŋ"
+    if coda == "ch":
+        return "k"
+    if coda == "ng":
+        return "ŋ͡m" if lab else "ŋ"
+    if coda in ("c", "k"):
+        return "k͡p" if lab else "k"
+    return {"n": "n", "m": "m", "p": "p", "t": "t"}.get(coda, "")
+
+
 class VietnameseG2P:
-    """Tone marks are stripped from the NFD form (keeping the phonemic
-    vowel diacritics), the segmental rules run, and the tone letter is
-    appended per word (reference: vietnamese rules carry tones)."""
+    """Syllable G2P mirroring the reference's vietnamese.cpp: tone split
+    on the NFD form, longest-match onset/nucleus/coda, Chao tone-letter
+    suffixes with the sắc/nặng allophony, labialized velar codas after
+    rounded nuclei, ASCII-word passthrough (the reference's rules tier
+    leaves undiacritized-ASCII tokens to the lexicon, vietnamese.cpp
+    text_to_ipa:878-897)."""
 
     def __init__(self, lexicon: dict[str, str] | None = None):
-        from .g2p import RuleG2P
-
         self.lexicon = dict(lexicon or {})
-        self._rules = RuleG2P(_VI_RULES)
 
     def add_lexicon(self, lexicon: dict[str, str]) -> None:
         self.lexicon.update(lexicon)
 
+    def syllable_to_ipa(self, syllable: str) -> str:
+        raw = unicodedata.normalize("NFC", syllable.strip().lower())
+        if not raw:
+            return ""
+        body, tone = _vi_split_tone(raw)
+        onset, rime = _vi_parse_onset(body)
+        if not rime:
+            return ""
+        coda = ""
+        for cd in _VI_CODAS:
+            if len(rime) > len(cd) and rime.endswith(cd):
+                coda = cd
+                rime = rime[: -len(cd)]
+                break
+        nuc_orth = rime
+        nuc_ipa = _vi_nucleus_to_ipa(nuc_orth)
+        if not nuc_ipa and not onset and not coda:
+            return ""
+        if not coda:
+            rime_ipa = nuc_ipa
+        elif coda == "nh" and nuc_orth[:1] in _VI_A_PLAIN:
+            rime_ipa = "ɛŋ"
+        elif coda == "nh" and nuc_orth[:1] in _VI_E_CIRC:
+            rime_ipa = "eŋ"
+        elif coda == "ch" and nuc_orth[:1] in _VI_A_PLAIN:
+            rime_ipa = "ɛk"
+        else:
+            rime_ipa = nuc_ipa + _vi_coda_simple(coda, nuc_ipa)
+        base = onset + rime_ipa
+        if not base:
+            return ""
+        if tone == 5:
+            suf = (_VI_SAC_OBSTRUENT if coda in ("ch", "c", "k", "p", "t")
+                   else _VI_SAC_OPEN)
+        else:
+            suf = _VI_TONE_SUFFIX[tone]
+        if tone == 6 and (not coda or (coda == "ng"
+                                       and _vi_wants_labial(nuc_ipa))):
+            return base + suf + "ʔ"
+        return base + suf
+
     def word_to_ipa(self, word: str) -> str:
-        w = word.lower()
+        w = unicodedata.normalize("NFC", word.strip())
+        if not w:
+            return ""
+        lo = w.lower()
+        if lo in self.lexicon:
+            return self.lexicon[lo]
         if w in self.lexicon:
             return self.lexicon[w]
-        decomp = unicodedata.normalize("NFD", w)
-        tone = ""
-        kept = []
-        for ch in decomp:
-            if ch in _VI_TONES:
-                tone = _VI_TONES[ch]
-            else:
-                kept.append(ch)
-        base = unicodedata.normalize("NFC", "".join(kept))
-        seg = self._rules.word_to_ipa(base)
-        return seg + (tone or "˧") if seg else ""
+        if all(c.isascii() and (c.isalpha() or c in "-'") for c in w):
+            return lo
+        if "-" in w and not w.startswith("-"):
+            subs = [self.word_to_ipa(p) for p in w.split("-") if p]
+            return "-".join(s for s in subs if s)
+        return self.syllable_to_ipa(w)
 
 
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ FLOORS = {
     "ru": (0.19, 0.81),
     "tr": (0.76, 0.95),
     "uk": (0.33, 0.85),
-    "vi": (0.02, 0.61),
+    "vi": (0.97, 0.97),
 }
 
 
