@@ -36,67 +36,164 @@ from dataclasses import dataclass, field
 # Korean — algorithmic Hangul decomposition
 # ---------------------------------------------------------------------------
 
-_KO_LEADS = [
-    "k", "k͈", "n", "t", "t͈", "ɾ", "m", "p", "p͈", "s", "s͈", "", "tɕ",
-    "t͈ɕ", "tɕʰ", "kʰ", "tʰ", "pʰ", "h",
-]
-_KO_VOWELS = [
-    "a", "ɛ", "ja", "jɛ", "ʌ", "e", "jʌ", "je", "o", "wa", "wɛ", "ø",
-    "jo", "u", "wʌ", "we", "wi", "ju", "ɯ", "ɰi", "i",
-]
-_KO_TAILS = [
-    "", "k", "k", "k", "n", "n", "n", "t", "l", "k", "m", "l", "l", "l",
-    "p", "l", "m", "p", "p", "t", "t", "ŋ", "t", "t", "k", "t", "p", "t",
-]
-
-
 # Lead (choseong) indices: ㄱ0 ㄲ1 ㄴ2 ㄷ3 ㄸ4 ㄹ5 ㅁ6 ㅂ7 ㅃ8 ㅅ9 ㅆ10
 # ㅇ11 ㅈ12 ㅉ13 ㅊ14 ㅋ15 ㅌ16 ㅍ17 ㅎ18.
+# Symbol inventory matches the reference's Piper-vocoder conventions
+# (korean.cpp ipa_onset:291-374): tense stops carry a "-" fortis marker,
+# aspiration is ASCII h, ㄱ is ɡ word-initially / q elsewhere.
+_KO_ONSET = [
+    "ɡ", "q-", "n", "d", "t-", "ɾ", "m", "p", "p-", "s", "s-", "", "tɕ",
+    "tɕ", "tʃh", "kh", "th", "ph", "h",
+]
+# ㅏ is ɐ in ALL positions (the reference's final a→ɐ vocoder pass,
+# korean.cpp:676-679, applies inside glide diphthongs too).
+_KO_VOWELS = [
+    "ɐ", "ɛ", "jɐ", "jɛ", "ʌ", "e", "jʌ", "je", "o", "wɐ", "wɛ", "we",
+    "jo", "u", "wʌ", "we", "wi", "ju", "ɯ", "ɯj", "i",
+]
 _KO_LENIS_TO_TENSE = {0: 1, 3: 4, 7: 8, 9: 10, 12: 13}  # ㄱㄷㅂㅅㅈ → tense
-_KO_LENIS_TO_ASP = {0: 15, 3: 16, 7: 17, 12: 14}  # ㄱㄷㅂㅈ → ㅋㅌㅍㅊ
-_KO_LENIS_TO_VOICED = {0: "ɡ", 3: "d", 7: "b", 12: "dʑ"}
-# Tail (jongseong) index groups.  0 = none.  Compound codas group by
-# their PRONOUNCED final: ㄺ(9) sounds k (velar), ㄵ(5)/ㄶ(6) sound n,
-# ㄻ(10) sounds m, ㄼ(11)/ㄽ(12)/ㄾ(13)/ㅀ(15) sound l.
-_KO_TAIL_VELAR = {1, 2, 3, 9, 24}  # ㄱ ㄲ ㄳ ㄺ ㅋ
-_KO_TAIL_CORONAL = {7, 19, 20, 22, 23, 25, 27}  # ㄷ ㅅ ㅆ ㅈ ㅊ ㅌ ㅎ
-_KO_TAIL_LABIAL = {14, 17, 18, 26}  # ㄿ ㅂ ㅄ ㅍ
-# Sonorant-final codas voice a following lenis (reference
-# korean.cpp:175-181 is_sonorant_jong: ㄴ-type 4-6, ㄹ-clusters/ㅁ 8-16,
-# ㅇ 21); tensification triggers are the reference's
-# jong_triggers_tense list verbatim (korean.cpp:183-199 — note the
-# compound codas are deliberately NOT tense triggers there).
-_KO_TAIL_SONORANT = {0, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15, 16, 21}
-_KO_TAIL_OBSTRUENT = {1, 2, 3, 7, 17, 18, 19, 20, 22, 23, 24, 25, 26}
-# Coda → aspirated onset when followed by lead ㅎ (입학 → i-pʰak).
-_KO_TAIL_TO_ASP_LEAD = {1: 15, 7: 16, 17: 17, 22: 14}
-# ㅎ-bearing codas: the ㅎ merges into a following lenis onset
-# (aspirating it) and the coda reduces to its sonorant base —
-# ㅎ(27)→none, ㄶ(6)→ㄴ(4), ㅀ(15)→ㄹ(8).  (않다 → antʰa, 잃다 → iltʰa)
-_KO_TAIL_H_REDUCED = {27: 0, 6: 4, 15: 8}
+# ㅎ-aspiration of lenis onsets (after a ㅎ coda): korean.cpp:363-372.
+_KO_ASPIRATED = {0: "kh", 3: "th", 7: "ph", 12: "tʃh"}
+# Post-vowel / post-sonorant onset allophony (korean.cpp:472-486).
+_KO_POST_SONORANT = {12: "dʑ", 0: "q", 7: "b"}
+# Sonorant codas (korean.cpp is_sonorant_jong:175-181).
+_KO_TAIL_SONORANT = {4, 5, 6, 8, 9, 10, 11, 12, 13, 14, 15, 16, 21}
+# Tensification triggers (korean.cpp jong_triggers_tense:183-201).
+_KO_TENSE_TRIGGER = {1, 2, 3, 7, 17, 18, 19, 20, 22, 23, 24, 25, 26}
+# Linking: coda splits into (remaining coda, onset for the next empty-ㅇ
+# syllable) — korean.cpp jong_split_for_linking:114-171.
+_KO_LINK_SPLIT = {
+    1: (0, 0), 2: (0, 1), 3: (1, 9), 4: (0, 2), 5: (4, 12), 6: (4, 18),
+    7: (0, 3), 8: (0, 5), 9: (8, 0), 10: (8, 6), 11: (8, 7), 12: (8, 9),
+    13: (8, 16), 14: (8, 17), 15: (8, 18), 16: (0, 6), 17: (0, 7),
+    18: (17, 9), 19: (0, 9), 20: (0, 10), 22: (0, 12), 23: (0, 14),
+    24: (0, 15), 25: (0, 16), 26: (0, 17), 27: (0, 18),
+}
+
+
+def _ko_coda_simple(jong: int) -> str:
+    """Unreleased-coda rendering (korean.cpp ipa_coda_simple:389-423)."""
+    if jong == 0:
+        return ""
+    if jong in (1, 2, 3, 24):
+        return "q"
+    if jong in (7, 25, 19, 20, 22, 23, 27):
+        return "t-"
+    if jong in (17, 26, 18):
+        return "p-"
+    if jong in (4, 5, 6):
+        return "n"
+    if jong == 8 or 9 <= jong <= 15:
+        return "ɫ"
+    if jong == 16:
+        return "m"
+    if jong == 21:
+        return "ŋ"
+    return ""
+
+
+def _ko_coda_nasal(jong: int, next_cho: int) -> str:
+    """Nasal assimilation before ㄴ/ㅁ (korean.cpp:425-445)."""
+    if next_cho not in (2, 6):
+        return _ko_coda_simple(jong)
+    if jong in (1, 2, 3, 24, 9):
+        return "ŋ"
+    if jong in (7, 19, 20, 22, 23, 25, 27, 12, 13, 14, 15):
+        return "n"
+    if jong in (17, 18, 26, 11):
+        return "m"
+    return _ko_coda_simple(jong)
+
+
+_KO_SINO = ["영", "일", "이", "삼", "사", "오", "육", "칠", "팔", "구"]
+
+
+def _ko_section_under_10000(n: int) -> str:
+    if n <= 0 or n >= 10000:
+        return ""
+    q, r = divmod(n, 1000)
+    b, r2 = divmod(r, 100)
+    s, t = divmod(r2, 10)
+    parts = ""
+    if q:
+        parts += ("천" if q == 1 else _KO_SINO[q] + "천")
+    if b:
+        parts += ("백" if b == 1 else _KO_SINO[b] + "백")
+    if s == 0:
+        if t:
+            parts += _KO_SINO[t]
+    elif s == 1:
+        parts += "십" + (_KO_SINO[t] if t else "")
+    else:
+        parts += _KO_SINO[s] + "십" + (_KO_SINO[t] if t else "")
+    return parts
+
+
+def int_to_sino_korean_hangul(n: int) -> str:
+    """Sino-Korean cardinal reading (korean-numbers.cpp:147-186)."""
+    if n == 0:
+        return "영"
+    groups = []
+    x = n
+    while x > 0:
+        groups.append(x % 10000)
+        x //= 10000
+    groups.reverse()
+    units = ["", "만", "억", "조", "경"]
+    parts = ""
+    zero_pending = False
+    for i, g in enumerate(groups):
+        if g == 0:
+            if parts:
+                zero_pending = True
+            continue
+        if zero_pending:
+            parts += "영"
+            zero_pending = False
+        ui = len(groups) - 1 - i
+        u = units[min(ui, 4)]
+        if u == "만" and g == 1:
+            parts += "만"
+        else:
+            parts += _ko_section_under_10000(g) + u
+    return parts
+
+
+def ko_sino_speech_units(n: int) -> list[str]:
+    """Split n into natural speech units for mixed number+counter tokens
+    (korean.cpp sino_cardinal_speech_units:550-576): 1986년 →
+    천 / 구백 / 팔십육년."""
+    if n == 0:
+        return ["영"]
+    if n >= 100000000:
+        return [int_to_sino_korean_hangul(n)]
+    units: list[str] = []
+    if n >= 10000:
+        man = n // 10000
+        units.append(int_to_sino_korean_hangul(man * 10000))
+        n %= 10000
+        if n == 0:
+            return units
+    q, r = divmod(n, 1000)
+    b, r2 = divmod(r, 100)
+    if q:
+        units.append(int_to_sino_korean_hangul(q * 1000))
+    if b:
+        units.append(int_to_sino_korean_hangul(b * 100))
+    if r2:
+        units.append(int_to_sino_korean_hangul(r2))
+    return units
 
 
 class HangulG2P:
-    """Hangul → IPA with cross-syllable sandhi.
-
-    Per-syllable jamo decomposition is arithmetic; the pronunciation
-    rules the reference's korean engine applies between syllables
-    (reference: korean.cpp:425-530 — coda nasal assimilation, ㅎ-merger
-    aspiration, post-obstruent tensification, post-sonorant lenis
-    voicing) are implemented on the decomposed (lead, vowel, tail)
-    sequence before emission, in that order:
-
-    1. ㅎ-merger: coda ㅎ + lenis ㄱㄷㅂㅈ → aspirated onset, coda drops
-       (좋다 → tɕotʰa); lenis coda + onset ㅎ → aspirated onset
-       (입학 → ipʰak ... coda drops).
-    2. Nasal assimilation: obstruent coda before ㄴ/ㅁ takes its place's
-       nasal — velar→ŋ (국물 → kuŋmul), coronal→n (듣는 → tɯnnɯn),
-       labial→m (합니다 → hamnida).
-    3. Tensification: obstruent coda + lenis ㄱㄷㅂㅅㅈ → tense onset
-       (입구 → ipk͈u).
-    4. Lenis voicing: ㄱㄷㅂㅈ voice to ɡ/d/b/dʑ after a vowel or
-       sonorant coda (한국 → hanɡuk, 바다 → pada).
-    """
+    """Hangul → IPA mirroring the reference's korean.cpp rules path:
+    jamo decomposition, coda→onset linking across ㅇ, ㄴ/ㄹ
+    lateralization, per-syllable rendering with ㅎ-merger aspiration,
+    post-obstruent tensification, post-sonorant allophony (ㅈ→dʑ, ㄱ→q,
+    ㅂ→b), nasal-assimilated unreleased codas, and the Piper stress
+    convention (ˈ before the first nucleus, ˌ on even syllables of 3+
+    syllable words, glides precede the mark).  Numeral tokens expand
+    through the sino-Korean readings (korean-numbers.cpp)."""
 
     def __init__(self, lexicon: dict[str, str] | None = None):
         self.lexicon = dict(lexicon or {})
@@ -104,55 +201,121 @@ class HangulG2P:
     def add_lexicon(self, lexicon: dict[str, str]) -> None:
         self.lexicon.update(lexicon)
 
-    def word_to_ipa(self, word: str) -> str:
-        w = word.lower()
-        if w in self.lexicon:
-            return self.lexicon[w]
-        syls: list[list[int]] = []
-        for ch in word:
+    @staticmethod
+    def _decompose(text: str) -> list[list[int]]:
+        syls = []
+        for ch in unicodedata.normalize("NFC", text):
             code = ord(ch)
             if 0xAC00 <= code <= 0xD7A3:
                 idx = code - 0xAC00
-                syls.append(
-                    [idx // (21 * 28), (idx % (21 * 28)) // 28, idx % 28]
-                )
-        # -- sandhi on the jamo sequence (pairwise, left to right) --
-        tails_ipa: dict[int, str] = {}
+                syls.append([idx // (21 * 28), (idx % (21 * 28)) // 28,
+                             idx % 28])
+        return syls
+
+    @staticmethod
+    def _link(syls: list[list[int]]) -> None:
         for i in range(len(syls) - 1):
             cur, nxt = syls[i], syls[i + 1]
-            # 1. ㅎ-merger aspiration (incl. compound ㄶ/ㅀ codas, whose
-            # ㅎ merges while the sonorant base stays: 않다 → antʰa).
-            if cur[2] in _KO_TAIL_H_REDUCED and nxt[0] in _KO_LENIS_TO_ASP:
-                cur[2] = _KO_TAIL_H_REDUCED[cur[2]]
-                nxt[0] = _KO_LENIS_TO_ASP[nxt[0]]
-            elif nxt[0] == 18 and cur[2] in _KO_TAIL_TO_ASP_LEAD:
-                nxt[0] = _KO_TAIL_TO_ASP_LEAD[cur[2]]
-                cur[2] = 0
-            # 2. Nasal assimilation before ㄴ/ㅁ.
-            if nxt[0] in (2, 6):
-                if cur[2] in _KO_TAIL_VELAR:
-                    tails_ipa[i] = "ŋ"
-                elif cur[2] in _KO_TAIL_CORONAL:
-                    tails_ipa[i] = "n"
-                elif cur[2] in _KO_TAIL_LABIAL:
-                    tails_ipa[i] = "m"
-            # 3. Tensification after an obstruent coda.
-            elif cur[2] in _KO_TAIL_OBSTRUENT and nxt[0] in _KO_LENIS_TO_TENSE:
-                nxt[0] = _KO_LENIS_TO_TENSE[nxt[0]]
-        out: list[str] = []
-        for i, (lead, vowel, tail) in enumerate(syls):
-            # 4. Lenis voicing after a vowel or sonorant coda.
-            if (
-                i > 0
-                and lead in _KO_LENIS_TO_VOICED
-                and syls[i - 1][2] in _KO_TAIL_SONORANT
-            ):
-                lead_ipa = _KO_LENIS_TO_VOICED[lead]
+            if cur[2] in (0, 21) or nxt[0] != 11:
+                continue
+            spec = _KO_LINK_SPLIT.get(cur[2])
+            if spec is None:
+                continue
+            cur[2], nxt[0] = spec
+
+    @staticmethod
+    def _lateralize(syls: list[list[int]]) -> None:
+        for i in range(len(syls) - 1):
+            if syls[i][2] == 4 and syls[i + 1][0] == 5:
+                syls[i][2] = 8
+            if syls[i][2] == 8 and syls[i + 1][0] == 5:
+                syls[i + 1][0] = 11
+
+    @staticmethod
+    def _render(syls: list[list[int]]) -> str:
+        out = []
+        n = len(syls)
+        for i, (cho, jung, jong) in enumerate(syls):
+            prev = syls[i - 1] if i > 0 else None
+            nxt = syls[i + 1] if i + 1 < n else None
+            onset = ""
+            if cho != 11:
+                after_h = prev is not None and prev[2] == 27 and cho in (
+                    0, 3, 7, 12)
+                tense_after = (prev is not None
+                               and prev[2] in _KO_TENSE_TRIGGER
+                               and cho in (0, 3, 7, 9, 12))
+                if after_h:
+                    onset = _KO_ASPIRATED[cho]
+                elif tense_after:
+                    onset = _KO_ONSET[_KO_LENIS_TO_TENSE.get(cho, cho)]
+                elif prev is not None and (prev[2] == 0
+                                           or prev[2] in _KO_TAIL_SONORANT):
+                    onset = _KO_POST_SONORANT.get(cho, _KO_ONSET[cho])
+                else:
+                    onset = _KO_ONSET[cho]
+            nucleus = _KO_VOWELS[jung]
+            stress = ""
+            if i == 0:
+                stress = "ˈ"
+            elif i % 2 == 0 and n >= 3:
+                stress = "ˌ"
+            coda = ""
+            if jong != 0:
+                h_lost = (nxt is not None and jong == 27
+                          and nxt[0] in (0, 3, 7, 12))
+                if h_lost:
+                    coda = ""
+                elif nxt is not None and nxt[0] in (2, 6):
+                    coda = _ko_coda_nasal(jong, nxt[0])
+                else:
+                    coda = _ko_coda_simple(jong)
+            if stress and nucleus[0] in "wj" and len(nucleus) > 1:
+                out.append(onset + nucleus[0] + stress + nucleus[1:] + coda)
             else:
-                lead_ipa = _KO_LEADS[lead]
-            tail_ipa = tails_ipa.get(i, _KO_TAILS[tail])
-            out.append(lead_ipa + _KO_VOWELS[vowel] + tail_ipa)
+                out.append(onset + stress + nucleus + coda)
         return "".join(out)
+
+    def hangul_to_ipa(self, hangul: str) -> str:
+        syls = self._decompose(hangul)
+        if not syls:
+            return ""
+        self._link(syls)
+        self._lateralize(syls)
+        return self._render(syls)
+
+    @staticmethod
+    def _extract_hangul(s: str) -> str:
+        return "".join(ch for ch in s if 0xAC00 <= ord(ch) <= 0xD7A3)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = unicodedata.normalize("NFC", word.strip())
+        if not w:
+            return ""
+        if w in self.lexicon:
+            return self.lexicon[w]
+        # Numeral (and numeral+counter) tokens through the sino readings,
+        # mirroring korean.cpp text_to_ipa:912-1001.
+        m = re.match(r"^(\d[\d,_]*)(.*)$", w)
+        if m:
+            digits = m.group(1).replace(",", "").replace("_", "")
+            tail = self._extract_hangul(m.group(2))
+            if digits.isdigit():
+                if not m.group(2):
+                    return self.hangul_to_ipa(
+                        int_to_sino_korean_hangul(int(digits)))
+                if tail:
+                    units = ko_sino_speech_units(int(digits))
+                    units[-1] += tail
+                    return " ".join(
+                        p for p in (self.hangul_to_ipa(u) for u in units)
+                        if p)
+        h = self._extract_hangul(w)
+        if not h:
+            return ""
+        if h in self.lexicon:
+            return self.lexicon[h]
+        return self.hangul_to_ipa(h)
 
 
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ FLOORS = {
     "hi": (0.97, 0.99),
     "it": (0.63, 0.93),
     "ja": (0.04, 0.52),
-    "ko": (0.08, 0.69),
+    "ko": (0.97, 0.99),
     "nl": (0.61, 0.91),
     "pt_br": (0.11, 0.68),
     "pt_pt": (0.21, 0.74),
