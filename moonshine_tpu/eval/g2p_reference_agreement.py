@@ -41,8 +41,8 @@ DIALECT_TO_LANG = {
     "it": "it",
     "ru": "ru",
     "uk": "uk",
-    "pt_br": "pt",
-    "pt_pt": "pt",
+    "pt_br": "pt_br",
+    "pt_pt": "pt_pt",
     "tr": "tr",
     "ko": "ko",
     "vi": "vi",

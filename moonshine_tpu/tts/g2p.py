@@ -481,7 +481,9 @@ _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "fr": lambda: RuleG2P(_FR_RULES, _fr_lexicon()),
     "de": lambda: RuleG2P(_DE_RULES),
     "it": lambda: RuleG2P(_IT_RULES),
-    "pt": lambda: RuleG2P(_PT_RULES),
+    "pt": lambda: __import__(
+        "moonshine_tpu.tts.lang_rules", fromlist=["PortugueseG2P"]
+    ).PortugueseG2P(is_portugal=False),
     # The reference's remaining ten languages (reference:
     # core/moonshine-tts/src/lang-specific/) — rules in tts/lang_rules.py.
     **{k: _lang_engine(k) for k in ("ru", "uk", "tr", "nl", "vi", "hi", "ar", "ja", "ko", "zh")},
@@ -491,6 +493,11 @@ SUPPORTED_LANGUAGES = tuple(sorted(_ENGINES))
 
 
 def _make_engine(language: str) -> RuleG2P:
+    norm = language.lower().replace("-", "_")
+    if norm in ("pt_pt", "pt_portugal"):
+        from .lang_rules import PortugueseG2P
+
+        return PortugueseG2P(is_portugal=True)
     factory = _ENGINES.get(language.split("_")[0].split("-")[0])
     if factory is None:
         raise ValueError(

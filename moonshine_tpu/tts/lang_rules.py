@@ -1387,3 +1387,649 @@ def french_liaison_consonant(word: str, next_word: str) -> str | None:
     if nxt[0] == "h" and nxt not in _FR_H_ASPIRE:
         return cons
     return None
+
+
+# ---------------------------------------------------------------------------
+# Portuguese — syllable-based engine mirroring the reference's
+# portuguese-rules.cpp / portuguese.cpp (pt-BR and pt-PT dialects)
+# ---------------------------------------------------------------------------
+
+_PT_ACCENT_BASE = {"à": "a", "á": "a", "â": "a", "ã": "a", "é": "e",
+                   "ê": "e", "í": "i", "ó": "o", "ô": "o", "õ": "o",
+                   "ú": "u", "ü": "u", "ý": "y"}
+_PT_VOWELS = set("aeiouàáâãéêíóôõúüý")
+_PT_ACCENTED = set("áàâéêíóôú")
+_PT_ONSET2 = {"bl", "br", "cl", "cr", "dr", "fl", "fr", "gl", "gr", "pl",
+              "pr", "tr", "ch"}
+_PT_ALLOWED = set("abcdefghijklmnopqrstuvwxyz-àáâãçéêíóôõúüý")
+
+# Irregular whole-word IPA (portuguese-rules.cpp kXExc / sc_straddle).
+_PT_X_EXC = {
+    "táxi": "ˈtaksi", "taxi": "ˈtaksi", "máximo": "ˈmaksimu",
+    "fênix": "ˈfɛniks", "fénix": "ˈfɛniks",
+}
+_PT_SC_STRADDLE = {
+    "escola": "ɪskˈɔlɐ", "piscina": "piʃˈkinɐ", "descer": "dɪʃˈseɾ",
+}
+_PT_FINAL_S_EXCLUDE = {
+    "anís", "bônus", "cais", "caos", "cosmos", "francês", "fénix",
+    "inglês", "lápis", "mês", "país", "português", "três", "tórax",
+    "vírus",
+}
+
+# Function words (portuguese-rules.cpp fw_br/fw_pt).
+_PT_FW_BR = {
+    "a": "ɐ", "o": "u", "os": "ʊs", "as": "ɐs", "e": "i", "ou": "ow",
+    "em": "ɐ̃j̃", "no": "nʊ", "na": "nɐ", "nos": "nʊs", "nas": "nɐs",
+    "de": "dʒɪ", "do": "dʊ", "da": "dɐ", "dos": "dʊs", "das": "dɐs",
+    "dum": "dũ", "duma": "ˈdumɐ", "num": "nũ", "numa": "ˈnumɐ",
+    "pelo": "ˈpɛlʊ", "pela": "ˈpɛlɐ", "pelos": "ˈpɛlʊs",
+    "pelas": "ˈpɛlɐs", "com": "kõ", "sem": "sɐ̃j̃", "por": "poɾ",
+    "para": "ˈpaɾɐ", "que": "ki", "não": "ˈnɐ̃w̃", "um": "ũ",
+    "uma": "ˈumɐ", "uns": "ũs", "umas": "ˈumɐs", "ao": "aw",
+    "aos": "awʃ", "à": "a", "às": "ɐʃ",
+}
+_PT_FW_PT = {
+    "a": "ɐ", "o": "u", "os": "uʃ", "as": "ɐʃ", "e": "ɨ", "ou": "ow",
+    "em": "ɐ̃j̃", "no": "nu", "na": "nɐ", "nos": "nuʃ", "nas": "nɐʃ",
+    "de": "dɨ", "do": "du", "da": "dɐ", "dos": "duʃ", "das": "dɐʃ",
+    "dum": "dũ", "duma": "ˈdumɐ", "num": "nũ", "numa": "ˈnumɐ",
+    "pelo": "ˈpɛlu", "pela": "ˈpɛlɐ", "pelos": "ˈpɛluʃ",
+    "pelas": "ˈpɛlɐʃ", "com": "kõ", "sem": "sɐ̃j̃", "por": "puɾ",
+    "para": "ˈpɐɾɐ", "que": "kɨ", "não": "ˈnɐ̃w̃", "um": "ũ",
+    "uma": "ˈumɐ", "uns": "ũʃ", "umas": "ˈumɐʃ", "ao": "aw",
+    "aos": "awʃ", "à": "a", "às": "aʃ",
+}
+
+# Roman-numeral cardinals (portuguese-rules.cpp kCard; generated data).
+_PT_ROMAN_CARD = {
+    1: "ˈũ", 2: "ˈdɔjs", 3: "ˈtɾɛjs", 4: "ˈkwatɾʊ", 5: "ˈsĩkʊ",
+    6: "ˈsejs", 7: "ˈsɛtʃi", 8: "ˈɔjtʊ", 9: "ˈnɔvi", 10: "ˈdɛjs",
+    11: "ˈɔ̃zi", 12: "ˈdɔzi", 13: "ˈtɾɛzi", 14: "kaɪˈɔɾzi", 15: "ˈkĩzi",
+    16: "dɛˈzesejs", 17: "dɛˈzesɛtʃi", 18: "dɛˈzejzj", 19: "dɛzenˈɔvi",
+    20: "ˈvĩtʃi", 21: "vĩˈtʃiˈeũ", 30: "ˈtɾĩtʃi", 40: "kwɐˈɾẽtɐ",
+    50: "ˈsĩkwẽtɐ", 60: "ˈsessẽtʃi", 70: "sɛˈtẽtʃi", 80: "ˈojtẽtʃi",
+    90: "ˈnɔvẽtʃi", 100: "ˈsẽtʃi",
+}
+
+# Number words (portuguese.cpp:109-250).
+_PT_DIG = ["zero", "um", "dois", "três", "quatro", "cinco", "seis",
+           "sete", "oito", "nove"]
+_PT_TENS = ["", "", "vinte", "trinta", "quarenta", "cinquenta",
+            "sessenta", "setenta", "oitenta", "noventa"]
+_PT_HUNDREDS = ["", "", "duzentos", "trezentos", "quatrocentos",
+                "quinhentos", "seiscentos", "setecentos", "oitocentos",
+                "novecentos"]
+_PT_TEENS_BR = {11: "onze", 12: "doze", 13: "treze", 14: "catorze",
+                15: "quinze", 16: "dezesseis", 17: "dezessete",
+                18: "dezoito", 19: "dezenove"}
+_PT_TEENS_PT = {**_PT_TEENS_BR, 16: "dezasseis", 17: "dezassete",
+                19: "dezanove"}
+
+# IPA nucleus prefixes for the vocoder stress move (german.cpp:389-402,
+# shared across the Latin engines).
+_IPA_NUCLEI = [
+    "aɪ̯", "aʊ̯", "ɔʏ̯", "ɛɪ̯", "iː", "eː", "aː", "oː", "uː", "yː",
+    "øː", "ŋ̩", "n̩", "m̩", "l̩", "r̩", "ə", "ɛ", "ɜ", "ɪ",
+    "ʊ", "ɐ̯", "ɐ", "ɨ", "ɵ", "ø", "œ", "ʏ", "y", "ɔ",
+    "ɑ", "æ", "a", "i", "e", "o", "u",
+]
+_IPA_PRE_NUCLEUS_UNITS = ["t͡s", "p͡f", "d͡ʒ", "t͡ʃ", "tʃ", "ts"]
+
+
+def move_stress_to_nucleus(ipa: str) -> str:
+    """Move each ˈ/ˌ forward past pre-nucleus consonants so it sits
+    directly before the syllable nucleus (the reference's vocoder stress
+    convention, german.cpp normalize_ipa_stress_for_vocoder)."""
+    if "ˈ" not in ipa and "ˌ" not in ipa:
+        return ipa
+    out = []
+    i = 0
+    n = len(ipa)
+    while i < n:
+        ch = ipa[i]
+        if ch not in "ˈˌ":
+            out.append(ch)
+            i += 1
+            continue
+        mark = ch
+        j = i + 1
+        while j < n and ipa[j] not in "ˈˌ":
+            rest = ipa[j:]
+            if any(rest.startswith(p) for p in _IPA_NUCLEI):
+                break
+            for u in _IPA_PRE_NUCLEUS_UNITS:
+                if rest.startswith(u):
+                    j += len(u)
+                    break
+            else:
+                j += 1
+        out.append(ipa[i + 1:j])
+        out.append(mark)
+        i = j
+    return "".join(out)
+
+
+def _pt_under_100(n: int, is_pt: bool) -> list[str]:
+    if n < 10:
+        return [_PT_DIG[n]]
+    if n == 10:
+        return ["dez"]
+    if n < 20:
+        return [(_PT_TEENS_PT if is_pt else _PT_TEENS_BR)[n]]
+    t, u = divmod(n, 10)
+    if u == 0:
+        return [_PT_TENS[t]]
+    return [_PT_TENS[t], "e", _PT_DIG[u]]
+
+
+def _pt_below_1000(n: int, is_pt: bool) -> list[str]:
+    if n < 100:
+        return _pt_under_100(n, is_pt)
+    h, r = divmod(n, 100)
+    if h == 1:
+        if r == 0:
+            return ["cem"]
+        return ["cento", "e"] + _pt_under_100(r, is_pt)
+    out = [_PT_HUNDREDS[h]]
+    if r:
+        out += ["e"] + _pt_under_100(r, is_pt)
+    return out
+
+
+def pt_cardinal_words(s: str, is_pt: bool) -> str:
+    """Digit string -> Portuguese words (portuguese.cpp:252-287)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_PT_DIG[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "zero"
+    if n < 1000:
+        return " ".join(_pt_below_1000(n, is_pt))
+    q, r = divmod(n, 1000)
+    parts = (["mil"] if q == 1 else _pt_below_1000(q, is_pt) + ["mil"])
+    if r:
+        parts += ["e"] + _pt_below_1000(r, is_pt)
+    return " ".join(parts)
+
+
+def _pt_roman_to_int(s: str) -> int | None:
+    s = s.upper()
+    vals = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+    if not s or any(c not in vals for c in s):
+        return None
+    total, i = 0, 0
+    while i < len(s):
+        v = vals[s[i]]
+        if i + 1 < len(s) and vals[s[i + 1]] > v:
+            total += vals[s[i + 1]] - v
+            i += 2
+        else:
+            total += v
+            i += 1
+    return total if 0 < total < 4000 else None
+
+
+def _pt_lower(s: str) -> str:
+    return s.lower()
+
+
+def _pt_is_vowel(c: str) -> bool:
+    return c in _PT_VOWELS
+
+
+def _pt_should_hiatus(a: str, b: str) -> bool:
+    al, bl = a.lower(), b.lower()
+    if al in "íúý" or bl in "íúý":
+        return True
+    ba = _PT_ACCENT_BASE.get(al, al)
+    bb = _PT_ACCENT_BASE.get(bl, bl)
+    if ba == bb:
+        return True
+    if al in "ãõ" or bl in "ãõ":
+        return (ba in "aeo") and (bb in "aeo")
+    sa, sb = ba in "aeo", bb in "aeo"
+    if sa and sb:
+        if al in "áéóâêô" or bl in "áéóâêô":
+            return True
+        if (ba, bb) in (("a", "e"), ("e", "a")):
+            return False
+        return True
+    return False
+
+
+def _pt_nucleus_spans(w: str) -> list[tuple[int, int]]:
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        if not _pt_is_vowel(w[i]):
+            i += 1
+            continue
+        if w[i] == "ã" and i + 1 < n and w[i + 1] in "oe":
+            out.append((i, i + 2))
+            i += 2
+            continue
+        if i + 1 < n and _pt_is_vowel(w[i + 1]):
+            if _pt_should_hiatus(w[i], w[i + 1]):
+                out.append((i, i + 1))
+                i += 1
+            else:
+                out.append((i, i + 2))
+                i += 2
+        else:
+            out.append((i, i + 1))
+            i += 1
+    return out
+
+
+def _pt_split_cluster(cluster: str) -> tuple[str, str]:
+    if not cluster:
+        return "", ""
+    if cluster == "rr":
+        return "", "rr"
+    n = len(cluster)
+    if n >= 2 and cluster[-2:] in ("lh", "nh"):
+        return cluster[:-2], cluster[-2:]
+    if n >= 2 and cluster[-2:] in _PT_ONSET2:
+        return cluster[:-2], cluster[-2:]
+    return cluster[:-1], cluster[-1:]
+
+
+def pt_syllables(w: str) -> list[str]:
+    if not w:
+        return []
+    if "-" in w:
+        out = []
+        for chunk in w.split("-"):
+            if chunk:
+                out.extend(pt_syllables(chunk))
+        return out
+    spans = _pt_nucleus_spans(w)
+    if not spans:
+        return [w]
+    syls = []
+    cur = w[: spans[0][0]]
+    for idx, (s, e) in enumerate(spans):
+        cur += w[s:e]
+        if idx + 1 < len(spans):
+            cluster = w[e: spans[idx + 1][0]]
+            coda, onset = _pt_split_cluster(cluster)
+            syls.append(cur + coda)
+            cur = onset
+        else:
+            syls.append(cur + w[e:])
+    return [s for s in syls if s]
+
+
+def _pt_stress_index(syls: list[str], w: str) -> int:
+    if not syls:
+        return 0
+    for i, s in enumerate(syls):
+        if any(c in _PT_ACCENTED for c in s):
+            return i
+    n = len(syls)
+    if n == 1:
+        return 0
+    if w.endswith(("ões", "ãos", "ão", "ã", "ãs")):
+        return n - 1
+    if not w:
+        return 0
+    last = w[-1]
+    if last == "s" and len(w) >= 2 and w[-2] in "aeiouáéíóúãõâêô":
+        return n - 2 if n >= 2 else 0
+    if last in "aeoáéó":
+        return n - 2 if n >= 2 else 0
+    if w.endswith(("em", "ens", "am")):
+        return n - 2 if n >= 2 else 0
+    if last in "iuíú":
+        return n - 1
+    if last in "rlzx":
+        return n - 1
+    if last == "n" and not w.endswith("em"):
+        return n - 1
+    return n - 2 if n >= 2 else 0
+
+
+_PT_IPA_VOWEL_SET = set("aeiouɛɔɐɪʊɨəæ")
+
+
+def _pt_insert_stress(ipa: str) -> str:
+    ipa = ipa.replace("ˈ", "").replace("ˌ", "")
+    for i, ch in enumerate(ipa):
+        if ch in _PT_IPA_VOWEL_SET:
+            return ipa[:i] + "ˈ" + ipa[i:]
+    return "ˈ" + ipa
+
+
+def _pt_prev_global_vowel(w: str, gidx: int) -> bool:
+    if gidx == 0:
+        return False
+    j = gidx - 1
+    while True:
+        if _pt_is_vowel(w[j]):
+            return True
+        if w[j] == "-" or j == 0:
+            return False
+        j -= 1
+
+
+def _pt_next_global_vowel(w: str, gidx: int) -> bool:
+    j = gidx + 1
+    while j < len(w):
+        if _pt_is_vowel(w[j]):
+            return True
+        if w[j] == "-":
+            return False
+        j += 1
+    return False
+
+
+def _pt_syllable_ipa(s: str, is_pt: bool, full_word: str, span_start: int,
+                     stressed: bool) -> str:
+    def unstressed_vowel(base: str) -> str:
+        if stressed:
+            return base
+        if is_pt:
+            return {"a": "ɐ", "e": "ɨ", "i": "i", "o": "u", "u": "u"}.get(
+                base, base)
+        return {"a": "ɐ", "e": "ɪ", "i": "i", "o": "ʊ", "u": "u"}.get(
+            base, base)
+
+    def map_vowel(ch: str) -> str:
+        cl = ch.lower()
+        if cl in "àáâ":
+            return "a"
+        if cl in "éê":
+            return "ɛ"
+        if cl == "í":
+            return "i"
+        if cl in "óô":
+            return "ɔ"
+        if cl == "ú":
+            return "u"
+        if cl == "ã":
+            return "ɐ̃"
+        if cl == "õ":
+            return "õ"
+        if cl == "a":
+            return "a" if stressed else unstressed_vowel("a")
+        if cl == "e":
+            if stressed and "ê" in s:
+                return "ɛ"
+            return "e" if stressed else unstressed_vowel("e")
+        if cl == "i":
+            return unstressed_vowel("i")
+        if cl == "o":
+            if stressed and "ô" in s:
+                return "ɔ"
+            return "o" if stressed else unstressed_vowel("o")
+        if cl == "u":
+            return unstressed_vowel("u")
+        if cl == "ü":
+            return "w"
+        if cl in "ýy":
+            return "i"
+        return ""
+
+    n = len(s)
+    i = 0
+    out = []
+    while i < n:
+        if s[i] == "-":
+            i += 1
+            continue
+        gi = span_start + i
+        if s[i] == "ã" and i + 1 < n and s[i + 1] == "o":
+            out.append("ɐ̃w̃")
+            i += 2
+            continue
+        if s[i] == "ã" and i + 1 < n and s[i + 1] == "e":
+            out.append("ɐ̃j̃")
+            i += 2
+            continue
+        two = s[i:i + 2]
+        if two == "ch":
+            out.append("ʃ")
+            i += 2
+            continue
+        if two == "nh":
+            out.append("ɲ")
+            i += 2
+            continue
+        if two == "lh":
+            out.append("ʎ")
+            i += 2
+            continue
+        if two == "rr":
+            out.append("ʁ")
+            i += 2
+            continue
+        if two == "qu" and i + 2 < n and s[i + 2].lower() in "eéêií":
+            out.append("k")
+            i += 2
+            continue
+        if two == "gu" and i + 2 < n and s[i + 2].lower() in "eéêií":
+            out.append("ɡ")
+            i += 2
+            continue
+        if two == "qu":
+            out.append("kw")
+            i += 2
+            continue
+        if two == "ss":
+            out.append("s")
+            i += 2
+            continue
+        if s[i] == "ç":
+            out.append("s")
+            i += 1
+            continue
+        if s[i] == "c" and i > 0 and s[i - 1] == "s" and i + 1 < n:
+            v = s[i + 1].lower()
+            if v in "aáâeéêiíoóôuúãõ":
+                out.append("ʃ" if v in "eéêií" else "sk")
+                i += 1
+                continue
+        if s[i] == "c" and i + 1 < n and s[i + 1].lower() in "eéêií":
+            out.append("s")
+            i += 1
+            continue
+        if s[i] == "c":
+            out.append("k")
+            i += 1
+            continue
+        if s[i] == "g" and i + 1 < n and s[i + 1].lower() in "eéêií":
+            out.append("ʒ")
+            i += 1
+            continue
+        if s[i] == "g":
+            out.append("ɡ")
+            i += 1
+            continue
+        if s[i] == "x":
+            if gi == 0 and i + 1 < n and s[i + 1].lower() in "eéií":
+                out.append("ʒ")
+                i += 2
+                continue
+            pv = _pt_prev_global_vowel(full_word, gi)
+            nv = _pt_next_global_vowel(full_word, gi + 1)
+            out.append(("ʃ" if is_pt else "ʒ") if (pv and nv) else "ks")
+            i += 1
+            continue
+        if s[i] == "h":
+            i += 1
+            continue
+        if s[i] == "s":
+            pv = gi > 0 and _pt_prev_global_vowel(full_word, gi - 1)
+            nv = i + 1 < n and _pt_next_global_vowel(full_word, gi + 1)
+            out.append(("ʒ" if is_pt else "z") if (pv and nv) else "s")
+            i += 1
+            continue
+        if s[i] == "z":
+            out.append("z")
+            i += 1
+            continue
+        if s[i] == "j":
+            out.append("ʒ")
+            i += 1
+            continue
+        if s[i] in "wW":
+            out.append("w")
+            i += 1
+            continue
+        if s[i] == "r":
+            at_word = gi == 0
+            prev_ch = full_word[gi - 1] if gi > 0 else ""
+            after_cons = (gi > 0 and not _pt_is_vowel(prev_ch)
+                          and prev_ch != "'")
+            if at_word or after_cons or (i + 1 < n and s[i + 1] == "r"):
+                out.append("ʁ")
+            else:
+                out.append("ɾ")
+            i += 1
+            continue
+        ch = s[i]
+        if _pt_is_vowel(ch):
+            if (i + 1 < n and _pt_is_vowel(s[i + 1])
+                    and not _pt_should_hiatus(ch, s[i + 1])):
+                a = ch.lower()
+                b = s[i + 1].lower()
+                pair = None
+                if a in "aàáâ" and b in "ií":
+                    pair = "aj"
+                elif a in "aàáâ" and b in "uú":
+                    pair = "aw"
+                elif a in "eéê" and b in "ií":
+                    pair = "ej"
+                elif a in "oóô" and b in "ií":
+                    pair = "oj"
+                elif a in "eéê" and b in "uú":
+                    pair = "ew"
+                elif a in "oóô" and b in "uú":
+                    pair = "ow"
+                if pair:
+                    out.append(pair)
+                    i += 2
+                    continue
+            seg = map_vowel(ch)
+            if seg:
+                out.append(seg)
+            i += 1
+            continue
+        cl = ch.lower()
+        if cl in "bdflmnptvk":
+            out.append(cl)
+        i += 1
+    return "".join(out)
+
+
+def _pt_rules_word_single(wl: str, is_pt: bool, with_stress: bool = True) -> str:
+    syls = pt_syllables(wl)
+    if not syls:
+        return ""
+    stress_idx = _pt_stress_index(syls, wl) if with_stress else -1
+    offset = 0
+    parts = []
+    for idx, sy in enumerate(syls):
+        chunk = _pt_syllable_ipa(sy, is_pt, wl, offset,
+                                 with_stress and idx == stress_idx)
+        if with_stress and idx == stress_idx and chunk:
+            chunk = _pt_insert_stress(chunk)
+        parts.append(chunk)
+        offset += len(sy)
+    return "".join(parts)
+
+
+def _pt_final_s_to_esh(ipa: str, key: str) -> str:
+    """pt-PT plural-final s -> esh (portuguese-rules.cpp:1026-1069)."""
+    if not ipa or len(key) < 4 or not key.endswith("s"):
+        return ipa
+    if key.endswith("ss") or key in _PT_FINAL_S_EXCLUDE:
+        return ipa
+    if key.endswith(("ês", "ás", "ís", "ús")):
+        return ipa
+    if not key.endswith(("as", "os", "es")):
+        return ipa
+    if key[-2] not in "aeiouàáâãéêíóôõúü":
+        return ipa
+    if not ipa.endswith("s"):
+        return ipa
+    return ipa[:-1] + "ʃ"
+
+
+class PortugueseG2P:
+    """pt-BR / pt-PT G2P mirroring the reference's rules engine:
+    orthographic syllabification, accent/termination stress with the
+    stress mark on the nucleus, vowel reduction per dialect, function-
+    word forms, digit expansion with the reference's wording
+    ("mil e oitocentos"), Roman-numeral cardinals, and the pt-PT plural
+    final-s -> esh pass (portuguese-rules.cpp + portuguese.cpp)."""
+
+    def __init__(self, is_portugal: bool = False,
+                 lexicon: dict[str, str] | None = None):
+        self.is_portugal = is_portugal
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    @staticmethod
+    def _key(word: str) -> str:
+        out = []
+        for ch in word:
+            if ch == "’":
+                ch = "'"
+            cl = ch.lower()
+            if cl in _PT_ALLOWED or cl == "'":
+                out.append(cl)
+        return "".join(out)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = pt_cardinal_words(w, self.is_portugal)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        key = self._key(w)
+        if not key:
+            return ""
+        if "-" not in key and "'" not in key:
+            rn = _pt_roman_to_int(key)
+            if rn is not None and rn in _PT_ROMAN_CARD:
+                ipa = _PT_ROMAN_CARD[rn]
+                if self.is_portugal:
+                    ipa = ipa.replace("ˈvĩtʃi", "ˈvĩtʃɨ")
+                return ipa
+        if key in self.lexicon:
+            return self.lexicon[key]
+        if key in _PT_X_EXC:
+            return _PT_X_EXC[key]
+        if key in _PT_SC_STRADDLE:
+            return _PT_SC_STRADDLE[key]
+        fw = _PT_FW_PT if self.is_portugal else _PT_FW_BR
+        if key in fw:
+            return move_stress_to_nucleus(fw[key])
+        wl = "".join(c for c in key if c in _PT_ALLOWED)
+        if "-" in wl:
+            chunks = [c for c in wl.split("-") if c]
+            if len(chunks) > 1:
+                ipa = "-".join(
+                    _pt_rules_word_single(c, self.is_portugal)
+                    for c in chunks)
+            else:
+                ipa = _pt_rules_word_single(chunks[0] if chunks else "",
+                                            self.is_portugal)
+        else:
+            ipa = _pt_rules_word_single(wl, self.is_portugal)
+        if self.is_portugal and key not in _PT_SC_STRADDLE:
+            ipa = _pt_final_s_to_esh(ipa, key)
+        return ipa

@@ -129,10 +129,12 @@ def normalize_text(text: str, language: str = "en") -> str:
     core/moonshine-tts/src/lang-specific/, e.g. chinese-numbers.cpp).
     """
     lang = language.split("_")[0].split("-")[0].lower()
-    if lang == "ko":
-        # Korean numerals stay as digits: the Hangul engine expands them
-        # itself so counters stay attached to the last speech unit
-        # (1986년 → 천 / 구백 / 팔십육년, reference korean.cpp:926-1001).
+    if lang in ("ko", "pt"):
+        # These engines expand numerals themselves with the reference's
+        # exact wording: Korean attaches counters to the last sino speech
+        # unit (1986년 → 천 / 구백 / 팔십육년, korean.cpp:926-1001);
+        # Portuguese uses the reference's "mil e oitocentos" phrasing
+        # (portuguese.cpp:228-250).
         return re.sub(r"\s+", " ", text).strip()
     if lang != "en":
         from .number_words import PERCENT, number_to_words_lang

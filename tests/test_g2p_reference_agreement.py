@@ -27,8 +27,8 @@ FLOORS = {
     "ja": (0.04, 0.52),
     "ko": (0.97, 0.99),
     "nl": (0.61, 0.91),
-    "pt_br": (0.11, 0.68),
-    "pt_pt": (0.21, 0.74),
+    "pt_br": (0.97, 0.99),
+    "pt_pt": (0.97, 0.99),
     "ru": (0.19, 0.81),
     "tr": (0.76, 0.95),
     "uk": (0.33, 0.85),

@@ -209,7 +209,7 @@ def test_facade_speed_option():
         ("de", "schiff", "ʃɪff"),
         ("it", "ciao", "tʃao"),
         ("it", "gnocchi", "ɲokki"),
-        ("pt", "chave", "ʃavi"),  # final-e reduction (pt_br)
+        ("pt", "chave", "ʃˈavɪ"),  # final-e reduction (pt_br)
     ],
 )
 def test_g2p_more_languages(lang, word, expected):
