@@ -150,6 +150,10 @@ def test_server_full_rejects():
             async with websockets.connect(uri) as ws1:
                 await ws1.send(json.dumps({"type": "start"}))
                 async with websockets.connect(uri) as ws2:
+                    # Mode select happens on the first message (RPC calls
+                    # don't consume stream slots), so the full rejection
+                    # arrives after the client declares streaming intent.
+                    await ws2.send(json.dumps({"type": "start"}))
                     msg = json.loads(await asyncio.wait_for(ws2.recv(), timeout=10.0))
                     assert msg["type"] == "error"
         finally:

@@ -134,7 +134,7 @@ def test_update_live_skips_empty_cohorts(monkeypatch):
         orig = cohort.update
         monkeypatch.setattr(
             cohort, "update",
-            (lambda c=c, orig=orig: (calls.append(c), orig())[1]),
+            (lambda c=c, orig=orig, **kw: (calls.append(c), orig(**kw))[1]),
         )
     # Live slots only in cohort 1 (slots 2,3).
     svc.open_slot(2)
