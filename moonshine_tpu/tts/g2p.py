@@ -454,7 +454,7 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
         from . import lang_rules as lr
 
         return {
-            "ru": lambda: RuleG2P(lr._RU_RULES, lr.RU_LEXICON),
+            "ru": lambda: lr.RussianG2P(),
             "uk": lambda: RuleG2P(lr._UK_RULES),
             "tr": lambda: RuleG2P(lr._TR_RULES),
             "nl": lambda: RuleG2P(lr._NL_RULES),

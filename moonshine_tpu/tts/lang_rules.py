@@ -564,39 +564,6 @@ def _strip_pinyin_tones(w: str) -> tuple[str, list[str]]:
 # Cyrillic — Russian / Ukrainian
 # ---------------------------------------------------------------------------
 
-# Orthographic exceptions (reference keeps per-language lexicons).
-RU_LEXICON = {
-    "что": "ʂto", "чтобы": "ʂtobɨ", "его": "jevo", "сегодня": "sʲevodnʲa",
-    "конечно": "konʲeʂno", "здравствуйте": "zdrastvujtʲe",
-}
-
-_RU_RULES: list[tuple[str, str]] = [
-    # iotated vowels after vowels/word start vs after consonants
-    (r"(?<=[#аеёиоуыэюя])е", "je"), (r"(?<=[#аеёиоуыэюя])ё", "jo"),
-    (r"(?<=[#аеёиоуыэюя])ю", "ju"), (r"(?<=[#аеёиоуыэюя])я", "ja"),
-    (r"е", "ʲe"), (r"ё", "ʲo"), (r"ю", "ʲu"), (r"я", "ʲa"),
-    # Regressive voicing assimilation: an obstruent takes the voicing of
-    # the obstruent that follows (водка→votka, вокзал→voɡzal,
-    # сделать→zdʲelatʲ, футбол→fudbol); в is transparent — it devoices
-    # but does not trigger voicing.  (The engine emits at the first
-    # matching rule per position, so these emit IPA directly.)
-    (r"б(?=[кпстфхцчшщ])", "p"), (r"в(?=[кпстфхцчшщ])", "f"),
-    (r"г(?=[кпстфхцчшщ])", "k"), (r"д(?=[кпстфхцчшщ])", "t"),
-    (r"ж(?=[кпстфхцчшщ])", "ʂ"), (r"з(?=[кпстфхцчшщ])", "s"),
-    (r"п(?=[бгджз])", "b"), (r"ф(?=[бгджз])", "v"),
-    (r"к(?=[бгджз])", "ɡ"), (r"т(?=[бгджз])", "d"),
-    (r"ш(?=[бгджз])", "ʐ"), (r"с(?=[бгджз])", "z"),
-    # final devoicing
-    (r"б(?=#)", "p"), (r"в(?=#)", "f"), (r"г(?=#)", "k"), (r"д(?=#)", "t"),
-    (r"ж(?=#)", "ʂ"), (r"з(?=#)", "s"),
-    (r"щ", "ɕː"), (r"ш", "ʂ"), (r"ж", "ʐ"), (r"ч", "tɕ"), (r"ц", "ts"),
-    (r"а", "a"), (r"б", "b"), (r"в", "v"), (r"г", "ɡ"), (r"д", "d"),
-    (r"з", "z"), (r"и", "i"), (r"й", "j"), (r"к", "k"), (r"л", "l"),
-    (r"м", "m"), (r"н", "n"), (r"о", "o"), (r"п", "p"), (r"р", "r"),
-    (r"с", "s"), (r"т", "t"), (r"у", "u"), (r"ф", "f"), (r"х", "x"),
-    (r"ы", "ɨ"), (r"ь", "ʲ"), (r"ъ", ""), (r"э", "e"),
-]
-
 _UK_RULES: list[tuple[str, str]] = [
     (r"(?<=[#аеєиіоуюя])ї", "ji"), (r"ї", "ji"),
     (r"(?<=[#аеєиіоуюя])є", "je"), (r"є", "ʲe"),
@@ -2033,3 +2000,374 @@ class PortugueseG2P:
         if self.is_portugal and key not in _PT_SC_STRADDLE:
             ipa = _pt_final_s_to_esh(ipa, key)
         return ipa
+
+
+# ---------------------------------------------------------------------------
+# Russian — engine mirroring the reference's russian.cpp (palatalization,
+# stress-relative vowel reduction, piper-style normalization, numbers)
+# ---------------------------------------------------------------------------
+
+_RU_VOWEL_LETTERS = set("аеёиоуыэюя")
+_RU_PALATALIZABLE = set("бвгдзклмнпрстфх")
+_RU_CONS_IPA = {
+    "ш": "ʂ", "ч": "tɕ", "щ": "ɕː", "ц": "ts", "ж": "ʐ", "б": "b",
+    "в": "v", "г": "ɡ", "д": "d", "з": "z", "й": "j", "к": "k", "л": "l",
+    "м": "m", "н": "n", "п": "p", "р": "r", "с": "s", "т": "t", "ф": "f",
+    "х": "x",
+}
+_RU_SOFTENING_VOWELS = set("еёиюя")
+_RU_IPA_VOWEL_CPS = set("aeiouɛəɨɪʊøɵ")
+
+_RU_ONES_M = ["", "один", "два", "три", "четыре", "пять", "шесть",
+              "семь", "восемь", "девять"]
+_RU_TEENS = ["десять", "одиннадцать", "двенадцать", "тринадцать",
+             "четырнадцать", "пятнадцать", "шестнадцать", "семнадцать",
+             "восемнадцать", "девятнадцать"]
+_RU_TENS = ["", "", "двадцать", "тридцать", "сорок", "пятьдесят",
+            "шестьдесят", "семьдесят", "восемьдесят", "девяносто"]
+_RU_HUNDREDS = ["", "сто", "двести", "триста", "четыреста", "пятьсот",
+                "шестьсот", "семьсот", "восемьсот", "девятьсот"]
+
+
+def ru_cardinal_words(s: str) -> str:
+    """Digit string -> Russian words (russian-numbers.cpp)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join("ноль" if c == "0" else _RU_ONES_M[int(c)]
+                        for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "ноль"
+
+    def under_100(n, fem):
+        if n < 10:
+            if fem and n == 1:
+                return ["одна"]
+            if fem and n == 2:
+                return ["две"]
+            return [_RU_ONES_M[n]]
+        if n < 20:
+            return [_RU_TEENS[n - 10]]
+        t, u = divmod(n, 10)
+        out = [_RU_TENS[t]]
+        if u:
+            out += under_100(u, fem)
+        return out
+
+    def to_999(n, fem):
+        if n < 100:
+            return under_100(n, fem)
+        h, r = divmod(n, 100)
+        out = [_RU_HUNDREDS[h]]
+        if r:
+            out += under_100(r, fem)
+        return out
+
+    if n < 1000:
+        parts = to_999(n, False)
+    else:
+        q, r = divmod(n, 1000)
+        parts = to_999(q, True)
+        m100 = q % 100
+        k = q % 10
+        if 11 <= m100 <= 14:
+            parts.append("тысяч")
+        elif k == 1:
+            parts.append("тысяча")
+        elif 2 <= k <= 4:
+            parts.append("тысячи")
+        else:
+            parts.append("тысяч")
+        if r:
+            parts += to_999(r, False)
+    return " ".join(parts)
+
+
+def _ru_syllable_per_cp(w: str) -> list[int]:
+    """Syllable index per codepoint: each syllable ends right after its
+    vowel, consonants between vowels open the FOLLOWING syllable, and
+    trailing consonants stay in the last syllable (russian.cpp
+    russian_orthographic_syllables_utf8)."""
+    n_vowels = sum(1 for ch in w if ch in _RU_VOWEL_LETTERS)
+    out = [0] * len(w)
+    syl = 0
+    vi = 0
+    for i, ch in enumerate(w):
+        out[i] = syl
+        if ch in _RU_VOWEL_LETTERS:
+            vi += 1
+            if vi < n_vowels:
+                syl += 1
+    return out
+
+
+def _ru_stress_syllable(w: str, acute_ord: int | None) -> int:
+    """ё wins; else the combining-acute vowel ordinal; else syllable 0."""
+    sylmap = _ru_syllable_per_cp(w)
+    for i, ch in enumerate(w):
+        if ch == "ё":
+            return sylmap[i]
+    if acute_ord is not None:
+        v = 0
+        for i, ch in enumerate(w):
+            if ch in _RU_VOWEL_LETTERS:
+                if v == acute_ord:
+                    return sylmap[i]
+                v += 1
+    return 0
+
+
+def _ru_vowel_ipa(ch: str, stressed: bool, after_palatal: bool,
+                  after_hard: bool, jot: bool) -> str:
+    if ch == "а":
+        return "a" if stressed else "ə"
+    if ch == "о":
+        return "o" if stressed else "ə"
+    if ch == "у":
+        return "u"
+    if ch == "ы":
+        return "ɨ"
+    if ch == "э":
+        return "ɛ"
+    if ch == "и":
+        return "i" if stressed else "ɪ"
+    if ch == "ё":
+        return "o" if stressed else "ə"
+    if ch == "е":
+        if jot:
+            return "e"
+        if after_palatal:
+            return "e" if stressed else "ɪ"
+        if after_hard:
+            return "ɛ" if stressed else "ɪ"
+        return "je" if stressed else "jɪ"
+    if ch == "ю":
+        if jot or after_palatal:
+            return "u"
+        return "u" if stressed else "ʊ"
+    if ch == "я":
+        if jot or after_palatal or after_hard:
+            return "a" if stressed else "ə"
+        return "a" if stressed else "jə"
+    return ""
+
+
+def _ru_letters_to_ipa(w: str, stress_syl: int) -> str:
+    sylmap = _ru_syllable_per_cp(w)
+    out: list[str] = []
+    after_vowel = False
+
+    def after_palatal() -> bool:
+        if not out:
+            return False
+        last = out[-1]
+        if last in ("tɕ", "ɕː", "ts", "ʐ", "ʂ"):
+            return False
+        return last.endswith("ʲ")
+
+    def after_hard() -> bool:
+        if not out:
+            return False
+        last = out[-1]
+        if last.endswith("ʲ"):
+            return False
+        if last and last[-1] in "aeiouɛəɨɪʊ":
+            return False
+        return True
+
+    i = 0
+    n = len(w)
+    while i < n:
+        ch = w[i]
+        stressed = sylmap[i] == stress_syl if i < len(sylmap) else False
+        if ch in "ъь":
+            i += 1
+            continue
+        if ch == "й":
+            out.append("j")
+            after_vowel = False
+            i += 1
+            continue
+        if ch in _RU_VOWEL_LETTERS:
+            jot = not out or after_vowel
+            if ch == "е" and jot:
+                out.append("je" if stressed else "jɪ")
+            elif ch == "ю" and jot:
+                out.append("ju")
+            elif ch == "я" and jot:
+                out.append("ja" if stressed else "jə")
+            else:
+                out.append(_ru_vowel_ipa(ch, stressed, after_palatal(),
+                                         after_hard(), jot))
+            after_vowel = True
+            i += 1
+            continue
+        if ch not in _RU_CONS_IPA:
+            i += 1
+            continue
+        nxt = w[i + 1] if i + 1 < n else ""
+        palatal = False
+        if nxt == "ь":
+            palatal = ch in _RU_PALATALIZABLE
+            out.append(_RU_CONS_IPA[ch] + ("ʲ" if palatal else ""))
+            after_vowel = False
+            i += 2
+            continue
+        if nxt == "ъ":
+            out.append(_RU_CONS_IPA[ch])
+            after_vowel = False
+            i += 2
+            continue
+        if nxt in _RU_VOWEL_LETTERS:
+            if ch in "жцш":
+                palatal = False
+            elif ch in "чщ":
+                palatal = False
+            elif nxt in _RU_SOFTENING_VOWELS:
+                palatal = ch in _RU_PALATALIZABLE
+            out.append(_RU_CONS_IPA[ch] + ("ʲ" if palatal else ""))
+            after_vowel = False
+            i += 1
+            continue
+        out.append(_RU_CONS_IPA[ch])
+        after_vowel = False
+        i += 1
+    return "".join(out)
+
+
+def _ru_insert_stress(ipa: str) -> str:
+    ipa = ipa.replace("ˈ", "").replace("ˌ", "")
+    for i, ch in enumerate(ipa):
+        if ch in _RU_IPA_VOWEL_CPS:
+            return ipa[:i] + "ˈ" + ipa[i:]
+    return "ˈ" + ipa
+
+
+def normalize_russian_ipa_piper(s: str) -> str:
+    """The reference's apply_russian_ipa_piper_style
+    (ipa-postprocess.cpp): affricate/schwa rewrites, stress-nucleus and
+    bare-nucleus vowel merges, zh handling, conjunction-и fixes."""
+    for a, b in [
+        ("tɕtˈo", "ʃto"), ("tɕtˈɔ", "ʃto"), ("tɕto", "ʃto"),
+        ("tɕtʌ", "ʃto"), ("t͡ɕ", "tʃʲ"), ("d͡ʑ", "dʑ"), ("t͡s", "ts"),
+        ("d͡z", "dz"), ("tɕ", "tʃʲ"), ("ʂ", "ʃ"), ("ɐ", "ʌ"), ("ə", "ʌ"),
+    ]:
+        s = s.replace(a, b)
+    for a, b in [
+        ("ˈɨ", "ˈy"), ("ˌɨ", "ˌy"), ("ˈɫ", "ˈɭ"), ("ˌɫ", "ˌɭ"),
+        ("ˈʌ", "ˈa"), ("ˌʌ", "ˌa"), ("ˈɪ", "ˈi"), ("ˌɪ", "ˌi"),
+        ("ˈʊ", "ˈu"), ("ˌʊ", "ˌu"), ("ˈʉ", "ˈu"), ("ˌʉ", "ˌu"),
+    ]:
+        s = s.replace(a, b)
+    for a, b in [("ɫ", "ɭ"), ("ɨ", "y"), ("ʉ", "u"), ("ʌ", "a"),
+                 ("ɪ", "i"), ("ʊ", "u")]:
+        s = s.replace(a, b)
+    # ʐ → ʒ except in the dʐ cluster
+    out = []
+    for i, ch in enumerate(s):
+        if ch == "ʐ" and not (i >= 1 and s[i - 1] == "d"):
+            out.append("ʒ")
+        else:
+            out.append(ch)
+    s = "".join(out)
+    for a, b in [(" i ", " ɪ "), (")i ", ")ɪ "), ("«i ", "«ɪ "),
+                 (", i ", ", ɪ "), ("; i ", "; ɪ "), (": i ", ": ɪ ")]:
+        s = s.replace(a, b)
+    if s.startswith("i "):
+        s = "ɪ " + s[2:]
+    return s
+
+
+class RussianG2P:
+    """Russian G2P mirroring the reference's russian.cpp rules path:
+    orthographic syllabification for stress-relative vowel reduction
+    (ё / combining-acute override, default first syllable),
+    palatalization before soft vowels and ь, iotated vowel handling,
+    stress before the first IPA vowel, the piper-style normalization
+    pass, and the reference's cardinal expansion."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    @staticmethod
+    def _filter(word: str, keep_stress: bool) -> str:
+        out = []
+        nfd = unicodedata.normalize("NFD", word.lower())
+        for ch in nfd:
+            if unicodedata.category(ch) == "Mn":
+                if keep_stress:
+                    if ch == "́":
+                        out.append(ch)
+                    # Keep й/ё intact in the stress source (the reference
+                    # filter passes precomposed letters through); the
+                    # clean word keeps the decomposed base (й -> и,
+                    # ё -> е), matching strip_grapheme_diacritics.
+                    elif ch == "̆" and out and out[-1] == "и":
+                        out[-1] = "й"
+                    elif ch == "̈" and out and out[-1] == "е":
+                        out[-1] = "ё"
+                continue
+            if ("а" <= ch <= "я") or ch in "ёй-'":
+                out.append(ch)
+        return "".join(out)
+
+    def _single(self, w: str, stress_src: str) -> str:
+        # acute ordinal over the stress source
+        acute = None
+        v = 0
+        skip_next_acute = False
+        prev_vowel = False
+        for ch in unicodedata.normalize("NFD", stress_src):
+            if ch == "́" and prev_vowel:
+                acute = v - 1
+                break
+            if unicodedata.category(ch) == "Mn":
+                continue
+            if ch in _RU_VOWEL_LETTERS:
+                v += 1
+                prev_vowel = True
+            else:
+                prev_vowel = False
+        stress_syl = _ru_stress_syllable(w, acute)
+        body = _ru_letters_to_ipa(w, stress_syl)
+        if body:
+            body = _ru_insert_stress(body)
+        return body
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = ru_cardinal_words(w)
+            if phrase != w:
+                ipa = " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+                return normalize_russian_ipa_piper(ipa)
+            return w
+        stress_src = self._filter(w, keep_stress=True)
+        clean = self._filter(w, keep_stress=False)
+        if not clean:
+            return ""
+        key = clean.replace("'", "")
+        if key in self.lexicon:
+            return normalize_russian_ipa_piper(
+                move_stress_to_nucleus(self.lexicon[key]))
+        if "-" in key:
+            chunks = [c for c in key.split("-") if c]
+            schunks = [c for c in stress_src.split("-") if c]
+            parts = []
+            for i, c in enumerate(chunks):
+                src = schunks[i] if len(schunks) == len(chunks) else stress_src
+                parts.append(self._single(c, src))
+            return normalize_russian_ipa_piper(
+                move_stress_to_nucleus("-".join(parts)))
+        return normalize_russian_ipa_piper(
+            move_stress_to_nucleus(self._single(key, stress_src)))

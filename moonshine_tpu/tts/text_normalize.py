@@ -129,12 +129,13 @@ def normalize_text(text: str, language: str = "en") -> str:
     core/moonshine-tts/src/lang-specific/, e.g. chinese-numbers.cpp).
     """
     lang = language.split("_")[0].split("-")[0].lower()
-    if lang in ("ko", "pt"):
+    if lang in ("ko", "pt", "ru"):
         # These engines expand numerals themselves with the reference's
         # exact wording: Korean attaches counters to the last sino speech
         # unit (1986년 → 천 / 구백 / 팔십육년, korean.cpp:926-1001);
         # Portuguese uses the reference's "mil e oitocentos" phrasing
-        # (portuguese.cpp:228-250).
+        # (portuguese.cpp:228-250); Russian uses the reference's
+        # gender-aware thousands forms (russian-numbers.cpp).
         return re.sub(r"\s+", " ", text).strip()
     if lang != "en":
         from .number_words import PERCENT, number_to_words_lang

@@ -29,7 +29,7 @@ FLOORS = {
     "nl": (0.61, 0.91),
     "pt_br": (0.97, 0.99),
     "pt_pt": (0.97, 0.99),
-    "ru": (0.19, 0.81),
+    "ru": (0.97, 0.99),
     "tr": (0.76, 0.95),
     "uk": (0.33, 0.85),
     "vi": (0.97, 0.97),
