@@ -455,7 +455,7 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
 
         return {
             "ru": lambda: lr.RussianG2P(),
-            "uk": lambda: RuleG2P(lr._UK_RULES),
+            "uk": lambda: lr.UkrainianG2P(),
             "tr": lambda: RuleG2P(lr._TR_RULES),
             "nl": lambda: RuleG2P(lr._NL_RULES),
             "vi": lambda: lr.VietnameseG2P(),

@@ -564,19 +564,6 @@ def _strip_pinyin_tones(w: str) -> tuple[str, list[str]]:
 # Cyrillic — Russian / Ukrainian
 # ---------------------------------------------------------------------------
 
-_UK_RULES: list[tuple[str, str]] = [
-    (r"(?<=[#аеєиіоуюя])ї", "ji"), (r"ї", "ji"),
-    (r"(?<=[#аеєиіоуюя])є", "je"), (r"є", "ʲe"),
-    (r"(?<=[#аеєиіоуюя])ю", "ju"), (r"ю", "ʲu"),
-    (r"(?<=[#аеєиіоуюя])я", "ja"), (r"я", "ʲa"),
-    (r"щ", "ʃtʃ"), (r"ш", "ʃ"), (r"ж", "ʒ"), (r"ч", "tʃ"), (r"ц", "ts"),
-    (r"дж", "dʒ"), (r"дз", "dz"),
-    (r"а", "a"), (r"б", "b"), (r"в", "ʋ"), (r"г", "ɦ"), (r"ґ", "ɡ"),
-    (r"д", "d"), (r"е", "e"), (r"з", "z"), (r"и", "ɪ"), (r"і", "i"),
-    (r"й", "j"), (r"к", "k"), (r"л", "l"), (r"м", "m"), (r"н", "n"),
-    (r"о", "o"), (r"п", "p"), (r"р", "r"), (r"с", "s"), (r"т", "t"),
-    (r"у", "u"), (r"ф", "f"), (r"х", "x"), (r"ь", "ʲ"),
-]
 
 # ---------------------------------------------------------------------------
 # Turkish — fully phonemic Latin orthography
@@ -2371,3 +2358,310 @@ class RussianG2P:
                 move_stress_to_nucleus("-".join(parts)))
         return normalize_russian_ipa_piper(
             move_stress_to_nucleus(self._single(key, stress_src)))
+
+
+# ---------------------------------------------------------------------------
+# Ukrainian — engine mirroring the reference's ukrainian.cpp
+# ---------------------------------------------------------------------------
+
+_UK_VOWEL_LETTERS = set("аеєиіїоуюя")
+_UK_SOFT_VOWELS = set("єіїюя")
+_UK_HARD_NO_PAL = set("жчшщ")
+_UK_PALATALIZABLE = set("бвгґдзклмнпрстфхц")
+_UK_CONS = {
+    "б": "b", "п": "p", "м": "m", "ф": "f", "г": "ɦ", "ґ": "ɡ", "д": "d",
+    "т": "t", "н": "n", "л": "l", "р": "ɾ", "с": "s", "з": "z", "ж": "ʒ",
+    "ш": "ʃ", "ч": "tʃ", "щ": "ʃtʃ", "ц": "ts", "к": "k", "х": "x",
+}
+_UK_HARD_AFFRICATES = {"dʒ", "dz", "tʃ", "ts", "ʃtʃ", "ʒ", "ʃ"}
+_UK_IPA_VOWELS = set("aeiouɛɪ")
+
+_UK_DIGITS = ["нуль", "один", "два", "три", "чотири", "п'ять", "шість",
+              "сім", "вісім", "дев'ять"]
+_UK_TEENS = ["десять", "одинадцять", "дванадцять", "тринадцять",
+             "чотирнадцять", "п'ятнадцять", "шістнадцять", "сімнадцять",
+             "вісімнадцять", "дев'ятнадцять"]
+_UK_TENS = ["", "", "двадцять", "тридцять", "сорок", "п'ятдесят",
+            "шістдесят", "сімдесят", "вісімдесят", "дев'яносто"]
+_UK_HUNDREDS = ["", "сто", "двісті", "триста", "чотириста", "п'ятсот",
+                "шістсот", "сімсот", "вісімсот", "дев'ятсот"]
+
+
+def uk_cardinal_words(s: str) -> str:
+    """Digit string -> Ukrainian words (ukrainian.cpp:104-302)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_UK_DIGITS[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "нуль"
+
+    def under_100_plain(n):
+        if n < 10:
+            return [_UK_DIGITS[n]]
+        if n < 20:
+            return [_UK_TEENS[n - 10]]
+        t, u = divmod(n, 10)
+        return [_UK_TENS[t]] + ([_UK_DIGITS[u]] if u else [])
+
+    def to_999(n):
+        if n == 0:
+            return ["нуль"]
+        h, r = divmod(n, 100)
+        out = [_UK_HUNDREDS[h]] if h else []
+        if r:
+            out += under_100_plain(r)
+        return out
+
+    def under_100_fem(n):
+        fem = {1: "одна", 2: "дві", 3: "три", 4: "чотири"}
+        if n in fem:
+            return [fem[n]]
+        if 10 <= n < 20:
+            return [_UK_TEENS[n - 10]]
+        t, u = divmod(n, 10)
+        out = [_UK_TENS[t]]
+        if u:
+            out += under_100_fem(u) if u <= 4 else [_UK_DIGITS[u]]
+        return out
+
+    def thousand_noun(h):
+        if h % 100 in (11, 12, 13, 14):
+            return "тисяч"
+        m = h % 10
+        if m == 1:
+            return "тисяча"
+        if m in (2, 3, 4):
+            return "тисячі"
+        return "тисяч"
+
+    if n < 1000:
+        return " ".join(to_999(n))
+    q, r = divmod(n, 1000)
+    parts = []
+    if q < 100:
+        parts += under_100_fem(q)
+    else:
+        parts.append(_UK_HUNDREDS[q // 100])
+        if q % 100:
+            parts += under_100_fem(q % 100)
+    parts.append(thousand_noun(q))
+    if r:
+        parts += to_999(r)
+    return " ".join(parts)
+
+
+def _uk_palatalize_last(pieces: list[str]) -> None:
+    for idx in range(len(pieces) - 1, -1, -1):
+        p = pieces[idx]
+        if not p:
+            continue
+        if p in _UK_HARD_AFFRICATES or p.endswith("ʲ"):
+            return
+        pieces[idx] = p + "ʲ"
+        return
+
+
+def _uk_piece_is_vowel(p: str) -> bool:
+    if not p:
+        return True
+    if p[0] == "j" or p[0] in "aeiouɛɪ":
+        return True
+    return False
+
+
+def _uk_ends_palatalized(pieces: list[str]) -> bool:
+    for idx in range(len(pieces) - 1, -1, -1):
+        p = pieces[idx]
+        if not p or _uk_piece_is_vowel(p):
+            continue
+        if p in _UK_HARD_AFFRICATES:
+            return False
+        return p.endswith("ʲ")
+    return False
+
+
+def _uk_insert_stress_penult(ipa: str) -> str:
+    u = [c for c in ipa if c not in "ˈˌ"]
+    starts = []
+    i, n = 0, len(u)
+    while i < n:
+        if u[i] == "j" and i + 1 < n and u[i + 1] in _UK_IPA_VOWELS:
+            starts.append(i)
+            i += 2
+            continue
+        if u[i] in _UK_IPA_VOWELS:
+            starts.append(i)
+            i += 1
+            continue
+        i += 1
+    if not starts:
+        return ipa
+    at = starts[0] if len(starts) == 1 else starts[-2]
+    return "".join(u[:at]) + "ˈ" + "".join(u[at:])
+
+
+class UkrainianG2P:
+    """Ukrainian G2P mirroring the reference's ukrainian.cpp: near-
+    phonemic mapping with palatalization before soft vowels / soft sign,
+    apostrophe-blocked jotation, в allophony (w before consonants and
+    finally, ʋ before vowels), penultimate default stress, and the
+    reference's cardinal expansion."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    @staticmethod
+    def _clean(part: str) -> str:
+        out = []
+        nfd = unicodedata.normalize("NFD", part.lower())
+        i = 0
+        while i < len(nfd):
+            ch = nfd[i]
+            if ch in ("’", "‘"):
+                out.append("'")
+                i += 1
+                continue
+            if unicodedata.category(ch) == "Mn":
+                # Drop stress marks; keep the diaeresis (ї) and breve (й)
+                # distinctions by recomposing.
+                # Only the diaeresis survives NFD stripping (so ї stays
+                # distinct from і); й loses its breve and reads as и,
+                # exactly like the reference's strip pass
+                # (ukrainian.cpp:53-77).
+                if ch == "̈" and out and out[-1] == "і":
+                    out[-1] = "ї"
+                i += 1
+                continue
+            if ch == "'" or unicodedata.category(ch)[0] == "L":
+                out.append(ch)
+            i += 1
+        return "".join(out)
+
+    def _inner(self, w: str, with_stress: bool = True) -> str:
+        pieces: list[str] = []
+        i = 0
+        n = len(w)
+        prev_vowel = False
+        word_onset = True
+        force_j = False
+        prev_hard_affricate = False
+
+        def next_letter(start):
+            for j in range(start, n):
+                if w[j] != "'":
+                    return j
+            return None
+
+        while i < n:
+            if w[i] == "'":
+                i += 1
+                continue
+            if i + 1 < n and w[i] == "д" and w[i + 1] in "жз":
+                pieces.append("dʒ" if w[i + 1] == "ж" else "dz")
+                i += 2
+                word_onset = prev_vowel = False
+                prev_hard_affricate = True
+                continue
+            ch = w[i]
+            if ch == "ь":
+                _uk_palatalize_last(pieces)
+                i += 1
+                prev_hard_affricate = False
+                continue
+            if ch == "й":
+                pieces.append("j")
+                i += 1
+                word_onset = prev_vowel = False
+                prev_hard_affricate = False
+                continue
+            if ch in _UK_VOWEL_LETTERS:
+                fj = force_j
+                force_j = False
+                if fj or word_onset or prev_vowel:
+                    v = {"я": "ja", "ю": "ju", "є": "jɛ", "ї": "ji"}.get(ch)
+                else:
+                    v = None
+                if v is None:
+                    if ch == "ї":
+                        v = "i" if _uk_ends_palatalized(pieces) else "ji"
+                    else:
+                        v = {"я": "a", "ю": "u", "є": "ɛ", "а": "a",
+                             "е": "ɛ", "и": "ɪ", "і": "i", "о": "o",
+                             "у": "u"}.get(ch, "")
+                pieces.append(v)
+                i += 1
+                word_onset = False
+                prev_vowel = True
+                prev_hard_affricate = False
+                continue
+            bc = _UK_CONS.get(ch, "")
+            is_v = ch == "в"
+            if not bc and not is_v:
+                i += 1
+                continue
+            # apostrophe + soft vowel blocks palatalization, forces jot
+            ap_block = False
+            vowel_i = 0
+            j = i + 1
+            if j < n and w[j] == "'":
+                k = j + 1
+                while k < n and w[k] == "'":
+                    k += 1
+                if k < n and w[k] in _UK_SOFT_VOWELS:
+                    ap_block = True
+                    vowel_i = k
+            ni = next_letter(i + 1)
+            next_ch = w[ni] if ni is not None else ""
+            will_pal = (not prev_hard_affricate and not ap_block
+                        and ch in _UK_PALATALIZABLE
+                        and ch not in _UK_HARD_NO_PAL
+                        and (next_ch in _UK_SOFT_VOWELS or next_ch == "і"))
+            if is_v:
+                if ni is not None and (next_ch in _UK_VOWEL_LETTERS
+                                       or next_ch == "й"):
+                    pieces.append("ʋ")
+                else:
+                    pieces.append("w")
+            else:
+                pieces.append(bc)
+            if will_pal:
+                _uk_palatalize_last(pieces)
+            if ap_block:
+                force_j = True
+                i = vowel_i
+                word_onset = prev_vowel = False
+                prev_hard_affricate = False
+                continue
+            i += 1
+            word_onset = prev_vowel = False
+            prev_hard_affricate = ch in _UK_HARD_NO_PAL
+        ipa = "".join(pieces)
+        if with_stress and ipa:
+            ipa = _uk_insert_stress_penult(ipa)
+        return ipa
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = uk_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        lo = w.lower()
+        if lo in self.lexicon:
+            return self.lexicon[lo]
+        parts = []
+        for chunk in w.split("-"):
+            parts.append(self._inner(self._clean(chunk)))
+        return "-".join(parts)

@@ -31,7 +31,7 @@ FLOORS = {
     "pt_pt": (0.97, 0.99),
     "ru": (0.97, 0.99),
     "tr": (0.76, 0.95),
-    "uk": (0.33, 0.85),
+    "uk": (0.97, 0.99),
     "vi": (0.97, 0.97),
 }
 
