@@ -264,25 +264,6 @@ _FR_RULES: list[tuple[str, str]] = [
 
 # ---- German ------------------------------------------------------------
 
-_DE_RULES: list[tuple[str, str]] = [
-    # Auslautverhärtung: final obstruents devoice (Tag, Hund, Zug...).
-    (r"b(?=#)", "p"), (r"d(?=#)", "t"), (r"g(?=#)", "k"),
-    (r"ig(?=#)", "ɪç"),  # standard -ig: König, wenig
-    (r"tsch", "tʃ"), (r"sch", "ʃ"),
-    (r"(?<=[aou#])ch", "x"), (r"ch", "ç"),
-    (r"ck", "k"), (r"ph", "f"), (r"pf", "pf"), (r"qu", "kv"),
-    (r"sp(?=[aeiouäöü])", "ʃp"), (r"st(?=[aeiouäöü])", "ʃt"),
-    (r"ei", "aɪ"), (r"ai", "aɪ"), (r"au", "aʊ"), (r"eu", "ɔʏ"), (r"äu", "ɔʏ"),
-    (r"ie", "i"), (r"ee", "e"), (r"aa", "a"), (r"oo", "o"),
-    (r"ä", "ɛ"), (r"ö", "ø"), (r"ü", "y"), (r"ß", "s"),
-    (r"v", "f"), (r"w", "v"), (r"z", "ts"), (r"j", "j"),
-    (r"s(?=[aeiouäöü])", "z"), (r"s", "s"),
-    (r"er(?=#)", "ɐ"), (r"e(?=#)", "ə"),
-    (r"a", "a"), (r"e", "ɛ"), (r"i", "ɪ"), (r"o", "ɔ"), (r"u", "ʊ"),
-    (r"y", "y"), (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"),
-    (r"g", "ɡ"), (r"h", "h"), (r"k", "k"), (r"l", "l"), (r"m", "m"),
-    (r"n", "n"), (r"p", "p"), (r"r", "ʁ"), (r"t", "t"), (r"x", "ks"),
-]
 
 # ---- Italian -----------------------------------------------------------
 
@@ -479,7 +460,9 @@ _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
     "es": lambda: RuleG2P(_ES_RULES),
     "fr": lambda: RuleG2P(_FR_RULES, _fr_lexicon()),
-    "de": lambda: RuleG2P(_DE_RULES),
+    "de": lambda: __import__(
+        "moonshine_tpu.tts.lang_rules", fromlist=["GermanG2P"]
+    ).GermanG2P(),
     "it": lambda: RuleG2P(_IT_RULES),
     "pt": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["PortugueseG2P"]

@@ -2665,3 +2665,410 @@ class UkrainianG2P:
         for chunk in w.split("-"):
             parts.append(self._inner(self._clean(chunk)))
         return "-".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# German — syllable engine mirroring the reference's german.cpp
+# ---------------------------------------------------------------------------
+
+_DE_VOWELS = set("aeiouyäöü")
+_DE_UNSTRESSED_PREFIXES = ["wider", "entgegen", "ver", "zer", "miss",
+                           "ent", "emp", "ge", "be", "er"]
+_DE_STRESS_PATTERNS = ["aɪ̯", "aʊ̯", "ɔʏ̯", "iː", "eː", "aː", "oː", "uː",
+                       "ɪ", "ʊ", "a", "ɛ", "ə", "i", "o", "ɔ", "u", "y",
+                       "ø", "œ", "ʏ", "ɐ"]
+_DE_DIGITS = ["null", "eins", "zwei", "drei", "vier", "fünf", "sechs",
+              "sieben", "acht", "neun"]
+_DE_UNIT_COMPOUND = ["", "ein", "zwei", "drei", "vier", "fünf", "sechs",
+                     "sieben", "acht", "neun"]
+_DE_TENS = ["", "", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig",
+            "siebzig", "achtzig", "neunzig"]
+_DE_TEENS = ["zehn", "elf", "zwölf", "dreizehn", "vierzehn", "fünfzehn",
+             "sechzehn", "siebzehn", "achtzehn", "neunzehn"]
+
+
+def de_cardinal_words(s: str) -> str:
+    """Digit string -> German words (german.cpp:837-960)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_DE_DIGITS[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "null"
+
+    def under_100(n):
+        if n < 10:
+            return _DE_DIGITS[n]
+        if n < 20:
+            return _DE_TEENS[n - 10]
+        t, u = divmod(n, 10)
+        if u == 0:
+            return _DE_TENS[t]
+        return _DE_UNIT_COMPOUND[u] + "und" + _DE_TENS[t]
+
+    def to_999(n):
+        if n < 100:
+            return [under_100(n)]
+        h, r = divmod(n, 100)
+        head = "hundert" if h == 1 else _DE_UNIT_COMPOUND[h] + "hundert"
+        return [head] + ([under_100(r)] if r else [])
+
+    if n < 1000:
+        return " ".join(to_999(n))
+    q, r = divmod(n, 1000)
+    parts = (["eintausend"] if q == 1 else to_999(q) + ["tausend"])
+    if r:
+        parts += to_999(r)
+    return " ".join(parts)
+
+
+def _de_nucleus_spans(w: str) -> list[tuple[int, int]]:
+    spans = []
+    i, n = 0, len(w)
+    while i < n:
+        if w[i] == "-" or w[i] not in _DE_VOWELS:
+            i += 1
+            continue
+        if i + 1 < n:
+            pair = w[i:i + 2]
+            if pair in ("au", "ei", "eu", "ai", "äu", "ey", "oi"):
+                spans.append((i, i + 2))
+                i += 2
+                continue
+            if pair == "ie" and (i + 2 >= n or w[i + 2] == "-"
+                                 or w[i + 2] not in _DE_VOWELS):
+                spans.append((i, i + 2))
+                i += 2
+                continue
+            if w[i + 1] == w[i] and w[i] in "aoeiu":
+                spans.append((i, i + 2))
+                i += 2
+                continue
+        spans.append((i, i + 1))
+        i += 1
+    return spans
+
+
+def de_syllables(w: str) -> list[str]:
+    w = "".join(c for c in w if c == "-" or c in _DE_VOWELS
+                or ("a" <= c <= "z") or c in "äöüß")
+    if not w:
+        return []
+    if "-" in w:
+        out = []
+        for chunk in w.split("-"):
+            if chunk:
+                out.extend(de_syllables(chunk))
+        return out
+    spans = _de_nucleus_spans(w)
+    if not spans:
+        return [w]
+    out = []
+    cur = w[: spans[0][0]]
+    for idx, (s, e) in enumerate(spans):
+        cur += w[s:e]
+        if idx + 1 < len(spans):
+            out.append(cur)
+            cur = w[e: spans[idx + 1][0]]
+        else:
+            out.append(cur + w[e:])
+    return [s for s in out if s]
+
+
+def _de_stress_index(syls: list[str], wl: str) -> int:
+    if len(syls) <= 1:
+        return 0
+    flat = wl.replace("-", "")
+    if flat.endswith(("ung", "schaft", "tion", "ismus")):
+        return len(syls) - 1
+    for pref in _DE_UNSTRESSED_PREFIXES:
+        if (len(flat) > len(pref) and flat.startswith(pref)):
+            plen = len(pref)
+            acc = 0
+            for idx, sy in enumerate(syls):
+                acc += len(sy)
+                if acc >= plen:
+                    return min(idx + 1, len(syls) - 1)
+    return 0
+
+
+def _de_insert_stress(s: str) -> str:
+    s = s.replace("ˈ", "")
+    best = None
+    for pat in _DE_STRESS_PATTERNS:
+        p = s.find(pat)
+        if p != -1 and (best is None or p < best):
+            best = p
+    if best is None:
+        return "ˈ" + s
+    return s[:best] + "ˈ" + s[best:]
+
+
+def _de_final_devoice(ipa: str) -> str:
+    if ipa.endswith("ɡ"):
+        return ipa[:-1] + "k"
+    if ipa and ipa[-1] in "bdvz":
+        return ipa[:-1] + {"b": "p", "d": "t", "v": "f", "z": "s"}[ipa[-1]]
+    return ipa
+
+
+def _de_ch_ipa(word_nh: str, gi: int) -> str:
+    if gi > 1 and word_nh[gi - 2] == "a" and word_nh[gi - 1] == "u":
+        return "x"
+    j = gi - 1
+    prev = None
+    while j >= 0:
+        if word_nh[j] == "-":
+            break
+        if word_nh[j] in _DE_VOWELS:
+            prev = word_nh[j]
+            break
+        if word_nh[j] == "h" and j > 0 and word_nh[j - 1] in _DE_VOWELS:
+            prev = word_nh[j - 1]
+            break
+        j -= 1
+    if prev in ("a", "o", "u"):
+        return "x"
+    return "ç"
+
+
+def _de_morpheme_start(hyphen_word: str, gi: int) -> bool:
+    if gi == 0:
+        return True
+    pos = 0
+    for chunk in hyphen_word.split("-"):
+        if chunk:
+            if gi == pos:
+                return True
+            pos += len(chunk)
+    return False
+
+
+def _de_syllable_ipa(s: str, word_nh: str, hyphen_word: str,
+                     span_start: int) -> str:
+    out = []
+    n = len(s)
+    i = 0
+    while i < n:
+        gi = span_start + i
+        ch = s[i]
+        if ch == "-":
+            i += 1
+            continue
+        if s[i:i + 4] == "tsch" and i + 3 < n:
+            out.append("tʃ")
+            i += 4
+            continue
+        if s[i:i + 3] == "sch" and i + 2 < n:
+            out.append("ʃ")
+            i += 3
+            continue
+        if s[i:i + 3] == "chs" and i + 2 < n:
+            out.append("ks")
+            i += 3
+            continue
+        if s[i:i + 2] == "ch" and i + 1 < n:
+            out.append(_de_ch_ipa(word_nh, gi))
+            i += 2
+            continue
+        if s[i:i + 2] == "ng" and i + 1 < n:
+            out.append("ŋ")
+            i += 2
+            continue
+        if s[i:i + 2] == "nk" and i + 1 < n:
+            out.append("ŋk")
+            i += 2
+            continue
+        if s[i:i + 2] == "pf" and i + 1 < n:
+            out.append("pf")
+            i += 2
+            continue
+        if s[i:i + 2] == "qu" and i + 1 < n:
+            out.append("kv")
+            i += 2
+            continue
+        if (s[i:i + 2] == "st" and i + 1 < n
+                and _de_morpheme_start(hyphen_word, gi)):
+            out.append("ʃt")
+            i += 2
+            continue
+        if (s[i:i + 2] == "sp" and i + 1 < n
+                and _de_morpheme_start(hyphen_word, gi)):
+            out.append("ʃp")
+            i += 2
+            continue
+        if ch == "h":
+            i += 1
+            continue
+        if ch == "ß":
+            out.append("s")
+            i += 1
+            continue
+        if s[i:i + 2] == "tz" and i + 1 < n:
+            out.append("ts")
+            i += 2
+            continue
+        if ch == "z":
+            out.append("ts")
+            i += 1
+            continue
+        if s[i:i + 2] == "ck" and i + 1 < n:
+            out.append("k")
+            i += 2
+            continue
+        if ch == "c" and i + 1 < n and s[i + 1] in "ei":
+            out.append("ts")
+            i += 2
+            continue
+        if ch == "c":
+            out.append("k")
+            i += 1
+            continue
+        if ch == "x":
+            out.append("ks")
+            i += 1
+            continue
+        if ch == "q" and (i + 1 >= n or s[i + 1] != "u"):
+            out.append("k")
+            i += 1
+            continue
+        if ch == "j":
+            out.append("j")
+            i += 1
+            continue
+        if ch == "v":
+            out.append("f")
+            i += 1
+            continue
+        if ch == "w":
+            out.append("v")
+            i += 1
+            continue
+        if ch == "y" and (i + 1 >= n or s[i + 1] not in _DE_VOWELS):
+            out.append("ʏ")
+            i += 1
+            continue
+        if s[i:i + 2] == "au" and i + 1 < n:
+            out.append("aʊ̯")
+            i += 2
+            continue
+        if s[i:i + 2] in ("ei", "ai", "ey") and i + 1 < n:
+            out.append("aɪ̯")
+            i += 2
+            continue
+        if s[i:i + 2] in ("eu", "äu") and i + 1 < n:
+            out.append("ɔʏ̯")
+            i += 2
+            continue
+        if (s[i:i + 2] == "ie" and i + 1 < n
+                and (i + 2 >= n or s[i + 2] == "-"
+                     or s[i + 2] not in _DE_VOWELS)):
+            out.append("iː")
+            i += 2
+            continue
+        if (i + 1 < n and ch in _DE_VOWELS and s[i + 1] == ch
+                and ch in "aoeiu"):
+            out.append({"a": "aː", "e": "eː", "i": "iː", "o": "oː",
+                        "u": "uː"}[ch])
+            i += 2
+            continue
+        if ch in _DE_VOWELS:
+            if ch == "e":
+                out.append("ə" if i == n - 1 else "ɛ")
+            else:
+                out.append({"a": "a", "i": "ɪ", "o": "ɔ", "u": "ʊ",
+                            "ä": "ɛ", "ö": "ø", "ü": "ʏ", "y": "ʏ"}[ch])
+            i += 1
+            continue
+        if ch == "r":
+            out.append("ʁ")
+            i += 1
+            continue
+        if s[i:i + 2] == "ss" and i + 1 < n:
+            out.append("s")
+            i += 2
+            continue
+        if ch == "s":
+            prev_v = i > 0 and s[i - 1] in _DE_VOWELS
+            next_v = i + 1 < n and s[i + 1] in _DE_VOWELS
+            out.append("z" if (prev_v and next_v) else "s")
+            i += 1
+            continue
+        if ch in "bdfklmnpt":
+            out.append("ɡ" if ch == "g" else ch)
+            i += 1
+            continue
+        if ch == "g":
+            out.append("ɡ")
+            i += 1
+            continue
+        i += 1
+    ipa = "".join(out)
+    stem = s.rstrip("-")
+    if stem.endswith("ig") and not stem.endswith("lich") and \
+            ipa.endswith("ɡ"):
+        ipa = ipa[:-1] + "ç"
+    return _de_final_devoice(ipa)
+
+
+def normalize_german_ipa_piper(s: str) -> str:
+    for a, b in [("t͡ʃ", "tʃ"), ("t͡s", "ts"), ("d͡ʒ", "dʒ"), ("d͡z", "dz"),
+                 ("p͡f", "pf"), ("ɐ̯", "ɾ"), ("ʁ", "ɾ")]:
+        s = s.replace(a, b)
+    return s
+
+
+class GermanG2P:
+    """German G2P mirroring the reference's german.cpp: vowel-span
+    syllabification (clusters attach to the following syllable), suffix/
+    prefix stress heuristics, per-syllable letter rules with ch allophony
+    and syllable-final devoicing, -ig -> ç, and the piper normalization
+    (uvular r -> tap)."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def _rules(self, raw: str, with_stress: bool = True) -> str:
+        wl = "".join(c for c in raw.lower()
+                     if c == "-" or c in _DE_VOWELS or "a" <= c <= "z"
+                     or c in "äöüß")
+        if not wl:
+            return ""
+        word_nh = wl.replace("-", "")
+        syls = de_syllables(wl)
+        if not syls:
+            return ""
+        stress_idx = _de_stress_index(syls, wl) if with_stress else -1
+        offset = 0
+        ipa = []
+        for idx, sy in enumerate(syls):
+            chunk = _de_syllable_ipa(sy, word_nh, wl, offset)
+            if with_stress and idx == stress_idx and chunk:
+                chunk = _de_insert_stress(chunk)
+            ipa.append(chunk)
+            offset += len(sy)
+        return "".join(ipa)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = de_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        lo = w.lower()
+        if lo in self.lexicon:
+            return normalize_german_ipa_piper(
+                move_stress_to_nucleus(self.lexicon[lo]))
+        return normalize_german_ipa_piper(
+            move_stress_to_nucleus(self._rules(w)))

@@ -17,7 +17,7 @@ from moonshine_tpu.eval.g2p_reference_agreement import (
 # dialect -> (word_agreement floor, char_similarity floor)
 FLOORS = {
     "ar": (0.97, 0.97),
-    "de": (0.25, 0.80),
+    "de": (0.97, 0.99),
     "en": (0.85, 0.96),
     "es_es": (0.67, 0.92),
     "es_mx": (0.80, 0.95),

@@ -205,8 +205,8 @@ def test_facade_speed_option():
     [
         ("fr", "bonjour", "bɔ̃ʒuʁ"),
         ("fr", "eau", "o"),
-        ("de", "buch", "bʊx"),
-        ("de", "schiff", "ʃɪff"),
+        ("de", "buch", "bˈʊx"),
+        ("de", "schiff", "ʃˈɪff"),
         ("it", "ciao", "tʃao"),
         ("it", "gnocchi", "ɲokki"),
         ("pt", "chave", "ʃˈavɪ"),  # final-e reduction (pt_br)
