@@ -135,8 +135,15 @@ def normalize_text(text: str, language: str = "en") -> str:
         # unit (1986년 → 천 / 구백 / 팔십육년, korean.cpp:926-1001);
         # Portuguese uses the reference's "mil e oitocentos" phrasing
         # (portuguese.cpp:228-250); Russian uses the reference's
-        # gender-aware thousands forms (russian-numbers.cpp).
-        return re.sub(r"\s+", " ", text).strip()
+        # gender-aware thousands forms (russian-numbers.cpp); German
+        # compounds (einundzwanzig).  Only the percent SIGN is rewritten
+        # here (digits stay for the engine).
+        from .number_words import PERCENT
+
+        pct = PERCENT.get(lang, PERCENT["en"])
+        t = re.sub(r"(\d[\d,]*)\s?[%％]",
+                   lambda m: " " + pct.format(n=m.group(1)) + " ", text)
+        return re.sub(r"\s+", " ", t).strip()
     if lang != "en":
         from .number_words import PERCENT, number_to_words_lang
 

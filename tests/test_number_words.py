@@ -134,7 +134,12 @@ def test_normalize_text_routes_by_language():
 
     assert normalize_text("tengo 25 años", "es") == "tengo veinticinco años"
     assert normalize_text("j'ai 80 ans", "fr") == "j'ai quatre-vingts ans"
-    assert normalize_text("es sind 50%", "de") == "es sind fünfzig Prozent"
+    # German digits stay for the engine (reference-style compound
+    # expansion happens inside GermanG2P); only the % sign is worded.
+    assert normalize_text("es sind 50%", "de") == "es sind 50 Prozent"
+    from moonshine_tpu.tts.lang_rules import GermanG2P
+
+    assert GermanG2P().word_to_ipa("50") == GermanG2P().word_to_ipa("fünfzig")
     assert normalize_text("50%", "zh") == "百分之五十"
     assert normalize_text("%50 indirim", "tr") != "%50 indirim"  # expanded
     # English path unchanged.
