@@ -437,7 +437,7 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
         return {
             "ru": lambda: lr.RussianG2P(),
             "uk": lambda: lr.UkrainianG2P(),
-            "tr": lambda: RuleG2P(lr._TR_RULES),
+            "tr": lambda: lr.TurkishG2P(),
             "nl": lambda: RuleG2P(lr._NL_RULES),
             "vi": lambda: lr.VietnameseG2P(),
             "hi": lambda: lr.DevanagariG2P(),

@@ -569,15 +569,6 @@ def _strip_pinyin_tones(w: str) -> tuple[str, list[str]]:
 # Turkish — fully phonemic Latin orthography
 # ---------------------------------------------------------------------------
 
-_TR_RULES: list[tuple[str, str]] = [
-    (r"ğ", "ː"),  # yumuşak g lengthens the preceding vowel
-    (r"c", "dʒ"), (r"ç", "tʃ"), (r"ş", "ʃ"), (r"j", "ʒ"), (r"y", "j"),
-    (r"ı", "ɯ"), (r"i", "i"), (r"ö", "ø"), (r"ü", "y"), (r"â", "a"),
-    (r"a", "a"), (r"e", "e"), (r"o", "o"), (r"u", "u"),
-    (r"b", "b"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"), (r"h", "h"),
-    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
-    (r"r", "ɾ"), (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"z", "z"),
-]
 
 # ---------------------------------------------------------------------------
 # Dutch
@@ -3072,3 +3063,164 @@ class GermanG2P:
                 move_stress_to_nucleus(self.lexicon[lo]))
         return normalize_german_ipa_piper(
             move_stress_to_nucleus(self._rules(w)))
+
+
+# ---------------------------------------------------------------------------
+# Turkish — engine mirroring the reference's turkish.cpp
+# ---------------------------------------------------------------------------
+
+_TR_VOWELS = set("aeıioöuüâêîôû")
+_TR_FRONT = set("eiöüêî")
+_TR_BACK_FOR_GH = set("aıouâôû")
+_TR_SIMPLE = {
+    "a": "a", "b": "b", "c": "dʒ", "ç": "tʃ", "d": "d", "e": "e",
+    "f": "f", "h": "h", "ı": "ɯ", "i": "i", "j": "ʒ", "l": "l", "m": "m",
+    "n": "n", "o": "o", "ö": "ø", "p": "p", "r": "ɾ", "s": "s", "ş": "ʃ",
+    "t": "t", "u": "u", "ü": "y", "v": "v", "y": "j", "z": "z", "q": "k",
+    "w": "v", "x": "ks", "â": "a", "ê": "e", "î": "i", "ô": "o", "û": "u",
+}
+_TR_IPA_VOWELS = set("aeiouy") | {"ɯ", "ø"}
+_TR_DIGITS = ["sıfır", "bir", "iki", "üç", "dört", "beş", "altı", "yedi",
+              "sekiz", "dokuz"]
+_TR_TENS = ["", "", "yirmi", "otuz", "kırk", "elli", "altmış", "yetmiş",
+            "seksen", "doksan"]
+
+
+def tr_cardinal_words(s: str) -> str:
+    """Digit string -> Turkish words (turkish.cpp:40-158)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_TR_DIGITS[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "sıfır"
+
+    def to_999(n):
+        if n == 0:
+            return ["sıfır"]
+        h, r = divmod(n, 100)
+        out = []
+        if h:
+            out += (["yüz"] if h == 1 else [_TR_DIGITS[h], "yüz"])
+            if r == 0:
+                return out
+        if r < 10:
+            out.append(_TR_DIGITS[r])
+        elif r == 10:
+            out.append("on")
+        elif r < 20:
+            out += ["on", _TR_DIGITS[r - 10]]
+        else:
+            t, u = divmod(r, 10)
+            out.append(_TR_TENS[t])
+            if u:
+                out.append(_TR_DIGITS[u])
+        return out
+
+    if n < 1000:
+        return " ".join(to_999(n))
+    q, r = divmod(n, 1000)
+    parts = (["bin"] if q == 1 else to_999(q) + ["bin"])
+    if r:
+        parts += to_999(r)
+    return " ".join(parts)
+
+
+def _tr_insert_stress_final(ipa: str) -> str:
+    u = [c for c in ipa if c != "ˈ"]
+    j = len(u) - 1
+    while j >= 0:
+        if u[j] == "ː" and j >= 1:
+            j -= 1
+            if u[j] in _TR_IPA_VOWELS:
+                return "".join(u[:j]) + "ˈ" + u[j] + "ː" + "".join(u[j + 2:])
+            j -= 1
+            continue
+        if u[j] in _TR_IPA_VOWELS:
+            return "".join(u[:j]) + "ˈ" + "".join(u[j:])
+        j -= 1
+    return ipa
+
+
+class TurkishG2P:
+    """Turkish G2P mirroring the reference's turkish.cpp: near-phonemic
+    mapping with k/g palatal allophony from the harmony vowel (c before
+    front vowels), yumuşak g as glide between vowels (velar glide after
+    back vowels, j after front) or compensatory lengthening after a
+    vowel, final-syllable stress, and the reference's cardinal
+    expansion."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    @staticmethod
+    def _lower(s: str) -> str:
+        return s.replace("İ", "i").replace("I", "ı").lower()
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = tr_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        lo = self._lower(unicodedata.normalize("NFC", w))
+        if lo in self.lexicon:
+            return self.lexicon[lo]
+        letters = [c for c in lo if c != "'" and (c in _TR_SIMPLE
+                                                  or c in "ğkg")]
+        if not letters:
+            return ""
+        pieces: list[str] = []
+        n = len(letters)
+        for i, c in enumerate(letters):
+            if c == "ğ":
+                prev_v = i > 0 and letters[i - 1] in _TR_VOWELS
+                next_v = i + 1 < n and letters[i + 1] in _TR_VOWELS
+                if prev_v and next_v:
+                    pv = letters[i - 1]
+                    pieces.append("ɰ" if pv in _TR_BACK_FOR_GH else "j")
+                elif prev_v:
+                    for k in range(len(pieces) - 1, -1, -1):
+                        seg = pieces[k]
+                        if not seg or seg[-1] == "ː":
+                            continue
+                        if seg[-1] in _TR_IPA_VOWELS:
+                            pieces[k] = seg + "ː"
+                            break
+                continue
+            if c in "kg":
+                hv = None
+                for j in range(i + 1, n):
+                    if letters[j] in _TR_VOWELS:
+                        hv = letters[j]
+                        break
+                if hv is None:
+                    for j in range(i - 1, -1, -1):
+                        if letters[j] in _TR_VOWELS:
+                            hv = letters[j]
+                            break
+                if hv is None:
+                    pieces.append("k" if c == "k" else "ɡ")
+                elif hv in _TR_FRONT:
+                    pieces.append("c" if c == "k" else "ɟ")
+                else:
+                    pieces.append("k" if c == "k" else "ɡ")
+                continue
+            frag = _TR_SIMPLE.get(c, "")
+            if frag:
+                pieces.append(frag)
+        ipa = "".join(pieces)
+        if ipa:
+            ipa = _tr_insert_stress_final(ipa)
+        return ipa

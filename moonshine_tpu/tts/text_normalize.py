@@ -129,7 +129,7 @@ def normalize_text(text: str, language: str = "en") -> str:
     core/moonshine-tts/src/lang-specific/, e.g. chinese-numbers.cpp).
     """
     lang = language.split("_")[0].split("-")[0].lower()
-    if lang in ("de", "ko", "pt", "ru", "uk"):
+    if lang in ("de", "ko", "pt", "ru", "tr", "uk"):
         # These engines expand numerals themselves with the reference's
         # exact wording: Korean attaches counters to the last sino speech
         # unit (1986년 → 천 / 구백 / 팔십육년, korean.cpp:926-1001);
@@ -143,6 +143,9 @@ def normalize_text(text: str, language: str = "en") -> str:
         pct = PERCENT.get(lang, PERCENT["en"])
         t = re.sub(r"(\d[\d,]*)\s?[%％]",
                    lambda m: " " + pct.format(n=m.group(1)) + " ", text)
+        # Percent-prefix orthography (Turkish %50).
+        t = re.sub(r"[%％]\s?(\d[\d,]*)",
+                   lambda m: " " + pct.format(n=m.group(1)) + " ", t)
         return re.sub(r"\s+", " ", t).strip()
     if lang != "en":
         from .number_words import PERCENT, number_to_words_lang

@@ -30,7 +30,7 @@ FLOORS = {
     "pt_br": (0.97, 0.99),
     "pt_pt": (0.97, 0.99),
     "ru": (0.97, 0.99),
-    "tr": (0.76, 0.95),
+    "tr": (0.97, 0.99),
     "uk": (0.97, 0.99),
     "vi": (0.97, 0.97),
 }
