@@ -33,8 +33,8 @@ from pathlib import Path
 # reference dialect id -> our engine language key
 DIALECT_TO_LANG = {
     "en": "en",
-    "es_es": "es",
-    "es_mx": "es",
+    "es_es": "es_es",
+    "es_mx": "es_mx",
     "de": "de",
     "fr": "fr",
     "nl": "nl",

@@ -224,17 +224,6 @@ _EN_LEXICON = {
 
 # ---- Spanish (near-phonemic orthography) ----------------------------------
 
-_ES_RULES: list[tuple[str, str]] = [
-    (r"ch", "tʃ"), (r"ll", "ʝ"), (r"rr", "r"), (r"qu(?=[ei])", "k"),
-    (r"gu(?=[ei])", "ɡ"), (r"gü", "ɡw"), (r"c(?=[ei])", "s"), (r"z", "s"),
-    (r"j", "x"), (r"g(?=[ei])", "x"), (r"ñ", "ɲ"), (r"h", ""), (r"v", "b"),
-    (r"y(?=#)", "i"), (r"y", "ʝ"), (r"x", "ks"),
-    (r"a", "a"), (r"á", "a"), (r"e", "e"), (r"é", "e"), (r"i", "i"),
-    (r"í", "i"), (r"o", "o"), (r"ó", "o"), (r"u", "u"), (r"ú", "u"),
-    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
-    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
-    (r"r", "ɾ"), (r"s", "s"), (r"t", "t"), (r"w", "w"),
-]
 
 # ---- French -----------------------------------------------------------
 
@@ -458,7 +447,9 @@ def _fr_lexicon() -> dict[str, str]:
 
 _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
-    "es": lambda: RuleG2P(_ES_RULES),
+    "es": lambda: __import__(
+        "moonshine_tpu.tts.lang_rules", fromlist=["SpanishG2P"]
+    ).SpanishG2P("es-MX"),
     "fr": lambda: RuleG2P(_FR_RULES, _fr_lexicon()),
     "de": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["GermanG2P"]
@@ -481,6 +472,14 @@ def _make_engine(language: str) -> RuleG2P:
         from .lang_rules import PortugueseG2P
 
         return PortugueseG2P(is_portugal=True)
+    if norm.startswith("es_") and norm != "es_419":
+        from .lang_rules import SpanishG2P
+
+        return SpanishG2P(norm)
+    if norm == "es_419":
+        from .lang_rules import SpanishG2P
+
+        return SpanishG2P("es-419")
     factory = _ENGINES.get(language.split("_")[0].split("-")[0])
     if factory is None:
         raise ValueError(

@@ -3224,3 +3224,454 @@ class TurkishG2P:
         if ipa:
             ipa = _tr_insert_stress_final(ipa)
         return ipa
+
+
+# ---------------------------------------------------------------------------
+# Spanish — dialect-parameterized engine mirroring the reference's
+# spanish.cpp / spanish-numbers.cpp
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = set("aeiouáéíóúü")
+_ES_ACCENTED = set("áéíóú")
+_ES_STRIP = {"á": "a", "é": "e", "í": "i", "ó": "o", "ú": "u", "ü": "u"}
+_ES_ONSET2 = {"bl", "br", "cl", "cr", "dr", "fl", "fr", "gl", "gr", "pl",
+              "pr", "tr", "ch"}
+_ES_X_EXCEPTIONS = {
+    "mexico": "ˈmexiko", "mejico": "ˈmexiko", "oaxaca": "waˈxaka",
+    "texas": "ˈtekas", "ximena": "xiˈmena", "xavier": "xaˈbjeɾ",
+}
+_ES_DIGITS = ["cero", "uno", "dos", "tres", "cuatro", "cinco", "seis",
+              "siete", "ocho", "nueve"]
+_ES_UNDER30 = [None] * 10 + [
+    "diez", "once", "doce", "trece", "catorce", "quince", "dieciséis",
+    "diecisiete", "dieciocho", "diecinueve", "veinte", "veintiuno",
+    "veintidós", "veintitrés", "veinticuatro", "veinticinco",
+    "veintiséis", "veintisiete", "veintiocho", "veintinueve"]
+_ES_TENS = ["", "", "veinte", "treinta", "cuarenta", "cincuenta",
+            "sesenta", "setenta", "ochenta", "noventa"]
+_ES_HUNDREDS = ["", "", "doscientos", "trescientos", "cuatrocientos",
+                "quinientos", "seiscientos", "setecientos", "ochocientos",
+                "novecientos"]
+
+
+def es_cardinal_words(s: str) -> str:
+    """Digit string -> Spanish words (spanish-numbers.cpp)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_ES_DIGITS[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "cero"
+
+    def under_100(n):
+        if n < 10:
+            return [_ES_DIGITS[n]]
+        if n < 30:
+            return [_ES_UNDER30[n]]
+        t, u = divmod(n, 10)
+        return [_ES_TENS[t]] + (["y", _ES_DIGITS[u]] if u else [])
+
+    def to_999(n):
+        if n < 100:
+            return under_100(n)
+        h, r = divmod(n, 100)
+        if h == 1:
+            return ["cien"] if r == 0 else ["ciento"] + under_100(r)
+        return [_ES_HUNDREDS[h]] + (under_100(r) if r else [])
+
+    if n < 1000:
+        return " ".join(to_999(n))
+    q, r = divmod(n, 1000)
+    parts = (["mil"] if q == 1 else to_999(q) + ["mil"])
+    if r:
+        parts += to_999(r)
+    return " ".join(parts)
+
+
+@dataclass
+class SpanishDialect:
+    """Pronunciation preset (mirrors the reference's SpanishDialect)."""
+    id: str = "es-MX"
+    ce_ci_z_ipa: str = "s"
+    yeismo: bool = True
+    y_consonant_ipa: str = "ʝ"
+    ll_ipa: str = "ʎ"
+    x_intervocalic_default: str = "ks"
+    x_initial_before_vowel: str = "s"
+    voiceless_velar_fricative: str = "x"
+    trill_ipa: str = "r"
+    tap_ipa: str = "ɾ"
+    nasal_assimilation: bool = False
+    narrow_intervocalic_obstruents: bool = True
+    coda_s_mode: str = "keep"  # keep | h | drop
+
+
+def spanish_dialect(dialect_id: str) -> SpanishDialect:
+    key = dialect_id.strip().lower().replace("_", "-")
+    d = SpanishDialect(id=key)
+    if key in ("es-es", "es-es-distincion"):
+        d.ce_ci_z_ipa = "θ"
+    elif key in ("es-ar", "es-uy"):
+        d.y_consonant_ipa = "ʒ"
+    elif key in ("es-ve",):
+        d.voiceless_velar_fricative = "h"
+    elif key in ("es-cl",):
+        d.coda_s_mode = "h"
+    elif key in ("es-cu", "es-do", "es-pr"):
+        d.voiceless_velar_fricative = "h"
+        d.coda_s_mode = "h"
+    elif key in ("es-bo", "es-py"):
+        d.yeismo = False
+    return d
+
+
+def _es_should_hiatus(a: str, b: str) -> bool:
+    if a == "í" and b == "o":
+        return True
+    if a == "i" and b == "ó":
+        return False
+    if a in "íú" or b in "íú":
+        return True
+    ba = _ES_STRIP.get(a, a)
+    bb = _ES_STRIP.get(b, b)
+    if ba == bb:
+        return True
+    if ba in "aeo" and bb in "aeo":
+        if a in "áéó" or b in "áéó":
+            return True
+        if (ba, bb) in (("a", "e"), ("e", "a")):
+            return False
+        return True
+    return False
+
+
+def _es_y_is_consonant(w: str, i: int) -> bool:
+    n = len(w)
+    prev_v = i > 0 and w[i - 1] in _ES_VOWELS
+    next_v = i + 1 < n and w[i + 1] in _ES_VOWELS
+    if prev_v and next_v:
+        return True
+    if i == 0 and next_v:
+        return True
+    if not prev_v and not next_v and i == n - 1:
+        return False
+    if not prev_v and next_v:
+        return True
+    return False
+
+
+def _es_nucleus_spans(w: str) -> list[tuple[int, int]]:
+    out = []
+    i, n = 0, len(w)
+    while i < n:
+        ch = w[i]
+        if ch == "y":
+            if w == "y":
+                out.append((i, i + 1))
+                i += 1
+                continue
+            if i == 0 and i + 1 < n and w[i + 1] in _ES_VOWELS:
+                i += 1
+                continue
+            if (0 < i and w[i - 1] in _ES_VOWELS and i + 1 < n
+                    and w[i + 1] in _ES_VOWELS):
+                i += 1
+                continue
+            if 0 < i and w[i - 1] in _ES_VOWELS and i + 1 >= n:
+                out.append((i, i + 1))
+                i += 1
+                continue
+            if (0 < i and w[i - 1] not in _ES_VOWELS
+                    and (i + 1 >= n or w[i + 1] not in _ES_VOWELS)):
+                out.append((i, i + 1))
+                i += 1
+                continue
+            i += 1
+            continue
+        if ch not in _ES_VOWELS:
+            i += 1
+            continue
+        if i + 1 < n and w[i + 1] in _ES_VOWELS:
+            if _es_should_hiatus(ch, w[i + 1]):
+                out.append((i, i + 1))
+                i += 1
+            else:
+                out.append((i, i + 2))
+                i += 2
+        else:
+            out.append((i, i + 1))
+            i += 1
+    return out
+
+
+def es_syllables(w: str) -> list[str]:
+    w = "".join(c for c in w if ("a" <= c <= "z") or c in "áéíóúüñ")
+    if not w:
+        return []
+    spans = _es_nucleus_spans(w)
+    if not spans:
+        return [w]
+    out = []
+    cur = w[: spans[0][0]]
+    for idx, (s, e) in enumerate(spans):
+        cur += w[s:e]
+        if idx + 1 < len(spans):
+            cluster = w[e: spans[idx + 1][0]]
+            if cluster.endswith("rr"):
+                coda, onset = cluster[:-2], "rr"
+            elif len(cluster) >= 2 and cluster[-2:] in _ES_ONSET2:
+                coda, onset = cluster[:-2], cluster[-2:]
+            elif cluster:
+                coda, onset = cluster[:-1], cluster[-1:]
+            else:
+                coda, onset = "", ""
+            out.append(cur + coda)
+            cur = onset
+        else:
+            out.append(cur + w[e:])
+    return [s for s in out if s]
+
+
+def _es_stress_index(w: str) -> int:
+    syls = es_syllables(w)
+    if not syls:
+        return 0
+    if any(c in _ES_ACCENTED for c in w):
+        for i, s in enumerate(syls):
+            if any(c in _ES_ACCENTED for c in s):
+                return i
+    n = len(syls)
+    if n == 1:
+        return 0
+    last = _ES_STRIP.get(w[-1], w[-1]) if w else " "
+    if last in "aeiou" or w[-1] in "ns":
+        return n - 2 if n >= 2 else 0
+    return n - 1
+
+
+def _es_insert_stress(ipa: str) -> str:
+    ipa = ipa.replace("ˈ", "")
+    for i, ch in enumerate(ipa):
+        if ch in "aeiou":
+            return ipa[:i] + "ˈ" + ipa[i:]
+    return "ˈ" + ipa
+
+
+def _es_narrow_obstruents(ipa: str) -> str:
+    u = list(ipa)
+    for i in range(1, len(u) - 1):
+        if u[i - 1] in "aeiou" and u[i + 1] in "aeiou":
+            if u[i] == "b":
+                u[i] = "β"
+            elif u[i] == "d":
+                u[i] = "ð"
+            elif u[i] == "ɡ":
+                u[i] = "ɣ"
+    return "".join(u)
+
+
+def _es_syllable_ipa(s: str, d: SpanishDialect, offset: int) -> str:
+    out: list[str] = []
+    i, n = 0, len(s)
+
+    def peek_vowel(j):
+        k = j
+        while k < n:
+            if s[k] == "h":
+                k += 1
+                continue
+            return s[k] in _ES_VOWELS
+        return False
+
+    def prev_was_vowel():
+        return bool(out) and any(v in out[-1] for v in "aeiou")
+
+    vmap = {"e": "e", "i": "i", "é": "e", "í": "i"}
+    while i < n:
+        ch = s[i]
+        if ch == "h":
+            i += 1
+            continue
+        if ch == "y":
+            if s == "y":
+                out.append("i")
+            elif _es_y_is_consonant(s, i):
+                out.append(d.y_consonant_ipa)
+            else:
+                out.append("i")
+            i += 1
+            continue
+        if ch == "ñ":
+            out.append("ɲ")
+            i += 1
+            continue
+        if s[i:i + 2] == "rr":
+            out.append(d.trill_ipa)
+            i += 2
+            continue
+        if s[i:i + 2] == "ch":
+            out.append("tʃ")
+            i += 2
+            continue
+        if s[i:i + 2] == "ll":
+            out.append(d.y_consonant_ipa if d.yeismo else d.ll_ipa)
+            i += 2
+            continue
+        if (ch == "q" and i + 2 < n and s[i + 1] == "u"
+                and s[i + 2] in "eiéí"):
+            out.append("k")
+            out.append(vmap[s[i + 2]])
+            i += 3
+            continue
+        if (ch == "g" and i + 2 < n and s[i + 1] == "ü"
+                and s[i + 2] in "eiéí"):
+            out.append("ɡ")
+            out.append("w")
+            out.append(vmap[s[i + 2]])
+            i += 3
+            continue
+        if (ch == "g" and i + 2 < n and s[i + 1] == "u"
+                and s[i + 2] in "eiéí"):
+            out.append("ɡ")
+            out.append(vmap[s[i + 2]])
+            i += 3
+            continue
+        if ch == "g" and i + 1 < n and s[i + 1] in "eiéí":
+            out.append(d.voiceless_velar_fricative)
+            i += 1
+            continue
+        if s[i:i + 4] == "ción" and i + 3 < n:
+            out.append(d.ce_ci_z_ipa)
+            out.append("jon")
+            i += 4
+            continue
+        if s[i:i + 3] == "ció" and i + 2 < n:
+            out.append(d.ce_ci_z_ipa)
+            out.append("jo")
+            i += 3
+            continue
+        if ch == "c" and i + 1 < n and s[i + 1] in "eiéí":
+            out.append(d.ce_ci_z_ipa)
+            i += 1
+            continue
+        if ch == "z":
+            out.append(d.ce_ci_z_ipa)
+            i += 1
+            continue
+        if ch == "x":
+            abs_pos = offset + i
+            next_v = peek_vowel(i + 1)
+            if abs_pos == 0 and next_v:
+                out.append(d.x_initial_before_vowel)
+            else:
+                out.append(d.x_intervocalic_default)
+            i += 1
+            continue
+        if ch == "j":
+            out.append(d.voiceless_velar_fricative)
+            i += 1
+            continue
+        if ch == "c":
+            out.append("k")
+            i += 1
+            continue
+        if ch == "r":
+            after_lns = i > 0 and s[i - 1] in "lns"
+            if i == 0 or after_lns:
+                out.append(d.trill_ipa)
+            else:
+                out.append(d.tap_ipa)
+            i += 1
+            continue
+        simple = {
+            "a": "a", "e": "e", "i": "i", "o": "o", "u": "u", "á": "a",
+            "é": "e", "í": "i", "ó": "o", "ú": "u", "ü": "w", "b": "b",
+            "v": "b", "d": "d", "f": "f", "k": "k", "l": "l", "m": "m",
+            "n": "n", "p": "p", "s": "s", "t": "t", "w": "w", "g": "ɡ",
+        }.get(ch)
+        if simple:
+            out.append(simple)
+        i += 1
+    ipa = "".join(out)
+    if d.nasal_assimilation:
+        u = list(ipa)
+        for k in range(len(u) - 1):
+            if u[k] == "n":
+                nx = u[k + 1]
+                if nx in ("k", "ɡ"):
+                    u[k] = "ŋ"
+                elif nx in "pbm":
+                    u[k] = "m"
+                elif nx == "f":
+                    u[k] = "ɱ"
+        ipa = "".join(u)
+    return ipa
+
+
+class SpanishG2P:
+    """Spanish G2P mirroring the reference's spanish.cpp: dialect presets
+    (seseo/distinción, yeísmo, velar fricative, coda-s), orthographic
+    syllabification with the hiatus rules, accent/termination stress,
+    narrow intervocalic obstruents (b/d/g -> approximants), x-word
+    exceptions, and the reference's cardinal expansion."""
+
+    def __init__(self, dialect: "SpanishDialect | str" = "es-MX",
+                 lexicon: dict[str, str] | None = None):
+        self.dialect = (spanish_dialect(dialect)
+                        if isinstance(dialect, str) else dialect)
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def _postprocess(self, ipa: str) -> str:
+        d = self.dialect
+        if d.narrow_intervocalic_obstruents:
+            ipa = _es_narrow_obstruents(ipa)
+        if d.coda_s_mode != "keep" and ipa.endswith("s") \
+                and not ipa.endswith("ks"):
+            ipa = ipa[:-1] + ("h" if d.coda_s_mode == "h" else "")
+        return ipa
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = es_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        lo = w.lower()
+        key = "".join(_ES_STRIP.get(c, c) for c in lo
+                      if ("a" <= c <= "z") or c in "áéíóúüñ")
+        if lo in self.lexicon:
+            return self.lexicon[lo]
+        exc = _ES_X_EXCEPTIONS.get(key)
+        if exc is not None:
+            return self._postprocess(exc)
+        lw = "".join(c for c in lo if ("a" <= c <= "z") or c in "áéíóúüñ")
+        if not lw:
+            return ""
+        syls = es_syllables(lw)
+        stress_idx = _es_stress_index(lw)
+        offset = 0
+        parts = []
+        for sy in syls:
+            parts.append(_es_syllable_ipa(sy, self.dialect, offset))
+            offset += len(sy)
+        if parts and stress_idx < len(parts):
+            parts[stress_idx] = _es_insert_stress(parts[stress_idx])
+        ipa = "".join(parts)
+        d = self.dialect
+        if d.narrow_intervocalic_obstruents:
+            ipa = _es_narrow_obstruents(ipa)
+        if d.coda_s_mode != "keep" and ipa.endswith("s") \
+                and not ipa.endswith("ks"):
+            ipa = ipa[:-1] + ("h" if d.coda_s_mode == "h" else "")
+        return ipa

@@ -19,8 +19,8 @@ FLOORS = {
     "ar": (0.97, 0.97),
     "de": (0.97, 0.99),
     "en": (0.85, 0.96),
-    "es_es": (0.67, 0.92),
-    "es_mx": (0.80, 0.95),
+    "es_es": (0.97, 0.99),
+    "es_mx": (0.97, 0.99),
     "fr": (0.58, 0.89),
     "hi": (0.97, 0.99),
     "it": (0.63, 0.93),

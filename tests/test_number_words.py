@@ -132,7 +132,13 @@ def test_every_language_total_function():
 def test_normalize_text_routes_by_language():
     from moonshine_tpu.tts.text_normalize import normalize_text
 
-    assert normalize_text("tengo 25 años", "es") == "tengo veinticinco años"
+    # Spanish digits stay for the engine (reference-style expansion
+    # happens inside SpanishG2P).
+    assert normalize_text("tengo 25 años", "es") == "tengo 25 años"
+    from moonshine_tpu.tts.lang_rules import SpanishG2P
+
+    assert (SpanishG2P("es-MX").word_to_ipa("25")
+            == SpanishG2P("es-MX").word_to_ipa("veinticinco"))
     assert normalize_text("j'ai 80 ans", "fr") == "j'ai quatre-vingts ans"
     # German digits stay for the engine (reference-style compound
     # expansion happens inside GermanG2P); only the % sign is worded.

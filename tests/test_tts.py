@@ -98,7 +98,7 @@ def test_g2p_normalizes_numbers():
 
 def test_g2p_spanish():
     g = GraphemeToPhonemizer("es")
-    assert g.word_to_ipa("casa") == "kasa"
+    assert g.word_to_ipa("casa") == "kˈasa"
     assert g.word_to_ipa("cielo").startswith("s")
     assert g.word_to_ipa("llama").startswith("ʝ")
     assert "x" in g.word_to_ipa("jamon")
