@@ -256,21 +256,6 @@ _FR_RULES: list[tuple[str, str]] = [
 
 # ---- Italian -----------------------------------------------------------
 
-_IT_RULES: list[tuple[str, str]] = [
-    (r"scie", "ʃɛ"), (r"sci(?=[aou])", "ʃ"), (r"sc(?=[ei])", "ʃ"),
-    (r"sch", "sk"),
-    (r"gli", "ʎ"), (r"gn", "ɲ"), (r"ci(?=[aou])", "tʃ"), (r"c(?=[ei])", "tʃ"),
-    (r"gi(?=[aou])", "dʒ"), (r"g(?=[ei])", "dʒ"), (r"ch", "k"), (r"gh", "ɡ"),
-    (r"qu", "kw"), (r"zz", "tts"), (r"z", "ts"), (r"h", ""),
-    (r"à", "a"), (r"è", "ɛ"), (r"é", "e"), (r"ì", "i"), (r"ò", "ɔ"), (r"ù", "u"),
-    # intervocalic s voices; i before a vowel glides (chiesa -> kjeza)
-    (r"(?<=[aeiou])s(?=[aeiou])", "z"), (r"i(?=[aeouàèéòù])", "j"),
-    (r"a", "a"), (r"e", "e"), (r"i", "i"), (r"o", "o"), (r"u", "u"),
-    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
-    (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"), (r"r", "r"),
-    (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"w", "w"), (r"x", "ks"),
-    (r"y", "i"), (r"k", "k"), (r"j", "j"),
-]
 
 # ---- Portuguese --------------------------------------------------------
 
@@ -454,7 +439,9 @@ _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "de": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["GermanG2P"]
     ).GermanG2P(),
-    "it": lambda: RuleG2P(_IT_RULES),
+    "it": lambda: __import__(
+        "moonshine_tpu.tts.lang_rules", fromlist=["ItalianG2P"]
+    ).ItalianG2P(),
     "pt": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["PortugueseG2P"]
     ).PortugueseG2P(is_portugal=False),

@@ -3675,3 +3675,425 @@ class SpanishG2P:
                 and not ipa.endswith("ks"):
             ipa = ipa[:-1] + ("h" if d.coda_s_mode == "h" else "")
         return ipa
+
+
+# ---------------------------------------------------------------------------
+# Italian — syllable engine mirroring the reference's italian.cpp
+# ---------------------------------------------------------------------------
+
+_IT_VOWELS = set("aeiouàèéìíîòóùú")
+_IT_ACCENTED = set("àèéìíòóùúî")
+_IT_STRIP = {"à": "a", "á": "a", "è": "e", "é": "e", "ê": "e", "ì": "i",
+             "í": "i", "î": "i", "ò": "o", "ó": "o", "ù": "u", "ú": "u"}
+_IT_ONSET2 = {"bl", "br", "cl", "cr", "dr", "fl", "fr", "gl", "gr", "pl",
+              "pr", "tr", "ch"}
+_IT_CG_PALATAL = set("eéèiìíî")
+_IT_DIGITS = ["zero", "uno", "due", "tre", "quattro", "cinque", "sei",
+              "sette", "otto", "nove"]
+
+# Function words (italian.cpp function_word_ipa:1016-1065).
+_IT_FUNCTION_WORDS = {
+    "e": "e", "ed": "ed", "o": "o", "a": "a", "i": "i", "il": "il",
+    "lo": "lo", "la": "la", "le": "le", "gli": "ʎi", "un": "un",
+    "uno": "ˈuno", "una": "ˈuna", "di": "di", "da": "da", "in": "in",
+    "su": "su", "per": "per", "tra": "tra", "fra": "fra", "del": "del",
+    "della": "ˈdɛlla", "delle": "ˈdɛlle", "dei": "ˈdei",
+    "degli": "ˈdeʎʎi", "al": "al", "allo": "ˈallo", "alla": "ˈalla",
+    "ai": "ai", "agli": "ˈaʎʎi", "alle": "ˈalle", "nel": "nel",
+    "nello": "ˈnɛllo", "nella": "ˈnɛlla", "nell": "nɛll", "sul": "sul",
+    "sullo": "ˈsullo", "sulla": "ˈsulla", "col": "kol", "coi": "ˈkoi",
+    "ci": "t͡ʃi", "vi": "vi", "si": "si", "ti": "ti", "mi": "mi",
+    "non": "non", "che": "ke",
+}
+
+
+def it_cardinal_words(s: str) -> str:
+    """Digit string -> Italian words with fused forms (italian.cpp)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_IT_DIGITS[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "zero"
+    teens = [None, "undici", "dodici", "tredici", "quattordici", "quindici",
+             "sedici", "diciassette", "diciotto", "diciannove"]
+    tens = ["", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta",
+            "settanta", "ottanta", "novanta"]
+
+    def under_100(n):
+        if n < 10:
+            return _IT_DIGITS[n]
+        if n == 10:
+            return "dieci"
+        if n < 20:
+            return teens[n - 10]
+        t, u = divmod(n, 10)
+        tn = tens[t]
+        if u == 0:
+            return tn
+        stem = tn[:-1]
+        if u == 1:
+            return stem + "uno"
+        if u == 8:
+            return stem + "otto"
+        joiner = "i" if tn[-1] == "i" else "a"
+        if u == 3:
+            return stem + joiner + "tré"
+        return stem + joiner + _IT_DIGITS[u]
+
+    def hundred_head(h):
+        if h == 1:
+            return "cento"
+        return _IT_DIGITS[h] + "cento"
+
+    def to_999(n):
+        if n == 0:
+            return ["zero"]
+        if n < 100:
+            return [under_100(n)]
+        h, r = divmod(n, 100)
+        return [hundred_head(h)] + ([under_100(r)] if r else [])
+
+    def fused_999(n):
+        if n < 100:
+            return under_100(n)
+        h, r = divmod(n, 100)
+        return hundred_head(h) + (under_100(r) if r else "")
+
+    if n < 1000:
+        return " ".join(to_999(n))
+    q, r = divmod(n, 1000)
+    if q == 1:
+        head = ["mille"]
+    elif q < 10:
+        head = [_IT_DIGITS[q] + "mila"]
+    else:
+        head = [fused_999(q) + "mila"]
+    return " ".join(head + (to_999(r) if r else []))
+
+
+def _it_should_hiatus(a: str, b: str) -> bool:
+    if a in "íì" or b in "íì" or a in "úù" or b in "úù":
+        return True
+    ba = _IT_STRIP.get(a, a)
+    bb = _IT_STRIP.get(b, b)
+    if ba in "aeo" and bb in "aeo":
+        return True
+    if ba in "iu" and bb in "aeo":
+        return False
+    if ba in "aeo" and bb in "iu":
+        return False
+    if ba == bb:
+        return True
+    if ba in "iu" and bb in "iu":
+        return False
+    return True
+
+
+def it_syllables(w: str) -> list[str]:
+    w = "".join(c for c in w.lower()
+                if c == "-" or ("a" <= c <= "z") or c in _IT_ACCENTED)
+    if not w:
+        return []
+    if "-" in w:
+        out = []
+        for chunk in w.split("-"):
+            if chunk:
+                out.extend(it_syllables(chunk))
+        return out
+    spans = []
+    i, n = 0, len(w)
+    while i < n:
+        if w[i] not in _IT_VOWELS:
+            i += 1
+            continue
+        if i + 1 < n and w[i + 1] in _IT_VOWELS:
+            if _it_should_hiatus(w[i], w[i + 1]):
+                spans.append((i, i + 1))
+                i += 1
+            else:
+                spans.append((i, i + 2))
+                i += 2
+        else:
+            spans.append((i, i + 1))
+            i += 1
+    if not spans:
+        return [w]
+    out = []
+    cur = w[: spans[0][0]]
+    for idx, (s, e) in enumerate(spans):
+        cur += w[s:e]
+        if idx + 1 < len(spans):
+            cluster = w[e: spans[idx + 1][0]]
+            if len(cluster) >= 2 and cluster[-2:] in _IT_ONSET2:
+                coda = cluster[:-2] if len(cluster) > 2 else ""
+                onset = cluster[-2:]
+            elif cluster:
+                coda, onset = cluster[:-1], cluster[-1:]
+            else:
+                coda, onset = "", ""
+            out.append(cur + coda)
+            cur = onset
+        else:
+            out.append(cur + w[e:])
+    return [s for s in out if s]
+
+
+def _it_stress_index(syls: list[str], w: str) -> int:
+    if not syls:
+        return 0
+    if any(c in _IT_ACCENTED for c in w):
+        for i, s in enumerate(syls):
+            if any(c in _IT_ACCENTED for c in s):
+                return i
+    n = len(syls)
+    if n == 1:
+        return 0
+    tail = w.rstrip("-")
+    if not tail:
+        return 0
+    last = _IT_STRIP.get(tail[-1], tail[-1])
+    if last in "aeiou":
+        return n - 2 if n >= 2 else 0
+    return n - 1
+
+
+def _it_insert_stress(ipa: str) -> str:
+    ipa = ipa.replace("ˈ", "").replace("ˌ", "")
+    for i, ch in enumerate(ipa):
+        if ch in "aeiouɛɔ":
+            return ipa[:i] + "ˈ" + ipa[i:]
+    return "ˈ" + ipa
+
+
+def _it_syllable_ipa(s: str) -> str:
+    out = []
+    n = len(s)
+    i = 0
+    vow_after = set("aeiouàèéìòóù")
+    while i < n:
+        if s[i] == "-":
+            i += 1
+            continue
+        if s[i:i + 2] == "zz" and i + 1 < n:
+            out.append("tt͡s")
+            i += 2
+            continue
+        if (s[i:i + 2] == "cc" and i + 2 < n
+                and s[i + 2] in _IT_CG_PALATAL):
+            out.append("tt͡ʃ")
+            i += 3
+            continue
+        if (s[i:i + 2] == "gg" and i + 2 < n
+                and s[i + 2] in _IT_CG_PALATAL):
+            out.append("dd͡ʒ")
+            i += 3
+            continue
+        if s[i:i + 2] == "gn" and i + 1 < n:
+            out.append("ɲɲ")
+            i += 2
+            continue
+        if s[i:i + 3] == "gli" and i + 2 < n:
+            nxt = s[i + 3] if i + 3 < n else ""
+            if not nxt or nxt in vow_after:
+                out.append("ʎ")
+                i += 3
+                continue
+            if nxt == "i" and (i + 4 >= n or s[i + 4] not in _IT_VOWELS):
+                out.append("ʎ")
+                i += 3
+                continue
+        if s[i:i + 2] == "ch" and i + 1 < n:
+            out.append("k")
+            i += 2
+            continue
+        if (s[i:i + 2] == "gh" and i + 2 < n
+                and s[i + 2] in _IT_CG_PALATAL):
+            out.append("ɡ")
+            i += 3
+            continue
+        if (s[i:i + 2] == "sc" and i + 2 < n
+                and s[i + 2] in _IT_CG_PALATAL):
+            out.append("ʃ")
+            i += 3
+            continue
+        if (s[i:i + 2] == "sc" and i + 2 < n
+                and s[i + 2] in "aouàòù"):
+            out.append("sk")
+            i += 3
+            continue
+        if s[i:i + 2] == "qu" and i + 1 < n:
+            out.append("kw")
+            i += 2
+            continue
+        if (s[i:i + 2] == "gu" and i + 2 < n
+                and s[i + 2] in _IT_CG_PALATAL):
+            out.append("ɡ")
+            i += 2
+            continue
+        if (s[i:i + 2] == "ci" and i + 2 < n and s[i + 2] in _IT_VOWELS):
+            out.append("t͡ʃ")
+            i += 2
+            continue
+        if (s[i:i + 2] == "gi" and i + 2 < n and s[i + 2] in _IT_VOWELS):
+            out.append("d͡ʒ")
+            i += 2
+            continue
+        if s[i] == "c" and i + 1 < n and s[i + 1] in _IT_CG_PALATAL:
+            out.append("t͡ʃ")
+            i += 2
+            continue
+        if s[i] == "g" and i + 1 < n and s[i + 1] in _IT_CG_PALATAL:
+            out.append("d͡ʒ")
+            i += 2
+            continue
+        ch = s[i]
+        if ch == "h":
+            i += 1
+            continue
+        if (i + 1 < n and s[i + 1] == ch and ch not in _IT_VOWELS):
+            if ch in "bcdfglmnpstv":
+                out.append(ch + ch)
+            else:
+                out.append(ch)
+            i += 2
+            continue
+        if ch == "c":
+            out.append("k")
+            i += 1
+            continue
+        if ch == "g":
+            out.append("ɡ")
+            i += 1
+            continue
+        if ch == "q":
+            if i + 1 < n and s[i + 1] == "u":
+                k = i + 2
+                while k < n and s[k] == "h":
+                    k += 1
+                if k < n and s[k] in _IT_VOWELS:
+                    out.append("k")
+                    i += 2
+                    continue
+            out.append("k")
+            i += 1
+            continue
+        if ch == "s":
+            prev_v = i > 0 and s[i - 1] in _IT_VOWELS
+            k = i + 1
+            while k < n and s[k] == "h":
+                k += 1
+            next_v = k < n and s[k] in _IT_VOWELS
+            out.append("z" if (prev_v and next_v) else "s")
+            i += 1
+            continue
+        if ch == "z":
+            prev_v = i > 0 and s[i - 1] in _IT_VOWELS
+            k = i + 1
+            while k < n and s[k] == "h":
+                k += 1
+            next_v = k < n and s[k] in _IT_VOWELS
+            out.append("d͡ʒ" if (prev_v and next_v) else "t͡s")
+            i += 1
+            continue
+        if ch == "x":
+            out.append("ks")
+            i += 1
+            continue
+        if ch in "jwk":
+            out.append({"j": "j", "w": "w", "k": "k"}[ch])
+            i += 1
+            continue
+        if ch in _IT_VOWELS:
+            if i + 1 < n and s[i + 1] in _IT_VOWELS:
+                a = _IT_STRIP.get(ch, ch)
+                b = s[i + 1]
+                bb = _IT_STRIP.get(b, b)
+                pair = None
+                if a == "a" and bb == "u":
+                    pair = "aw"
+                elif a == "a" and bb == "i":
+                    pair = "aj"
+                elif ch in "eéè" and bb == "i":
+                    pair = "ej"
+                elif a == "o" and bb == "i":
+                    pair = "oj"
+                elif ch in "eéè" and bb == "u":
+                    pair = "ɛw"
+                elif a == "o" and bb == "u":
+                    pair = "ow"
+                if pair:
+                    out.append(pair)
+                    i += 2
+                    continue
+            if ch in "aà":
+                out.append("a")
+            elif ch in "eé":
+                out.append("e")
+            elif ch in "èê":
+                out.append("ɛ")
+            elif ch in "iíìî":
+                out.append("i")
+            elif ch in "oó":
+                out.append("o")
+            elif ch == "ò":
+                out.append("ɔ")
+            elif ch in "uùú":
+                out.append("u")
+            else:
+                out.append("a")
+            i += 1
+            continue
+        if ch in "bdflmnprtv":
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+class ItalianG2P:
+    """Italian G2P mirroring the reference's italian.cpp: orthographic
+    syllabification with the Italian hiatus rules, accent/termination
+    stress, soft c/g with the vowel-as-marker convention, geminates,
+    gn -> double palatal nasal, gli, sc(i), intervocalic s/z voicing,
+    fused cardinal forms, and the vocoder stress move."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = it_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        lo = w.lower()
+        if lo in self.lexicon:
+            return move_stress_to_nucleus(self.lexicon[lo])
+        if lo in _IT_FUNCTION_WORDS:
+            return move_stress_to_nucleus(_IT_FUNCTION_WORDS[lo])
+        wl = "".join(c for c in lo
+                     if c == "-" or ("a" <= c <= "z") or c in _IT_ACCENTED)
+        if not wl:
+            return ""
+        syls = it_syllables(wl)
+        if not syls:
+            return ""
+        stress_idx = _it_stress_index(syls, wl)
+        parts = []
+        for idx, sy in enumerate(syls):
+            chunk = _it_syllable_ipa(sy)
+            if idx == stress_idx and chunk:
+                chunk = _it_insert_stress(chunk)
+            parts.append(chunk)
+        return move_stress_to_nucleus("".join(parts))

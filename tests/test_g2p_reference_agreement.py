@@ -23,7 +23,7 @@ FLOORS = {
     "es_mx": (0.97, 0.99),
     "fr": (0.58, 0.89),
     "hi": (0.97, 0.99),
-    "it": (0.63, 0.93),
+    "it": (0.97, 0.99),
     "ja": (0.04, 0.52),
     "ko": (0.97, 0.99),
     "nl": (0.61, 0.91),

@@ -207,8 +207,8 @@ def test_facade_speed_option():
         ("fr", "eau", "o"),
         ("de", "buch", "bˈʊx"),
         ("de", "schiff", "ʃˈɪff"),
-        ("it", "ciao", "tʃao"),
-        ("it", "gnocchi", "ɲokki"),
+        ("it", "ciao", "t͡ʃˈao"),
+        ("it", "gnocchi", "ɲɲˈokki"),
         ("pt", "chave", "ʃˈavɪ"),  # final-e reduction (pt_br)
     ],
 )
