@@ -412,7 +412,7 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
             "ru": lambda: lr.RussianG2P(),
             "uk": lambda: lr.UkrainianG2P(),
             "tr": lambda: lr.TurkishG2P(),
-            "nl": lambda: RuleG2P(lr._NL_RULES),
+            "nl": lambda: lr.DutchG2P(),
             "vi": lambda: lr.VietnameseG2P(),
             "hi": lambda: lr.DevanagariG2P(),
             "ar": lambda: lr.ArabicG2P(),

@@ -574,22 +574,6 @@ def _strip_pinyin_tones(w: str) -> tuple[str, list[str]]:
 # Dutch
 # ---------------------------------------------------------------------------
 
-_NL_RULES: list[tuple[str, str]] = [
-    # Final devoicing (heb, web -> p; zag -> x is via g->ɣ? no: final g
-    # devoices to x in Dutch).
-    (r"b(?=#)", "p"), (r"g(?=#)", "x"),
-    (r"sch(?=#)", "s"), (r"sch", "sx"), (r"ch", "x"), (r"ng(?=#)", "ŋ"),
-    (r"ng", "ŋ"), (r"nk", "ŋk"),
-    (r"ij", "ɛi"), (r"ei", "ɛi"), (r"ui", "œy"), (r"ou", "ʌu"), (r"au", "ʌu"),
-    (r"oe", "u"), (r"eu", "ø"), (r"ie", "i"),
-    (r"aa", "aː"), (r"ee(?=#)", "eː"), (r"ee", "eː"), (r"oo", "oː"), (r"uu", "yː"),
-    (r"e(?=#)", "ə"), (r"en(?=#)", "ən"), (r"er(?=#)", "ər"), (r"el(?=#)", "əl"),
-    (r"a", "ɑ"), (r"e", "ɛ"), (r"i", "ɪ"), (r"o", "ɔ"), (r"u", "ʏ"), (r"y", "i"),
-    (r"g", "ɣ"), (r"v", "v"), (r"w", "ʋ"), (r"z", "z"), (r"j", "j"),
-    (r"b", "b"), (r"c", "k"), (r"d(?=#)", "t"), (r"d", "d"), (r"f", "f"),
-    (r"h", "ɦ"), (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"),
-    (r"p", "p"), (r"r", "r"), (r"s", "s"), (r"t", "t"), (r"x", "ks"),
-]
 
 # ---------------------------------------------------------------------------
 # Vietnamese — full diacritic inventory, tones as IPA tone letters
@@ -4097,3 +4081,422 @@ class ItalianG2P:
                 chunk = _it_insert_stress(chunk)
             parts.append(chunk)
         return move_stress_to_nucleus("".join(parts))
+
+
+# ---------------------------------------------------------------------------
+# Dutch — syllable engine mirroring the reference's dutch.cpp
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = set("aeiouyáéíóúàèêëïöü")
+_NL_STRIP_VOWEL = {"á": "a", "à": "a", "é": "e", "è": "e", "ê": "e",
+                   "ë": "e", "í": "i", "ï": "i", "ó": "o", "ö": "o",
+                   "ú": "u", "ü": "u"}
+_NL_NUCLEI_ORTH = ["aai", "eeu", "oei", "ieu", "ij", "ei", "au", "ou",
+                   "ui", "eu", "aa", "ee", "oo", "uu", "oe", "ai", "ie"]
+_NL_PREFIXES = ["tegen", "tussen", "door", "voor", "ver", "her", "ont",
+                "in", "op", "af", "uit", "aan", "be", "ge", "er", "te"]
+_NL_STRESS_PATTERNS = ["ɛi", "ʌu", "ʌy", "øː", "aɪ̯", "iː", "eː", "aː",
+                       "oː", "uː", "yː", "ɪ", "ʏ", "y", "ø", "a", "ɛ",
+                       "ə", "i", "o", "ɔ", "u", "ɑ"]
+_NL_DEVOICE = {"b": "p", "d": "t", "ɡ": "k", "v": "f", "z": "s",
+               "ɣ": "x", "ʒ": "ʃ"}
+_NL_DIGITS = ["nul", "een", "twee", "drie", "vier", "vijf", "zes",
+              "zeven", "acht", "negen"]
+_NL_TENS = ["", "", "twintig", "dertig", "veertig", "vijftig", "zestig",
+            "zeventig", "tachtig", "negentig"]
+_NL_TEENS = {13: "dertien", 14: "veertien", 15: "vijftien", 16: "zestien",
+             17: "zeventien", 18: "achttien", 19: "negentien"}
+
+# Function words (dutch.cpp function_word_ipa:611-621).
+_NL_FUNCTION_WORDS = {
+    "de": "də", "het": "ɦət", "een": "ən", "te": "tə", "je": "jə",
+    "ze": "zə", "we": "ʋə", "me": "mə", "mijn": "mɛin", "zijn": "zɛin",
+    "hij": "ɦɛi", "wij": "ʋɛi", "jij": "jɛi",
+}
+
+
+def nl_cardinal_words(s: str) -> str:
+    """Digit string -> Dutch words (dutch.cpp:221-369), including the
+    teen-hundred year style (1891 -> achttienhonderd eenennegentig)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_NL_DIGITS[int(c)] for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "nul"
+
+    def below_100(n):
+        if n < 10:
+            return _NL_DIGITS[n]
+        if n < 13:
+            return ["tien", "elf", "twaalf"][n - 10]
+        if n < 20:
+            return _NL_TEENS[n]
+        t, u = divmod(n, 10)
+        if u == 0:
+            return _NL_TENS[t]
+        stem = _NL_DIGITS[u]
+        return stem + "en" + _NL_TENS[t]
+
+    def below_1000(n):
+        if n < 100:
+            return below_100(n)
+        h, r = divmod(n, 100)
+        head = "honderd" if h == 1 else _NL_DIGITS[h] + "honderd"
+        return head if r == 0 else head + " " + below_100(r)
+
+    if n < 1000:
+        return below_1000(n)
+    if n < 10_000:
+        if n < 1100:
+            return "duizend" if n == 1000 else \
+                "duizend " + below_100(n - 1000)
+        if n < 2000:
+            c, r = divmod(n, 100)
+            head = _NL_TEENS.get(c, below_100(c)) + "honderd" if c >= 13 \
+                else ["elf", "twaalf"][c - 11] + "honderd"
+            return head if r == 0 else head + " " + below_100(r)
+        q, r = divmod(n, 1000)
+        left = "duizend" if q == 1 else below_100(q) + "duizend"
+        return left if r == 0 else left + " " + below_1000(r)
+    q, r = divmod(n, 1000)
+    if q == 1:
+        left = "duizend"
+    elif q < 10:
+        left = _NL_DIGITS[q] + "duizend"
+    elif q < 100:
+        left = below_100(q) + "duizend"
+    else:
+        left = below_1000(q) + " duizend"
+    return left if r == 0 else left + " " + below_1000(r)
+
+
+def nl_syllables(w: str) -> list[str]:
+    w = w.strip("-")
+    while "--" in w:
+        w = w.replace("--", "-")
+    if not w:
+        return []
+    if "-" in w:
+        out = []
+        for chunk in w.split("-"):
+            if chunk:
+                out.extend(nl_syllables(chunk))
+        return out
+    spans = []
+    i, n = 0, len(w)
+    while i < n:
+        if w[i] == "-" or w[i] not in _NL_VOWELS:
+            i += 1
+            continue
+        for pat in _NL_NUCLEI_ORTH:
+            if w.startswith(pat, i):
+                spans.append((i, i + len(pat)))
+                i += len(pat)
+                break
+        else:
+            spans.append((i, i + 1))
+            i += 1
+    if not spans:
+        return [w]
+    out = []
+    cur = w[: spans[0][0]]
+    for idx, (s, e) in enumerate(spans):
+        cur += w[s:e]
+        if idx + 1 < len(spans):
+            out.append(cur)
+            cur = w[e: spans[idx + 1][0]]
+        else:
+            out.append(cur + w[e:])
+    return [s for s in out if s]
+
+
+def _nl_stress_index(syls: list[str], w: str) -> int:
+    if len(syls) <= 1:
+        return 0
+    if any(c in "áéíóú" for c in w):
+        for i, s in enumerate(syls):
+            if any(c in "áéíóú" for c in s):
+                return i
+    flat = w.replace("-", "")
+    for suf in ("atie", "iteit", "isme", "eerd", "eren"):
+        if len(flat) > len(suf) + 1 and flat.endswith(suf):
+            return len(syls) - 1
+    for pref in _NL_PREFIXES:
+        if len(flat) > len(pref) and flat.startswith(pref):
+            if (syls[0] and syls[0][0] == "g" and len(syls[0]) > 2
+                    and syls[0][1] == "e"):
+                return 0
+            acc = 0
+            for idx, sy in enumerate(syls):
+                acc += len(sy)
+                if acc >= len(pref):
+                    return min(idx + 1, len(syls) - 1)
+            break
+    return 0
+
+
+def _nl_insert_stress(s: str) -> str:
+    s = s.replace("ˈ", "")
+    pos = 0
+    while pos < len(s):
+        for pat in _NL_STRESS_PATTERNS:
+            if s.startswith(pat, pos):
+                return s[:pos] + "ˈ" + s[pos:]
+        pos += 1
+    return "ˈ" + s
+
+
+def _nl_syllable_ipa(s: str) -> str:
+    out = []
+    n = len(s)
+    i = 0
+    while i < n:
+        if s[i] == "-":
+            i += 1
+            continue
+        ch = s[i]
+        if s[i:i + 3] == "sch":
+            out.append("sx")
+            i += 3
+            continue
+        if s[i:i + 2] == "ch":
+            out.append("x")
+            i += 2
+            continue
+        if s[i:i + 2] == "ng":
+            out.append("ŋ")
+            i += 2
+            continue
+        if s[i:i + 2] == "nk":
+            out.append("ŋk")
+            i += 2
+            continue
+        if s[i:i + 2] == "sj":
+            out.append("ʃ")
+            i += 2
+            continue
+        if s[i:i + 2] == "tj":
+            out.append("tʃ")
+            i += 2
+            continue
+        if s[i:i + 2] in ("ij", "ei"):
+            out.append("ɛi")
+            i += 2
+            continue
+        if s[i:i + 3] == "aai":
+            out.append("aːi")
+            i += 3
+            continue
+        if s[i:i + 3] == "eeu":
+            out.append("eːʏ")
+            i += 3
+            continue
+        if s[i:i + 3] == "oei":
+            out.append("ʌi")
+            i += 3
+            continue
+        if s[i:i + 3] == "ieu":
+            out.append("ʌu")
+            i += 3
+            continue
+        if s[i:i + 2] in ("au", "ou"):
+            out.append("ʌu")
+            i += 2
+            continue
+        if s[i:i + 2] == "ui":
+            out.append("ʌy")
+            i += 2
+            continue
+        if s[i:i + 2] == "eu":
+            out.append("øː")
+            i += 2
+            continue
+        if s[i:i + 2] == "oe":
+            out.append("u")
+            i += 2
+            continue
+        if s[i:i + 2] == "ai":
+            out.append("aɪ̯")
+            i += 2
+            continue
+        if s[i:i + 2] == "aa":
+            out.append("aː")
+            i += 2
+            continue
+        if s[i:i + 2] == "ee":
+            out.append("eː")
+            i += 2
+            continue
+        if s[i:i + 2] == "oo":
+            out.append("oː")
+            i += 2
+            continue
+        if s[i:i + 2] == "uu":
+            out.append("y")
+            i += 2
+            continue
+        if s[i:i + 2] == "ie":
+            nxt = s[i + 2] if i + 2 < n else ""
+            nxt_in_tsd = (not nxt) or nxt in "tsd"
+            cond2 = i + 3 >= n or s[i + 3] not in _NL_VOWELS
+            out.append("i" if (nxt_in_tsd and cond2) else "iː")
+            i += 2
+            continue
+        if s[i:i + 2] == "qu":
+            out.append("kv")
+            i += 2
+            continue
+        if ch == "h":
+            out.append("ɦ")
+            i += 1
+            continue
+        if ch == "x":
+            out.append("ks")
+            i += 1
+            continue
+        if ch == "c" and i + 1 < n and s[i + 1] in "eiéèêë":
+            out.append("s")
+            i += 1
+            continue
+        if ch == "c":
+            out.append("k")
+            i += 1
+            continue
+        if ch == "q":
+            out.append("k")
+            i += 1
+            continue
+        if ch == "j":
+            out.append("j")
+            i += 1
+            continue
+        if ch == "y":
+            pv = i > 0 and s[i - 1] in _NL_VOWELS
+            nv = i + 1 < n and s[i + 1] in _NL_VOWELS
+            out.append("j" if (not pv and nv) else "i")
+            i += 1
+            continue
+        if ch == "w":
+            out.append("ʋ")
+            i += 1
+            continue
+        if ch in "vz":
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "g":
+            out.append("ɣ")
+            i += 1
+            continue
+        if ch in _NL_VOWELS:
+            plain = _NL_STRIP_VOWEL.get(ch, ch)
+            if ch == "é":
+                out.append("eː")
+            elif ch in "èê":
+                out.append("ɛ")
+            elif ch == "ë":
+                out.append("ə")
+            elif ch in "ïü":
+                out.append("y")
+            elif ch == "ö":
+                out.append("ø")
+            elif plain == "a":
+                out.append("ɑ")
+            elif plain == "e":
+                out.append("ə" if i == n - 1 else "ɛ")
+            elif plain == "i":
+                out.append("ɪ")
+            elif plain == "o":
+                out.append("ɔ")
+            elif plain == "u":
+                out.append("ʏ")
+            else:
+                out.append("i")
+            i += 1
+            continue
+        if ch == "r":
+            out.append("r")
+            i += 1
+            continue
+        if s[i:i + 2] == "ss":
+            out.append("s")
+            i += 2
+            continue
+        if ch == "s":
+            pv = i > 0 and s[i - 1] in _NL_VOWELS
+            nv = i + 1 < n and s[i + 1] in _NL_VOWELS
+            out.append("z" if (pv and nv) else "s")
+            i += 1
+            continue
+        if ch in "bdfklmnpt":
+            out.append(ch)
+            i += 1
+            continue
+        if s[i:i + 2] == "ph":
+            out.append("f")
+            i += 2
+            continue
+        if s[i:i + 2] == "th":
+            out.append("t")
+            i += 2
+            continue
+        i += 1
+    ipa = "".join(out)
+    stem = s.rstrip("-")
+    if (len(stem) >= 3 and stem.endswith("ig")
+            and not stem.endswith("lijk")):
+        if ipa.endswith(("ɣ", "ɡ")):
+            ipa = ipa[:-1] + "x"
+    if ipa and ipa[-1] in _NL_DEVOICE:
+        ipa = ipa[:-1] + _NL_DEVOICE[ipa[-1]]
+    return ipa
+
+
+class DutchG2P:
+    """Dutch G2P mirroring the reference's dutch.cpp: multigraph vowel
+    nuclei (ij/ei/ui/eu/oe/aai/eeu/...), suffix/prefix stress heuristics,
+    sch -> s+x, soft g as voiced velar fricative, per-syllable final
+    devoicing, -ig -> x, and the reference's cardinal expansion with
+    teen-hundred years."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon or {})
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = nl_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        lo = w.lower().replace("ĳ", "ij")
+        if lo in self.lexicon:
+            return self.lexicon[lo]
+        if lo in _NL_FUNCTION_WORDS:
+            return _NL_FUNCTION_WORDS[lo]
+        wl = "".join(c for c in lo
+                     if c == "-" or ("a" <= c <= "z") or c in _NL_VOWELS)
+        if not wl:
+            return ""
+        syls = nl_syllables(wl)
+        if not syls:
+            return ""
+        stress_idx = _nl_stress_index(syls, wl)
+        parts = []
+        for idx, sy in enumerate(syls):
+            chunk = _nl_syllable_ipa(sy)
+            if idx == stress_idx and chunk:
+                chunk = _nl_insert_stress(chunk)
+            parts.append(chunk)
+        return "".join(parts)

@@ -26,7 +26,7 @@ FLOORS = {
     "it": (0.97, 0.99),
     "ja": (0.04, 0.52),
     "ko": (0.97, 0.99),
-    "nl": (0.61, 0.91),
+    "nl": (0.97, 0.99),
     "pt_br": (0.97, 0.99),
     "pt_pt": (0.97, 0.99),
     "ru": (0.97, 0.99),
