@@ -227,29 +227,6 @@ _EN_LEXICON = {
 
 # ---- French -----------------------------------------------------------
 
-_FR_RULES: list[tuple[str, str]] = [
-    (r"eau", "o"), (r"eaux(?=#)", "o"), (r"aux(?=#)", "o"), (r"au", "o"),
-    (r"oin", "wɛ̃"), (r"ain(?=#|[^aeiouy])", "ɛ̃"), (r"ein(?=#|[^aeiouy])", "ɛ̃"),
-    (r"in(?=#|[^aeiouy])", "ɛ̃"), (r"un(?=#|[^aeiouy])", "œ̃"),
-    (r"on(?=#|[^aeiouy])", "ɔ̃"), (r"an(?=#|[^aeiouy])", "ɑ̃"),
-    (r"en(?=#|[^aeiouy])", "ɑ̃"),
-    (r"ou", "u"), (r"oi", "wa"), (r"eu", "ø"), (r"œu", "œ"),
-    (r"ch", "ʃ"), (r"gn", "ɲ"), (r"qu", "k"), (r"ph", "f"),
-    (r"ill", "ij"), (r"ail(?=#)", "aj"), (r"eil(?=#)", "ɛj"),
-    (r"ç", "s"), (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "ʒ"), (r"j", "ʒ"),
-    (r"h", ""), (r"es(?=#)", ""), (r"e(?=#)", ""), (r"ent(?=#)", ""),
-    (r"er(?=#)", "e"), (r"ez(?=#)", "e"),
-    (r"[td]s(?=#)", ""),  # silent final clusters: chats, grands
-    (r"[tdsxzp](?=#)", ""),  # silent final consonants (common cases)
-    (r"é", "e"), (r"è", "ɛ"), (r"ê", "ɛ"), (r"ë", "ɛ"), (r"à", "a"),
-    (r"â", "a"), (r"î", "i"), (r"ï", "i"), (r"ô", "o"), (r"û", "y"),
-    (r"ù", "y"), (r"u", "y"), (r"a", "a"), (r"e", "ə"), (r"i", "i"),
-    (r"o", "ɔ"), (r"y", "i"),
-    (r"b", "b"), (r"c", "k"), (r"d", "d"), (r"f", "f"), (r"g", "ɡ"),
-    (r"k", "k"), (r"l", "l"), (r"m", "m"), (r"n", "n"), (r"p", "p"),
-    (r"r", "ʁ"), (r"s", "s"), (r"t", "t"), (r"v", "v"), (r"w", "w"),
-    (r"x", "ks"), (r"z", "z"), (r"'", ""),
-]
 
 # ---- German ------------------------------------------------------------
 
@@ -299,17 +276,22 @@ def _tokenize_words(text: str) -> list[str]:
 
     toks: list[str] = []
     cur: list[str] = []
+
+    def flush():
+        if cur:
+            t = "".join(cur).strip("-")
+            if t:
+                toks.append(t)
+            cur.clear()
+
     for ch in text:
-        if ch == "'" or _ud.category(ch)[0] in ("L", "M", "N"):
+        if ch in "'-" or _ud.category(ch)[0] in ("L", "M", "N"):
             cur.append(ch)
         else:
-            if cur:
-                toks.append("".join(cur))
-                cur = []
+            flush()
             if ch in ".,!?;:":
                 toks.append(ch)
-    if cur:
-        toks.append("".join(cur))
+    flush()
     return toks
 
 
@@ -357,12 +339,13 @@ class GraphemeToPhonemizer:
         words = [t for t in tokens if t not in _PUNCT_PAUSE]
         out: list[str] = []
         wi = 0
-        prev_adjacent_word: str | None = None  # no pause since it
+        prev_word: str | None = None  # last WORD (liaison spans punctuation,
+        prev_word_idx = -1            # mirroring the reference's word list)
+        liaison = getattr(self.engine, "liaison_pair", None)
         for token in tokens:
             if token in _PUNCT_PAUSE:
                 if with_pauses and out:
                     out.append(_PUNCT_PAUSE[token])
-                prev_adjacent_word = None  # liaison never crosses a pause
                 continue
             ipa = None
             if self.language.startswith("en"):
@@ -373,19 +356,15 @@ class GraphemeToPhonemizer:
                 ipa = resolve_heteronym(token, prev_w, next_w)
             if ipa is None:
                 ipa = self.word_to_ipa(token)
-            if self.language.startswith("fr") and prev_adjacent_word and ipa:
-                # Mandatory liaison: the trigger's silent final consonant
-                # surfaces as the onset of the vowel-initial next word
-                # (reference: lang-specific french liaison rules).
-                from .lang_rules import french_liaison_consonant
-
-                cons = french_liaison_consonant(prev_adjacent_word, token)
-                if cons:
-                    ipa = cons + ipa
+            if (liaison is not None and prev_word is not None
+                    and prev_word_idx >= 0 and ipa):
+                out[prev_word_idx] = liaison(
+                    prev_word, out[prev_word_idx], token, ipa)
             wi += 1
             if ipa:
                 out.append(ipa)
-                prev_adjacent_word = token
+                prev_word = token
+                prev_word_idx = len(out) - 1
         return " ".join(out)
 
     def word_to_ipa(self, word: str) -> str:
@@ -424,18 +403,14 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
     return make
 
 
-def _fr_lexicon() -> dict[str, str]:
-    from .lang_rules import FR_LEXICON
-
-    return FR_LEXICON
-
-
 _ENGINES: dict[str, Callable[[], RuleG2P]] = {
     "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
     "es": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["SpanishG2P"]
     ).SpanishG2P("es-MX"),
-    "fr": lambda: RuleG2P(_FR_RULES, _fr_lexicon()),
+    "fr": lambda: __import__(
+        "moonshine_tpu.tts.lang_rules", fromlist=["FrenchG2P"]
+    ).FrenchG2P(),
     "de": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["GermanG2P"]
     ).GermanG2P(),

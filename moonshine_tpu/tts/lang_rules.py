@@ -1269,16 +1269,6 @@ def resolve_heteronym(word: str, prev_word: str, next_word: str) -> str | None:
 
 # High-frequency French function words (lexicon: the rule engine cannot
 # know silent-final irregulars like "est" /ɛ/ or "et" /e/).
-FR_LEXICON: dict[str, str] = {
-    "et": "e", "est": "ɛ", "sont": "sɔ̃", "les": "le", "des": "de",
-    "mes": "me", "tes": "te", "ses": "se", "nos": "no", "vos": "vo",
-    "un": "œ̃", "une": "yn", "deux": "dø", "trois": "tʁwa", "six": "sis",
-    "dix": "dis", "huit": "ɥit", "neuf": "nœf", "on": "ɔ̃", "en": "ɑ̃",
-    "dans": "dɑ̃", "sans": "sɑ̃", "chez": "ʃe", "très": "tʁɛ",
-    "plus": "ply", "nous": "nu", "vous": "vu", "ils": "il", "elles": "ɛl",
-    "quand": "kɑ̃", "grand": "ɡʁɑ̃", "petit": "pəti", "bien": "bjɛ̃",
-    "tout": "tu", "aux": "o", "aujourd'hui": "oʒuʁdɥi", "monsieur": "məsjø",
-}
 
 # Mandatory-liaison triggers -> the consonant that surfaces before a
 # vowel-initial word.  (Nasal triggers denasalize in careful speech; we
@@ -1301,21 +1291,6 @@ _FR_H_ASPIRE = frozenset({
 })
 
 _FR_VOWELS = "aeiouyàâæéèêëîïôœùûü"
-
-
-def french_liaison_consonant(word: str, next_word: str) -> str | None:
-    """The liaison consonant to surface between word and next_word, or
-    None.  Fires only for mandatory-liaison function words followed by a
-    vowel sound (vowel letter, or mute h that is not h-aspiré)."""
-    w, nxt = word.lower(), next_word.lower()
-    cons = _FR_LIAISON.get(w)
-    if cons is None or not nxt:
-        return None
-    if nxt[0] in _FR_VOWELS:
-        return cons
-    if nxt[0] == "h" and nxt not in _FR_H_ASPIRE:
-        return cons
-    return None
 
 
 # ---------------------------------------------------------------------------
@@ -4500,3 +4475,649 @@ class DutchG2P:
                 chunk = _nl_insert_stress(chunk)
             parts.append(chunk)
         return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# French — engine mirroring the reference's french.cpp / french-oov.cpp
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = set("aàâäeéèêëiïîoôöuùûüyœæ")
+_FR_NUCLEUS_PREFIXES = ["ɑ̃", "ɛ̃", "ɔ̃", "œ̃", "ə", "ɛ", "œ", "ø", "ɔ",
+                        "ɑ", "æ", "ɜ", "a", "e", "i", "o", "u", "y", "ɪ",
+                        "ʊ"]
+_FR_IPA_NUCLEUS_CPS = set("aeiouyøœɔɑɛəɜɪʊʁjwɥ")
+_FR_H_ASPIRE = {
+    "hareng", "harpagon", "harpe", "hargneux", "hargneusement",
+    "hautain", "haut", "hâte", "haïr", "haï", "haïe", "haïes", "haïs",
+    "héros", "héroïne", "hérisson", "hérésie", "hiérarchie", "hollande",
+    "honte", "honteux", "huit", "huitième", "humble", "humour", "hurler",
+    "hutte",
+}
+_FR_HETERONYM_DEFAULT = {"est": "ɛ", "a": "a"}
+
+# Pre-phonemized cardinal compounds (french-compound-map.cpp; data table).
+_FR_COMPOUND_IPA = {
+    "cinquante": "sɛ̃kˈɑ̃t", "cinquante-cinq": "sɛ̃kˈɑ̃tsˈɛ̃k",
+    "cinquante-deux": "sɛ̃kˈɑ̃tdˈø", "cinquante-et-un": "sɛ̃kˈɑ̃teˈœ̃",
+    "cinquante-huit": "sɛ̃kˈɑ̃tyˈit", "cinquante-neuf": "sɛ̃kˈɑ̃tnˈœf",
+    "cinquante-quatre": "sɛ̃kˈɑ̃tkˈatʁ", "cinquante-sept": "sɛ̃kˈɑ̃tsˈɛt",
+    "cinquante-six": "sɛ̃kˈɑ̃tsˈis", "cinquante-trois": "sɛ̃kˈɑ̃ttʁwˈa",
+    "dix-huit": "dˈizyˈit", "dix-neuf": "dˈiznˈœf", "dix-sept": "dˈisˈɛt",
+    "quarante": "kaʁˈɑ̃t", "quarante-cinq": "kaʁˈɑ̃tsˈɛ̃k",
+    "quarante-deux": "kaʁˈɑ̃tdˈø", "quarante-et-un": "kaʁˈɑ̃teˈœ̃",
+    "quarante-huit": "kaʁˈɑ̃tyˈit", "quarante-neuf": "kaʁˈɑ̃tnˈœf",
+    "quarante-quatre": "kaʁˈɑ̃tkˈatʁ", "quarante-sept": "kaʁˈɑ̃tsˈɛt",
+    "quarante-six": "kaʁˈɑ̃tsˈis", "quarante-trois": "kaʁˈɑ̃ttʁwˈa",
+    "quatre-vingt-cinq": "kˈatʁvˈɛ̃tsˈɛ̃k",
+    "quatre-vingt-deux": "kˈatʁvˈɛ̃tdˈø",
+    "quatre-vingt-dix": "kˈatʁvˈɛ̃dˈis",
+    "quatre-vingt-dix-huit": "kˈatʁvˈɛ̃dˈizyˈit",
+    "quatre-vingt-dix-neuf": "kˈatʁvˈɛ̃dˈiznˈœf",
+    "quatre-vingt-dix-sept": "kˈatʁvˈɛ̃dˈisˈɛt",
+    "quatre-vingt-douze": "kˈatʁvˈɛ̃dˈuz",
+    "quatre-vingt-huit": "kˈatʁvˈɛ̃tyˈit",
+    "quatre-vingt-neuf": "kˈatʁvˈɛ̃tnˈœf",
+    "quatre-vingt-onze": "kˈatʁvˈɛ̃tˈɔ̃z",
+    "quatre-vingt-quatorze": "kˈatʁvˈɛ̃katˈɔʁz",
+    "quatre-vingt-quatre": "kˈatʁvˈɛ̃tkˈatʁ",
+    "quatre-vingt-quinze": "kˈatʁvˈɛ̃kˈɛ̃z",
+    "quatre-vingt-seize": "kˈatʁvˈɛ̃sˈɛz",
+    "quatre-vingt-sept": "kˈatʁvˈɛ̃tsˈɛt",
+    "quatre-vingt-six": "kˈatʁvˈɛ̃tsˈis",
+    "quatre-vingt-treize": "kˈatʁvˈɛ̃tʁˈɛz",
+    "quatre-vingt-trois": "kˈatʁvˈɛ̃ttʁwˈa",
+    "quatre-vingt-un": "kˈatʁvˈɛ̃ˈœ̃", "quatre-vingts": "kˈatʁvˈɛ̃",
+    "soixante-cinq": "swasˈɑ̃tsˈɛ̃k", "soixante-deux": "swasˈɑ̃tdˈø",
+    "soixante-dix": "swasˈɑ̃tdˈis",
+    "soixante-dix-huit": "swasˈɑ̃tdˈizyˈit",
+    "soixante-dix-neuf": "swasˈɑ̃tdˈiznˈœf",
+    "soixante-dix-sept": "swasˈɑ̃tdˈisˈɛt",
+    "soixante-douze": "swasˈɑ̃tdˈuz", "soixante-et-onze": "swasˈɑ̃teˈɔ̃z",
+    "soixante-huit": "swasˈɑ̃tyˈit", "soixante-neuf": "swasˈɑ̃tnˈœf",
+    "soixante-onze": "swasˈɑ̃tˈɔ̃z", "soixante-quatorze": "swasˈɑ̃tkatˈɔʁz",
+    "soixante-quatre": "swasˈɑ̃tkˈatʁ", "soixante-quinze": "swasˈɑ̃tkˈɛ̃z",
+    "soixante-seize": "swasˈɑ̃tsˈɛz", "soixante-sept": "swasˈɑ̃tsˈɛt",
+    "soixante-six": "swasˈɑ̃tsˈis", "soixante-treize": "swasˈɑ̃ttʁˈɛz",
+    "soixante-trois": "swasˈɑ̃ttʁwˈa", "soixante-un": "swasˈɑ̃tˈœ̃",
+    "trente": "tʁˈɑ̃t", "trente-cinq": "tʁˈɑ̃tsˈɛ̃k",
+    "trente-deux": "tʁˈɑ̃tdˈø", "trente-et-un": "tʁˈɑ̃teˈœ̃",
+    "trente-huit": "tʁˈɑ̃tyˈit", "trente-neuf": "tʁˈɑ̃tnˈœf",
+    "trente-quatre": "tʁˈɑ̃tkˈatʁ", "trente-sept": "tʁˈɑ̃tsˈɛt",
+    "trente-six": "tʁˈɑ̃tsˈis", "trente-trois": "tʁˈɑ̃ttʁwˈa",
+    "vingt": "vˈɛ̃", "vingt-cinq": "vˈɛ̃tsˈɛ̃k", "vingt-deux": "vˈɛ̃tdˈø",
+    "vingt-et-un": "vˈɛ̃teˈœ̃", "vingt-huit": "vˈɛ̃tyˈit",
+    "vingt-neuf": "vˈɛ̃tnˈœf", "vingt-quatre": "vˈɛ̃tkˈatʁ",
+    "vingt-sept": "vˈɛ̃tsˈɛt", "vingt-six": "vˈɛ̃tsˈis",
+    "vingt-trois": "vˈɛ̃ttʁwˈa",
+}
+
+_FR_UNITS = ["zéro", "un", "deux", "trois", "quatre", "cinq", "six",
+             "sept", "huit", "neuf", "dix", "onze", "douze", "treize",
+             "quatorze", "quinze", "seize"]
+
+
+def fr_cardinal_words(s: str) -> str:
+    """Digit string -> French words (french.cpp:341-516)."""
+    if not s.isdigit():
+        return s
+    if len(s) > 1 and s[0] == "0":
+        return " ".join(_FR_UNITS[int(c)] if int(c) < 10 else "" for c in s)
+    n = int(s)
+    if n > 999_999:
+        return s
+    if n == 0:
+        return "zéro"
+
+    def below_100(n):
+        if n < 17:
+            return [_FR_UNITS[n]]
+        if n < 20:
+            return ["dix-" + _FR_UNITS[n - 10]]
+        if n < 60:
+            tens = (n // 10) * 10
+            u = n % 10
+            tw = {20: "vingt", 30: "trente", 40: "quarante",
+                  50: "cinquante"}.get(tens, "vingt")
+            if u == 0:
+                return [tw]
+            if u == 1:
+                return [tw + "-et-un"]
+            return [tw + "-" + _FR_UNITS[u]]
+        if n < 70:
+            return ["soixante-" + _FR_UNITS[n - 60]]
+        if n < 80:
+            u = n - 70
+            if u == 1:
+                return ["soixante-et-onze"]
+            if u <= 6:
+                return ["soixante-" + _FR_UNITS[10 + u]]
+            return ["soixante-dix-" + _FR_UNITS[u]]
+        u = n - 80
+        if u == 0:
+            return ["quatre-vingts"]
+        if u == 10:
+            return ["quatre-vingt-dix"]
+        if u < 17:
+            return ["quatre-vingt-" + _FR_UNITS[u]]
+        return ["quatre-vingt-dix-" + _FR_UNITS[u - 10]]
+
+    def below_1000(n):
+        if n == 0:
+            return []
+        h, r = divmod(n, 100)
+        if h == 0:
+            return below_100(r)
+        if h == 1:
+            return ["cent"] + (below_100(r) if r else [])
+        if r == 0:
+            return [_FR_UNITS[h], "cents"]
+        return [_FR_UNITS[h], "cent"] + below_100(r)
+
+    if n < 1000:
+        return " ".join(below_1000(n))
+    q, r = divmod(n, 1000)
+    parts = (["mille"] if q == 1 else below_1000(q) + ["mille"])
+    if r:
+        parts += below_1000(r)
+    return " ".join(parts)
+
+
+def _fr_letters_only(raw: str) -> str:
+    return "".join(c for c in raw.lower() if c in _FR_VOWELS
+                   or ("a" <= c <= "z") or c == "ç")
+
+
+def _fr_scan_graphemes(w: str) -> str:
+    """Letter walk of the reference's french-oov.cpp scan_graphemes."""
+    out: list[str] = []
+    i, n = 0, len(w)
+
+    def v(c):
+        return c in _FR_VOWELS
+
+    def next_not_vowel(j):
+        return j >= n or not v(w[j])
+
+    soft = set("eéèêëiïy")
+    while i < n:
+        ch = w[i]
+        if ch == "h":
+            i += 1
+            continue
+        if w.startswith("aient", i) and (i == 0 or not v(w[i - 1])):
+            out.append("ɛ")
+            i += 5
+            continue
+        if w.startswith("ant", i) and i + 3 >= n:
+            out.append("ɑ̃")
+            i += 3
+            continue
+        if w.startswith("eaux", i):
+            out.append("o")
+            i += 4
+            continue
+        if w.startswith("eau", i):
+            out.append("o")
+            i += 3
+            continue
+        if w.startswith("tion", i) and next_not_vowel(i + 4):
+            out.append("sjɔ̃")
+            i += 4
+            continue
+        if w.startswith("sion", i) and next_not_vowel(i + 4):
+            out.append("zjɔ̃")
+            i += 4
+            continue
+        if w.startswith("oin", i) and next_not_vowel(i + 3):
+            out.append("wɛ̃")
+            i += 3
+            continue
+        if w.startswith("ien", i) and next_not_vowel(i + 3):
+            out.append("jɛ̃")
+            i += 3
+            continue
+        if w.startswith("ain", i) and next_not_vowel(i + 3):
+            out.append("ɛ̃")
+            i += 3
+            continue
+        if w.startswith("eil", i) and next_not_vowel(i + 3):
+            out.append("ɛj")
+            i += 3
+            continue
+        if w.startswith("ail", i) and next_not_vowel(i + 3):
+            out.append("aj")
+            i += 3
+            continue
+        if w.startswith("oui", i):
+            out.append("wi")
+            i += 3
+            continue
+        if w.startswith("ou", i) or w.startswith("oo", i):
+            out.append("u")
+            i += 2
+            continue
+        if w.startswith("oi", i):
+            out.append("wa")
+            i += 2
+            continue
+        if w.startswith("ai", i) or w.startswith("ei", i):
+            out.append("ɛ")
+            i += 2
+            continue
+        if w.startswith("au", i) and (i + 2 >= n or not v(w[i + 2])):
+            out.append("o")
+            i += 2
+            continue
+        if w.startswith("eu", i):
+            out.append("ø")
+            i += 2
+            continue
+        if ch == "œ" and i + 1 < n and w[i + 1] == "u":
+            out.append("ø")
+            i += 2
+            continue
+        if ch == "œ":
+            out.append("œ")
+            i += 1
+            continue
+        if ch == "æ":
+            out.append("e")
+            i += 1
+            continue
+        if (w.startswith("an", i) or w.startswith("am", i)) \
+                and next_not_vowel(i + 2):
+            out.append("ɑ̃")
+            i += 2
+            continue
+        if (w.startswith("en", i) or w.startswith("em", i)) \
+                and next_not_vowel(i + 2):
+            if i > 0 and w[i - 1] in "iïy":
+                out.append("ɛ̃")
+            else:
+                out.append("ɑ̃")
+            i += 2
+            continue
+        if (w.startswith("in", i) or w.startswith("im", i)
+                or w.startswith("yn", i) or w.startswith("ym", i)) \
+                and next_not_vowel(i + 2):
+            out.append("ɛ̃")
+            i += 2
+            continue
+        if (w.startswith("on", i) or w.startswith("om", i)) \
+                and next_not_vowel(i + 2):
+            out.append("ɔ̃")
+            i += 2
+            continue
+        if (w.startswith("un", i) or w.startswith("um", i)) \
+                and next_not_vowel(i + 2):
+            out.append("œ̃")
+            i += 2
+            continue
+        if w.startswith("qu", i) and i + 2 < n and v(w[i + 2]):
+            out.append("k")
+            i += 2
+            continue
+        if (ch == "g" and i + 2 < n and w[i + 1] == "u"
+                and w[i + 2] in soft):
+            out.append("ɡ")
+            i += 2
+            continue
+        if w.startswith("ch", i):
+            out.append("ʃ")
+            i += 2
+            continue
+        if w.startswith("gn", i):
+            out.append("ɲ")
+            i += 2
+            continue
+        if w.startswith("ph", i):
+            out.append("f")
+            i += 2
+            continue
+        if w.startswith("th", i):
+            out.append("t")
+            i += 2
+            continue
+        if ch == "c" and i + 1 < n and w[i + 1] == "ç":
+            out.append("ks")
+            i += 2
+            continue
+        if ch == "ç":
+            out.append("s")
+            i += 1
+            continue
+        if ch == "c":
+            nx = w[i + 1] if i + 1 < n else ""
+            out.append("s" if nx in soft else "k")
+            i += 1
+            continue
+        if ch == "g":
+            nx = w[i + 1] if i + 1 < n else ""
+            out.append("ʒ" if nx in soft else "ɡ")
+            i += 1
+            continue
+        if ch == "x":
+            if not out:
+                out.append("ɡz" if (i + 1 < n and v(w[i + 1])) else "ks")
+            else:
+                last = out[-1]
+                z_link = bool(last) and (last[-1] in "aeiouyøœɔɑɛə"
+                                         or last.endswith("̃"))
+                out.append("z" if z_link else "ks")
+            i += 1
+            continue
+        if v(ch):
+            if ch in "aàâä":
+                out.append("a")
+            elif ch == "é":
+                out.append("e")
+            elif ch in "èêë":
+                out.append("ɛ")
+            elif ch == "e":
+                if i + 1 >= n:
+                    i += 1
+                    continue
+                out.append("ə" if not v(w[i + 1]) else "e")
+            elif ch in "iïî":
+                out.append("i")
+            elif ch in "oô":
+                out.append("o")
+            elif ch == "ö":
+                out.append("ø")
+            elif ch in "uùûü":
+                out.append("y")
+            elif ch == "y":
+                out.append("i")
+            else:
+                out.append("a")
+            i += 1
+            continue
+        cons = {"b": "b", "d": "d", "f": "f", "j": "ʒ", "k": "k",
+                "l": "l", "m": "m", "n": "n", "p": "p", "q": "k",
+                "r": "ʁ", "s": "s", "t": "t", "v": "v", "w": "w",
+                "z": "z"}
+        if ch in cons:
+            out.append(cons[ch])
+        i += 1
+    return "".join(out)
+
+
+def _fr_is_nucleus_cp(c: str) -> bool:
+    return c in _FR_IPA_NUCLEUS_CPS
+
+
+def _fr_trim_final(ipa: str, ortho: str) -> str:
+    """Silent final consonant trimming driven by orthography
+    (french-oov.cpp trim_final_by_orthography)."""
+    o = ortho.rstrip("e")
+    if not o or not ipa:
+        return ipa
+    s = list(ipa)
+
+    def prev_is_nucleus(idx):
+        if idx < 0:
+            return False
+        if s[idx] == "̃":
+            return True
+        return _fr_is_nucleus_cp(s[idx]) or s[idx] in "éèê"
+
+    while s and s[-1] in "td" and prev_is_nucleus(len(s) - 2):
+        s.pop()
+    while s and s[-1] in "pb" and prev_is_nucleus(len(s) - 2):
+        s.pop()
+    if o[-1] in "sxz":
+        while s and s[-1] in "sz" and prev_is_nucleus(len(s) - 2):
+            s.pop()
+    return "".join(s)
+
+
+def fr_nucleus_spans(s: str) -> list[tuple[int, int]]:
+    spans = []
+    i, n = 0, len(s)
+    while i < n:
+        for p in _FR_NUCLEUS_PREFIXES:
+            if s.startswith(p, i):
+                spans.append((i, i + len(p)))
+                i += len(p)
+                break
+        else:
+            i += 1
+    return spans
+
+
+def fr_nuclear_stress(ipa: str) -> str:
+    """ˈ before the LAST nucleus (french.cpp ensure_french_nuclear_stress)."""
+    if not ipa.strip():
+        return ipa
+    if "-" in ipa:
+        return "-".join(fr_nuclear_stress(c) for c in ipa.split("-") if c)
+    s = ipa.replace("ˈ", "").replace("ˌ", "")
+    if not s:
+        return ipa
+    spans = fr_nucleus_spans(s)
+    if not spans:
+        return "ˈ" + s
+    at = spans[-1][0]
+    return s[:at] + "ˈ" + s[at:]
+
+
+def fr_liaison_consonant(word: str) -> str | None:
+    """Orthographic liaison consonant of *word*
+    (french.cpp orthographic_liaison_consonant)."""
+    w = "".join(c for c in word.lower()
+                if c in _FR_VOWELS or ("a" <= c <= "z") or c in "ç-")
+    if not w:
+        return None
+    if len(w) >= 3 and (w.endswith("ent") or w.endswith("ont")):
+        return "t"
+    if len(w) > 1 and w[-1] == "e":
+        w = w[:-1]
+    if not w:
+        return None
+    return {"s": "z", "x": "z", "z": "z", "d": "t", "t": "t", "n": "n",
+            "r": "ʁ", "l": "l", "f": "v", "c": "k", "p": "p", "g": "ɡ",
+            "m": "m", "b": "b"}.get(w[-1])
+
+
+def fr_ipa_starts_with_vowel(ipa: str) -> bool:
+    s = ipa.replace("ˈ", "").replace("ˌ", "")
+    if not s:
+        return False
+    c0 = s[0]
+    if c0 in "ɥwj":
+        if len(s) > 1 and (s[1] in "aeiouyøœɔɑɛɜɪʊ" or s[1] == "ə"):
+            return True
+        return False
+    if c0 in "aeiouyøœɔɑɛəɜɪʊɶ":
+        return True
+    return False
+
+
+def fr_ipa_ends_with_audible_consonant(ipa: str) -> bool:
+    s = ipa.replace("ˈ", "").replace("ˌ", "")
+    if not s or s.endswith("̃"):
+        return False
+    c = s[-1]
+    if c in "aeiouyøœɔɑɛəɜɪʊɶ":
+        return False
+    return c in "bdfɡɟhjklmnpqʁrstvzʃʒɲŋwɥçc"
+
+
+def fr_nasal_liaison(word: str, ipa: str) -> str | None:
+    w = word.lower()
+    s = ipa.replace("ˈ", "").replace("ˌ", "")
+    if w in ("mon", "ton", "son", "bon") and s.endswith("ɔ̃"):
+        p = ipa.rfind("ɔ̃")
+        return ipa[:p] + "ɔn" + ipa[p + 2:]
+    if w in ("un", "aucun", "aucune") and s.endswith("œ̃"):
+        p = ipa.rfind("œ̃")
+        return ipa[:p] + "œn" + ipa[p + 2:]
+    if w == "en" and s.endswith("ɑ̃"):
+        p = ipa.rfind("ɑ̃")
+        return ipa[:p] + "ɑn" + ipa[p + 2:]
+    return None
+
+
+class FrenchG2P:
+    """French G2P mirroring the reference's rules tier: the OOV letter
+    walk with nasal-vowel digraphs, orthography-driven silent final
+    trimming, cardinal compound IPA, final-syllable nuclear stress, and
+    the reference's liaison machinery (POS-free tier: obligatory only
+    after "et"; POS inventories extend it when loaded, mirroring the
+    CSV-gated behavior)."""
+
+    #: closed determiners that force liaison onto a following noun/adj
+    CLOSED_LIAISON_DETERMINERS = frozenset({
+        "les", "des", "ces", "mes", "tes", "ses", "nos", "vos", "leurs",
+        "aux", "quelques", "plusieurs", "certains", "certaines"})
+    _POS_SCAN_ORDER = ("DET", "PRON", "PREP", "CONJ", "ADJ", "ADV",
+                      "VERB", "NOUN")
+
+    def __init__(self, lexicon: dict[str, str] | None = None,
+                 pos_inventory: dict[str, set] | None = None):
+        self.lexicon = dict(lexicon or {})
+        # POS word lists per category (the reference loads these from its
+        # CSV data dir; empty = the rules tier, where only "et" and the
+        # closed determiners trigger liaison, french.cpp:923-976).
+        self.pos_inventory = {k: set(v)
+                              for k, v in (pos_inventory or {}).items()}
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def classify_pos(self, word: str, prev_pos: str | None) -> str | None:
+        k = word.lower()
+        cands = [cat for cat in self._POS_SCAN_ORDER
+                 if k in self.pos_inventory.get(cat, ())]
+        if not cands:
+            return None
+        if len(cands) == 1:
+            return cands[0]
+        if prev_pos == "DET":
+            for want in ("ADJ", "NOUN"):
+                if want in cands:
+                    return want
+        if prev_pos == "PRON" and "VERB" in cands:
+            return "VERB"
+        for cat in self._POS_SCAN_ORDER:
+            if cat in cands:
+                return cat
+        return cands[0]
+
+    @classmethod
+    def liaison_strength(cls, pos_left, pos_right, wleft,
+                         formal: bool = False) -> str:
+        """'none' | 'optional' | 'obligatory'
+        (french.cpp liaison_strength_fn:923-976)."""
+        wl = wleft.lower()
+        if pos_left == "CONJ" and wl == "et":
+            return "obligatory"
+        if (pos_left is None and wl in cls.CLOSED_LIAISON_DETERMINERS
+                and pos_right in ("NOUN", "ADJ")):
+            return "obligatory"
+        if pos_right is None and pos_left in ("PRON", "DET"):
+            return "obligatory"
+        if pos_left is None or pos_right is None:
+            return "none"
+        if (pos_left, pos_right) in (("NOUN", "VERB"), ("VERB", "NOUN")):
+            return "none"
+        if pos_left == "PRON" and pos_right in ("VERB", "NOUN"):
+            return "obligatory"
+        if pos_left == "DET" and pos_right in ("NOUN", "ADJ"):
+            return "obligatory"
+        if pos_left == "DET" and pos_right == "ADV":
+            return "optional" if formal else "none"
+        if pos_left == "PREP":
+            return "optional" if formal else "none"
+        if pos_left == "ADJ" and pos_right == "NOUN":
+            return "optional" if formal else "none"
+        return "none"
+
+    def _word_ipa_base(self, word: str) -> str:
+        """Word IPA before stress (None-able); mirrors word_to_ipa_impl."""
+        w = word.strip()
+        if not w:
+            return ""
+        key = "".join(c for c in w.lower()
+                      if c in _FR_VOWELS or ("a" <= c <= "z")
+                      or c in "ç-'’").replace("’", "'")
+        if not key:
+            return ""
+        hit = self.lexicon.get(key)
+        if hit is None and key.endswith("'"):
+            hit = self.lexicon.get(key[:-1])
+        if hit is not None:
+            return fr_nuclear_stress(hit)
+        if key in _FR_HETERONYM_DEFAULT:
+            return fr_nuclear_stress(_FR_HETERONYM_DEFAULT[key])
+        low = w.lower()
+        if low in _FR_COMPOUND_IPA:
+            return _FR_COMPOUND_IPA[low]
+        # OOV rules (hyphen chunks independently)
+        if "-" in w:
+            parts = []
+            for chunk in w.split("-"):
+                if not chunk:
+                    continue
+                p = self._oov(chunk)
+                if not p:
+                    return ""
+                parts.append(p)
+            return fr_nuclear_stress("-".join(parts))
+        ipa = self._oov(w)
+        return fr_nuclear_stress(ipa) if ipa else ""
+
+    @staticmethod
+    def _oov(word: str) -> str:
+        ortho = _fr_letters_only(word)
+        if not ortho:
+            return ""
+        ipa = _fr_scan_graphemes(ortho)
+        return _fr_trim_final(ipa, ortho)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        if w.isdigit():
+            phrase = fr_cardinal_words(w)
+            if phrase != w:
+                return " ".join(
+                    p for p in (self.word_to_ipa(t)
+                                for t in phrase.split()) if p)
+            return w
+        return self._word_ipa_base(w)
+
+    def liaison_pair(self, wleft: str, ipa_left: str, wright: str,
+                     ipa_right: str) -> str:
+        """Return the (possibly liaison-extended) LEFT word IPA,
+        mirroring the reference's text pipeline (french.cpp:1278-1304):
+        POS-classified strength when inventories are loaded, with the
+        POS-free "et" special case."""
+        pos_left = self.classify_pos(wleft, None)
+        pos_right = self.classify_pos(wright, pos_left)
+        strength = self.liaison_strength(pos_left, pos_right, wleft)
+        if strength == "none" and wleft.lower() == "et" and pos_left is None:
+            strength = "obligatory"
+        if strength != "obligatory":
+            return ipa_left
+        if not ipa_left.strip():
+            return ipa_left
+        if wright.lower() in _FR_H_ASPIRE:
+            return ipa_left
+        if not fr_ipa_starts_with_vowel(ipa_right):
+            return ipa_left
+        nasal = fr_nasal_liaison(wleft, ipa_left)
+        if nasal is not None:
+            return nasal
+        if fr_ipa_ends_with_audible_consonant(ipa_left):
+            return ipa_left
+        c = fr_liaison_consonant(wleft)
+        if c is None:
+            return ipa_left
+        if ipa_left.rstrip().endswith(c):
+            return ipa_left
+        out = ipa_left + c
+        if out.count("ˈ") <= 1:
+            out = fr_nuclear_stress(out)
+        return out

@@ -129,7 +129,7 @@ def normalize_text(text: str, language: str = "en") -> str:
     core/moonshine-tts/src/lang-specific/, e.g. chinese-numbers.cpp).
     """
     lang = language.split("_")[0].split("-")[0].lower()
-    if lang in ("de", "es", "it", "ko", "nl", "pt", "ru", "tr", "uk"):
+    if lang in ("de", "es", "fr", "it", "ko", "nl", "pt", "ru", "tr", "uk"):
         # These engines expand numerals themselves with the reference's
         # exact wording: Korean attaches counters to the last sino speech
         # unit (1986년 → 천 / 구백 / 팔십육년, korean.cpp:926-1001);

@@ -21,7 +21,7 @@ FLOORS = {
     "en": (0.85, 0.96),
     "es_es": (0.97, 0.99),
     "es_mx": (0.97, 0.99),
-    "fr": (0.58, 0.89),
+    "fr": (0.97, 0.99),
     "hi": (0.97, 0.99),
     "it": (0.97, 0.99),
     "ja": (0.04, 0.52),

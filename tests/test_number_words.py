@@ -139,7 +139,11 @@ def test_normalize_text_routes_by_language():
 
     assert (SpanishG2P("es-MX").word_to_ipa("25")
             == SpanishG2P("es-MX").word_to_ipa("veinticinco"))
-    assert normalize_text("j'ai 80 ans", "fr") == "j'ai quatre-vingts ans"
+    # French digits stay for the engine; "80" resolves through the
+    # pre-phonemized compound map (french-compound-map.cpp).
+    from moonshine_tpu.tts.lang_rules import FrenchG2P
+
+    assert FrenchG2P().word_to_ipa("80") == "kˈatʁvˈɛ̃"
     # German digits stay for the engine (reference-style compound
     # expansion happens inside GermanG2P); only the % sign is worded.
     assert normalize_text("es sind 50%", "de") == "es sind 50 Prozent"

@@ -203,8 +203,8 @@ def test_facade_speed_option():
 @pytest.mark.parametrize(
     "lang,word,expected",
     [
-        ("fr", "bonjour", "bɔ̃ʒuʁ"),
-        ("fr", "eau", "o"),
+        ("fr", "bonjour", "bɔ̃ʒˈuʁ"),
+        ("fr", "eau", "ˈo"),
         ("de", "buch", "bˈʊx"),
         ("de", "schiff", "ʃˈɪff"),
         ("it", "ciao", "t͡ʃˈao"),
