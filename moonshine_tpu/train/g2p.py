@@ -89,6 +89,9 @@ def build_dataset(
     """
     engine = _make_engine(language)
     words = set(engine.lexicon)
+    # English's dict-first engine keeps its irregulars in the baked
+    # dictionary rather than a hand lexicon; seed from there.
+    words.update(getattr(engine, "baked_dict", {}))
     real: dict[str, str] = {}
     if language.split("_")[0] == "en":
         words.update(_EN_RULE_WORDS.split())
@@ -96,6 +99,8 @@ def build_dataset(
             from ..tts.g2p_dict import load_baked_dict
 
             real = load_baked_dict()
+            if hasattr(engine, "baked_dict"):
+                engine.baked_dict = real
     words.update(extra_words)
     pairs = []
     for w in sorted((words | set(real)) - set(exclude)):

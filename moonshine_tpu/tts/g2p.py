@@ -98,129 +98,6 @@ class RuleG2P:
         return "".join(out)
 
 
-# ---- English rules (compact; longest-context first) -----------------------
-
-_EN_RULES: list[tuple[str, str]] = [
-    # multigraph consonants
-    (r"tch", "tʃ"), (r"ch", "tʃ"), (r"sh", "ʃ"), (r"ph", "f"),
-    (r"th(?=e#|e[mnsy])", "ð"), (r"th", "θ"), (r"wh", "w"), (r"ck", "k"),
-    (r"ng(?=#)", "ŋ"), (r"ng", "ŋɡ"), (r"qu", "kw"), (r"gh(?=#)", ""),
-    (r"kn", "n"), (r"wr", "ɹ"), (r"mb(?=#)", "m"), (r"dge", "dʒ"),
-    (r"x", "ks"),
-    # vowel teams
-    (r"igh", "aɪ"), (r"eigh", "eɪ"), (r"ould(?=#)", "ʊd"),
-    (r"ought", "ɔt"), (r"augh", "ɔ"), (r"tion", "ʃən"), (r"sion", "ʒən"),
-    (r"ture(?=#)", "tʃɝ"), (r"ai", "eɪ"), (r"ay", "eɪ"), (r"ee", "i"),
-    (r"ea", "i"), (r"oo(?=k)", "ʊ"), (r"oo", "u"), (r"ou(?=s)", "ə"),
-    (r"ou", "aʊ"), (r"ow(?=#)", "oʊ"), (r"ow", "aʊ"), (r"oa", "oʊ"),
-    (r"oi", "ɔɪ"), (r"oy", "ɔɪ"), (r"au", "ɔ"), (r"aw", "ɔ"),
-    (r"ie(?=#)", "aɪ"), (r"ie", "i"), (r"ei", "eɪ"), (r"ey(?=#)", "i"),
-    (r"ue(?=#)", "u"), (r"ui", "u"),
-    # r-colored vowels; final -er(s) is unstressed -> ɚ (paper, workers)
-    (r"ar(?=#|[bcdfgklmnpstvz])", "ɑɹ"), (r"or", "ɔɹ"), (r"er(?=s?#)", "ɚ"),
-    (r"er", "ɝ"), (r"ir", "ɝ"), (r"ur", "ɝ"),
-    # magic-e long vowels: a_e, i_e, o_e, u_e
-    (r"a(?=[bcdfgklmnpstvz]e#)", "eɪ"),
-    (r"i(?=[bcdfgklmnpstvz]e#)", "aɪ"),
-    (r"o(?=[bcdfgklmnpstvz]e#)", "oʊ"),
-    (r"u(?=[bcdfgklmnpstvz]e#)", "ju"),
-    (r"e(?=[bcdfgklmnpstvz]e#)", "i"),
-    # inflection endings whose vowel survives after a coronal/sibilant
-    # (wanted, needed; boxes, wishes)
-    (r"(?<=[td])ed(?=#)", "əd"), (r"(?<=[sxz])es(?=#)", "əz"),
-    (r"(?<=[cs]h)es(?=#)", "əz"),
-    # syllabic -le after a true consonant (little, table; not smile)
-    (r"(?<=[bcdfgkptz])le(?=#)", "əl"),
-    # a before l-clusters backs to ɔ (all, also, salt, always)
-    (r"a(?=ll|l[ktwsm])", "ɔ"),
-    # word-initial unstressed a- (about, abandon, ago, away)
-    (r"(?<=#)a(?=[bcdfgklmnpstvz][aeiouy])", "ə"),
-    # open-syllable long vowels: single consonant + vowel follows
-    # (paper, basic, open, moment, silent, music)
-    (r"a(?=[bcdfgklmnpstvz][aeiouy])", "eɪ"),
-    (r"o(?=[bcdfgklmnpstvz][aeiouy])", "oʊ"),
-    (r"i(?=[bcdfgklmnpstvz][aeiouy])", "aɪ"),
-    (r"u(?=[bcdfgklmnpstvz][aeiouy])", "ju"),
-    # soft c / g
-    (r"cc(?=[eiy])", "ks"), (r"c(?=[eiy])", "s"), (r"g(?=[eiy])", "dʒ"),
-    # degemination: English has no geminates within morphemes
-    # (abbey, summer, dinner...); doubled consonants sound single.
-    (r"bb", "b"), (r"cc", "k"), (r"dd", "d"), (r"ff", "f"), (r"gg", "ɡ"),
-    (r"ll", "l"), (r"mm", "m"), (r"nn", "n"), (r"pp", "p"), (r"rr", "ɹ"),
-    (r"ss", "s"), (r"tt", "t"), (r"zz", "z"),
-    # single letters
-    (r"a(?=#)", "ə"), (r"a", "æ"), (r"b", "b"), (r"c", "k"), (r"d", "d"),
-    (r"e(?=#)", ""), (r"e(?=d#)", ""), (r"e", "ɛ"), (r"f", "f"), (r"g", "ɡ"),
-    (r"h", "h"), (r"i", "ɪ"), (r"j", "dʒ"), (r"k", "k"), (r"l", "l"),
-    (r"m", "m"), (r"n(?=k)", "ŋ"), (r"n", "n"), (r"o(?=#)", "oʊ"),
-    (r"o", "ɑ"), (r"p", "p"), (r"r", "ɹ"),
-    # final -s agrees in voicing with what precedes it (cats vs dogs)
-    (r"(?<=[ptkfθ])s(?=#)", "s"), (r"s(?=#)", "z"), (r"s", "s"),
-    (r"t", "t"), (r"u", "ʌ"),
-    (r"v", "v"), (r"w", "w"), (r"y(?=#)", "i"), (r"y(?=[aeiou])", "j"),
-    (r"y", "ɪ"), (r"z", "z"), (r"'", ""),
-]
-
-# Core function-word lexicon (the worst offenders for rule-based G2P).
-_EN_LEXICON = {
-    "the": "ðə", "a": "ə", "an": "ən", "of": "ʌv", "to": "tu", "and": "ænd",
-    "was": "wʌz", "is": "ɪz", "are": "ɑɹ", "were": "wɝ", "have": "hæv",
-    "has": "hæz", "he": "hi", "she": "ʃi", "you": "ju", "they": "ðeɪ",
-    "we": "wi", "i": "aɪ", "one": "wʌn", "two": "tu", "do": "du",
-    "does": "dʌz", "done": "dʌn", "what": "wʌt", "who": "hu",
-    "where": "wɛɹ", "there": "ðɛɹ", "their": "ðɛɹ", "said": "sɛd",
-    "says": "sɛz", "again": "əɡɛn", "against": "əɡɛnst", "been": "bɪn",
-    "could": "kʊd", "would": "wʊd", "should": "ʃʊd", "some": "sʌm",
-    "come": "kʌm", "love": "lʌv", "move": "muv", "give": "ɡɪv",
-    "live": "lɪv", "very": "vɛɹi", "only": "oʊnli", "once": "wʌns",
-    "people": "pipəl", "water": "wɔtɝ", "world": "wɝld", "hello": "hɛloʊ",
-    "yes": "jɛs", "no": "noʊ", "ok": "oʊkeɪ", "okay": "oʊkeɪ",
-    # -gh family
-    "through": "θɹu", "though": "ðoʊ", "although": "ɔlðoʊ",
-    "thought": "θɔt", "thorough": "θɝoʊ", "enough": "ɪnʌf",
-    "tough": "tʌf", "rough": "ɹʌf", "laugh": "læf", "cough": "kɔf",
-    "eight": "eɪt", "eighth": "eɪtθ", "weight": "weɪt", "height": "haɪt",
-    "neighbor": "neɪbɝ", "daughter": "dɔtɝ", "caught": "kɔt",
-    "bought": "bɔt", "brought": "bɹɔt", "fought": "fɔt", "ought": "ɔt",
-    "night": "naɪt", "light": "laɪt", "right": "ɹaɪt", "might": "maɪt",
-    "straight": "stɹeɪt",
-    # silent letters
-    "island": "aɪlənd", "isle": "aɪl", "aisle": "aɪl", "answer": "ænsɝ",
-    "listen": "lɪsən", "often": "ɔfən", "castle": "kæsəl",
-    "whistle": "wɪsəl", "debt": "dɛt", "doubt": "daʊt", "subtle": "sʌtəl",
-    "receipt": "ɹɪsit", "iron": "aɪɝn", "sword": "sɔɹd", "half": "hæf",
-    "calf": "kæf", "talk": "tɔk", "walk": "wɔk", "chalk": "tʃɔk",
-    "folk": "foʊk", "yolk": "joʊk", "salmon": "sæmən", "comb": "koʊm",
-    "climb": "klaɪm", "thumb": "θʌm", "lamb": "læm", "plumber": "plʌmɝ",
-    "knee": "ni", "knife": "naɪf", "know": "noʊ", "knew": "nu",
-    "knight": "naɪt", "wrist": "ɹɪst", "write": "ɹaɪt", "wrong": "ɹɔŋ",
-    "hour": "aʊɝ", "honest": "ɑnɪst", "honor": "ɑnɝ", "heir": "ɛɹ",
-    # loanwords / fossils
-    "colonel": "kɝnəl", "choir": "kwaɪɝ", "yacht": "jɑt",
-    "queue": "kju", "quay": "ki", "suite": "swit", "corps": "kɔɹ",
-    "genre": "ʒɑnɹə", "rendezvous": "ɹɑndeɪvu", "ballet": "bæleɪ",
-    "buffet": "bəfeɪ", "bouquet": "bukeɪ", "croissant": "kwɑsɑnt",
-    "chef": "ʃɛf", "machine": "məʃin", "chicago": "ʃɪkɑɡoʊ",
-    "michigan": "mɪʃɪɡən", "arkansas": "ɑɹkənsɔ", "tucson": "tusɑn",
-    # irregular core vocabulary
-    "women": "wɪmɪn", "woman": "wʊmən", "busy": "bɪzi",
-    "business": "bɪznɪs", "pretty": "pɹɪti", "friend": "fɹɛnd",
-    "great": "ɡɹeɪt", "break": "bɹeɪk", "steak": "steɪk",
-    "heart": "hɑɹt", "bear": "bɛɹ", "wear": "wɛɹ", "pear": "pɛɹ",
-    "sure": "ʃʊɹ", "sugar": "ʃʊɡɝ", "blood": "blʌd", "flood": "flʌd",
-    "shoe": "ʃu", "lose": "luz", "whose": "huz", "gone": "ɡɔn",
-    "any": "ɛni", "many": "mɛni", "money": "mʌni", "month": "mʌnθ",
-    "other": "ʌðɝ", "mother": "mʌðɝ", "brother": "bɹʌðɝ",
-    "father": "fɑðɝ", "nothing": "nʌθɪŋ", "something": "sʌmθɪŋ",
-    "son": "sʌn", "ton": "tʌn", "won": "wʌn", "front": "fɹʌnt",
-    "eye": "aɪ", "buy": "baɪ", "guy": "ɡaɪ", "bury": "bɛɹi",
-    "key": "ki", "police": "pəlis", "pizza": "pitsə", "prove": "pɹuv",
-    # days / months (the spoken-date workhorses)
-    "monday": "mʌndeɪ", "tuesday": "tuzdeɪ", "wednesday": "wɛnzdeɪ",
-    "thursday": "θɝzdeɪ", "friday": "fɹaɪdeɪ", "saturday": "sætɝdeɪ",
-    "sunday": "sʌndeɪ", "january": "dʒænjuɛɹi", "february": "fɛbjuɛɹi",
-    "august": "ɔɡəst",
-}
 
 # ---- Spanish (near-phonemic orthography) ----------------------------------
 
@@ -332,6 +209,13 @@ class GraphemeToPhonemizer:
             from .g2p_dict import load_baked_dict
 
             self.baked_dict = load_baked_dict()
+        if language.startswith("en") and hasattr(self.engine, "baked_dict"):
+            # The English engine owns the reference's dict-first flow
+            # (english.cpp text_to_ipa: numbers -> dict -> OOV model ->
+            # hand rules).
+            self.engine.baked_dict = self.baked_dict
+            if oov_model is not None:
+                self.engine.oov_predict = oov_model.predict
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
         normalized = normalize_text(text, self.language)
@@ -369,6 +253,9 @@ class GraphemeToPhonemizer:
 
     def word_to_ipa(self, word: str) -> str:
         w = word.lower()
+        if hasattr(self.engine, "baked_dict"):
+            # dict-first engines (English) own the full fallback chain.
+            return self.engine.word_to_ipa(word)
         if w not in self.engine.lexicon:
             if self.baked_dict:
                 from .g2p_dict import normalize_word_key
@@ -404,7 +291,9 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
 
 
 _ENGINES: dict[str, Callable[[], RuleG2P]] = {
-    "en": lambda: RuleG2P(_EN_RULES, _EN_LEXICON),
+    "en": lambda: __import__(
+        "moonshine_tpu.tts.lang_rules", fromlist=["EnglishG2P"]
+    ).EnglishG2P(),
     "es": lambda: __import__(
         "moonshine_tpu.tts.lang_rules", fromlist=["SpanishG2P"]
     ).SpanishG2P("es-MX"),

@@ -5121,3 +5121,300 @@ class FrenchG2P:
         if out.count("ˈ") <= 1:
             out = fr_nuclear_stress(out)
         return out
+
+
+# ---------------------------------------------------------------------------
+# English — dict-first engine mirroring the reference's english.cpp /
+# english-hand-oov.cpp / english-numbers.cpp
+# ---------------------------------------------------------------------------
+
+_EN_NUM_UNITS = ["ˈzɪroʊ", "wˈʌn", "tˈu", "θɹˈi", "fˈɔɹ", "fˈaɪv",
+                 "sˈɪks", "sˈɛvən", "ˈeɪt", "nˈaɪn"]
+_EN_NUM_TEENS = ["tˈɛn", "ɪlˈɛvən", "twˈɛlv", "θɝˈtin", "fɔɹˈtin",
+                 "fˈɪftin", "sˈɪkstin", "sˈɛvəntin", "ˈeɪtin", "nˈaɪntin"]
+_EN_NUM_TENS = [None, None, "twˈɛnti", "θˈɝdi", "fˈɔɹti", "fˈɪfti",
+                "sˈɪksti", "sˈɛvənti", "ˈeɪti", "nˈaɪnti"]
+_EN_NUM_DIGITS = ["ˈzɪroʊ", "ˈwʌn", "ˈtu", "ˈθɹi", "ˈfɔɹ", "ˈfaɪv",
+                  "ˈsɪks", "ˈsɛvən", "ˈeɪt", "ˈnaɪn"]
+
+
+def _en_under_1000_ipa(n: int) -> str:
+    if n < 10:
+        return _EN_NUM_UNITS[n]
+    if n < 20:
+        return _EN_NUM_TEENS[n - 10]
+    if n < 100:
+        t, u = divmod(n, 10)
+        return _EN_NUM_TENS[t] + (("ˌ" + _EN_NUM_UNITS[u]) if u else "")
+    h, r = divmod(n, 100)
+    head = _EN_NUM_UNITS[h] + "ˌhˈʌndɹɪd"
+    return head + (("ˌ" + _en_under_1000_ipa(r)) if r else "")
+
+
+def _en_digit_seq_ipa(digits: str) -> str:
+    return "ˌ".join(_EN_NUM_DIGITS[int(c)] for c in digits if c.isdigit())
+
+
+def english_number_token_ipa(token: str) -> str | None:
+    """Numeric token -> fused stressed IPA (english-numbers.cpp)."""
+    t = token.strip().replace(",", "").replace("_", "").replace(" ", "")
+    if not t:
+        return None
+    neg = False
+    if t and t[0] in "+-":
+        neg = t[0] == "-"
+        t = t[1:]
+    if not t or t.count(".") > 1:
+        return None
+
+    def cardinal(n: int) -> str | None:
+        if n == 0:
+            return "ˈzɪroʊ"
+        if n >= 10 ** 15:
+            return None
+        parts = []
+        for mag, sfx in [(10 ** 12, "ˌtɹˈɪljən"), (10 ** 9, "ˌbˈɪljən"),
+                         (10 ** 6, "ˌmˈɪljən"), (1000, "ˌθˈaʊzənd")]:
+            if n >= mag:
+                q, n = divmod(n, mag)
+                parts.append(_en_under_1000_ipa(q) + sfx)
+        if n:
+            parts.append(_en_under_1000_ipa(n))
+        return "ˌ".join(parts)
+
+    def finish(s: str) -> str:
+        return ("nˈɛɡətɪvˌ" + s) if neg else s
+
+    if "." in t:
+        whole, frac = t.split(".", 1)
+        if (whole and not whole.isdigit()) or (frac and not frac.isdigit()):
+            return None
+        if not whole:
+            left = "ˈzɪroʊ"
+        elif len(whole) > 1 and whole[0] == "0":
+            left = _en_digit_seq_ipa(whole)
+        else:
+            left = cardinal(int(whole)) or _en_digit_seq_ipa(whole)
+        if not frac:
+            return finish(left)
+        return finish(left + "ˌˈpɔɪntˌ" + _en_digit_seq_ipa(frac))
+    if not t.isdigit():
+        return None
+    if len(t) > 1 and t[0] == "0":
+        return finish(_en_digit_seq_ipa(t))
+    return finish(cardinal(int(t)) or _en_digit_seq_ipa(t))
+
+
+_EN_OOV_LITERALS = [
+    ("tch", "tʃ"), ("dge", "dʒ"), ("tion", "ʃən"), ("sion", "ʒən"),
+    ("sure", "ʒɚ"), ("ture", "tʃɚ"), ("ough", "oʊ"), ("augh", "ɔː"),
+    ("eigh", "eɪ"), ("igh", "aɪ"), ("oar", "ɔɹ"), ("our", "aʊɹ"),
+    ("oor", "ɔɹ"), ("ear", "ɪɹ"), ("eer", "ɪɹ"), ("ier", "ɪɹ"),
+    ("air", "ɛɹ"), ("are", "ɛɹ"), ("ire", "aɪɹ"), ("ure", "jʊɹ"),
+    ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔː"), ("aw", "ɔː"),
+    ("ea", "iː"), ("ee", "iː"), ("ei", "eɪ"), ("ey", "eɪ"),
+    ("eu", "juː"), ("ew", "juː"), ("ie", "iː"), ("oa", "oʊ"),
+    ("oe", "oʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"), ("oo", "uː"),
+    ("ou", "aʊ"), ("ow", "oʊ"), ("ph", "f"), ("gh", ""),
+    ("ng", "ŋ"), ("ch", "tʃ"), ("sh", "ʃ"), ("th", "θ"),
+    ("wh", "w"), ("qu", "kw"), ("ck", "k"), ("sch", "sk"),
+    ("ss", "s"), ("ll", "l"), ("mm", "m"), ("nn", "n"),
+    ("ff", "f"), ("pp", "p"), ("tt", "t"), ("zz", "z"),
+    ("rr", "ɹ"), ("dd", "d"), ("bb", "b"), ("gg", "ɡ"),
+]
+_EN_FUNCTION_WORDS = {
+    "the": "ðə", "a": "ə", "an": "æn", "to": "tə", "of": "əv",
+    "and": "ænd", "or": "ɔɹ", "are": "ɑɹ", "was": "wəz", "were": "wɝ",
+    "from": "fɹʌm", "have": "hæv", "has": "hæz", "been": "bɪn",
+    "do": "du", "does": "dʌz", "your": "jɔɹ", "you": "ju", "they": "ðeɪ",
+    "their": "ðɛɹ", "there": "ðɛɹ",
+}
+_EN_TH_VOICED = {"the", "this", "that", "they", "then", "than", "there",
+                 "these", "those"}
+_EN_IPA_VOWEL_UNITS = {"æ", "ɛ", "ɪ", "ɔ", "ʊ", "ɑ", "ɒ", "ə", "ɚ", "ɝ",
+                       "ɨ", "ʉ", "a", "e", "i", "o", "u", "y"}
+_EN_STRESS_VOWEL_PREFIXES = [
+    "aɪ", "aʊ", "eɪ", "oʊ", "ɔɪ", "juː", "iː", "uː", "ɑː", "ɔː", "ɜː",
+    "ɛɹ", "ɑɹ", "ɔɹ", "ɪɹ", "ʊɹ", "aɪɹ", "ɪə", "eə", "ʊə", "iə", "ə",
+    "ɪ", "ɛ", "æ", "ʌ", "ʊ", "ɑ", "ɔ", "i", "u", "e", "o", "ɚ", "ɝ",
+    "ɒ"]
+
+
+def en_add_primary_stress(s: str) -> str:
+    """Insert ˈ before the first vowel unit (english-hand-oov.cpp)."""
+    if not s or s.startswith(("ˈ", "ˌ")):
+        return s
+    # Pattern-priority scan (diphthongs before monophthongs), matching
+    # the reference's add_primary_stress_if_missing: the FIRST pattern in
+    # the list that occurs anywhere wins, at its earliest occurrence.
+    for p in _EN_STRESS_VOWEL_PREFIXES:
+        k = s.find(p)
+        if k != -1:
+            return s[:k] + "ˈ" + s[k:]
+    return "ˈ" + s
+
+
+def _en_magic_e(w: str, vi: int) -> bool:
+    if vi < 0 or vi >= len(w) or not w or w[-1] != "e":
+        return False
+    if len(w) < vi + 3:
+        return False
+    j = vi + 1
+    if j >= len(w) - 1:
+        return False
+    pen = w[-2]
+    if not ("a" <= pen <= "z" and pen not in "aeiouy"):
+        return False
+    mid = w[j: len(w) - 1]
+    if not mid or any(c in "aeiouy" for c in mid):
+        return False
+    return len(mid) == 1
+
+
+def english_hand_oov_ipa(word: str) -> str:
+    """Hand letter-to-sound fallback (english-hand-oov.cpp), with a
+    leading primary stress on the first vowel unit."""
+    letters = "".join(c for c in word.lower() if "a" <= c <= "z")
+    if not letters:
+        return ""
+    fw = _EN_FUNCTION_WORDS.get(letters)
+    if fw is not None:
+        return en_add_primary_stress(fw)
+    w = letters
+    n = len(w)
+    parts: list[str] = []
+    i = 0
+
+    def next_vowel_index(start):
+        for j in range(start, n):
+            if w[j] in "aeiouy":
+                return j
+        return -1
+
+    while i < n:
+        if w[i] == "e" and i == n - 1 and parts:
+            i += 1
+            continue
+        matched = False
+        for orth, ipa in _EN_OOV_LITERALS:
+            L = len(orth)
+            if i + L > n or w[i:i + L] != orth:
+                continue
+            if orth == "gh":
+                if parts and parts[-1] and parts[-1][-1] in \
+                        "".join(_EN_IPA_VOWEL_UNITS):
+                    i += 2
+                    matched = True
+                    break
+                parts.append("ɡ")
+                i += 2
+                matched = True
+                break
+            if orth == "th":
+                parts.append("ð" if w in _EN_TH_VOICED else "θ")
+                i += 2
+                matched = True
+                break
+            parts.append(ipa)
+            i += L
+            matched = True
+            break
+        if matched:
+            continue
+        c = w[i]
+        if c in "aeiouy":
+            # r-controlled
+            if i + 1 < n and w[i + 1] == "r":
+                rc = {"a": "ɑɹ", "e": "ɛɹ", "i": "ɪɹ", "o": "ɔɹ",
+                      "u": "ʊɹ", "y": "aɪɹ"}.get(c)
+                if rc:
+                    parts.append(rc)
+                    i += 2
+                    continue
+            magic = _en_magic_e(w, i)
+            nv = next_vowel_index(i + 1)
+            closed = False
+            if nv >= 0:
+                between = w[i + 1: nv]
+                closed = bool(between) and not any(
+                    ch in "aeiouy" for ch in between)
+            elif i + 1 < n and w[i + 1] not in "aeiouy":
+                closed = True
+            if c == "a":
+                parts.append("eɪ" if magic else ("æ" if closed else "ɑː"))
+            elif c == "e":
+                parts.append("iː" if magic
+                             else ("ɛ" if (closed or i == n - 1) else "iː"))
+            elif c == "i":
+                parts.append("aɪ" if magic else ("ɪ" if closed else "aɪ"))
+            elif c == "o":
+                parts.append("oʊ" if magic else ("ɒ" if closed else "oʊ"))
+            elif c == "u":
+                parts.append("juː" if magic else ("ʌ" if closed else "uː"))
+            else:  # y
+                parts.append("ɪ" if closed else "aɪ")
+            i += 1
+            continue
+        if c == "c":
+            nxt = w[i + 1] if i + 1 < n else ""
+            parts.append("s" if (nxt and nxt in "eiy") else "k")
+        elif c == "g":
+            nxt = w[i + 1] if i + 1 < n else ""
+            parts.append("dʒ" if (nxt and nxt in "eiy") else "ɡ")
+        elif c == "j":
+            parts.append("dʒ")
+        elif c == "q":
+            parts.append("k")
+        elif c == "x":
+            parts.append("ks")
+        elif c == "y":
+            parts.append("j" if (i == 0 and next_vowel_index(1) >= 0)
+                         else "aɪ")
+        elif c == "r":
+            parts.append("ɹ")
+        else:
+            parts.append(c)
+        i += 1
+    return en_add_primary_stress("".join(parts))
+
+
+class EnglishG2P:
+    """English G2P mirroring the reference's english.cpp flow: numeric
+    tokens through the fused cardinal IPA, then the shared in-tree
+    10,855-word dictionary, then the neural OOV helper (our trained
+    g2p_transformer fills the reference's ONNX OOV slot), then the hand
+    letter-to-sound rules — every path emitting a primary stress."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None,
+                 baked_dict: dict[str, str] | None = None,
+                 oov_predict=None):
+        self.lexicon = dict(lexicon or {})
+        self.baked_dict = baked_dict or {}
+        self.oov_predict = oov_predict
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    def word_to_ipa(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        num = english_number_token_ipa(w)
+        if num is not None:
+            return num
+        key = "".join(c for c in w.lower()
+                      if ("a" <= c <= "z") or c == "'")
+        gkey = key.replace("'", "")
+        if not gkey:
+            return ""
+        hit = self.lexicon.get(gkey) or self.lexicon.get(key)
+        if hit:
+            return en_add_primary_stress(hit)
+        hit = self.baked_dict.get(gkey)
+        if hit:
+            return hit
+        if self.oov_predict is not None:
+            pred = self.oov_predict(gkey)
+            if pred:
+                return en_add_primary_stress(pred)
+        return english_hand_oov_ipa(gkey)

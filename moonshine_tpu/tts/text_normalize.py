@@ -180,7 +180,8 @@ def normalize_text(text: str, language: str = "en") -> str:
         ),
         t,
     )
-    t = re.sub(r"\d[\d,]*(?:\.\d+)?", _expand_number_token, t)
+    # Plain cardinals stay as digits: the English engine renders them
+    # with the reference's fused stressed IPA (english-numbers.cpp).
     # Abbreviations followed by a period ("Dr. Smith" -> "doctor Smith").
     def abbr(m: re.Match) -> str:
         return ABBREVIATIONS[m.group(1).lower()]

@@ -59,8 +59,9 @@ def test_engine_consults_dict():
     # A dict word that is NOT in the compact hand lexicon.
     assert "colonel" not in g.engine.lexicon or True
     assert g.word_to_ipa("Aaron") == "ˈɛɹən"
-    # Hand lexicon stays authoritative for its entries.
-    assert g.word_to_ipa("the") == "ðə"
+    # Function words resolve through the hand-OOV table with the
+    # reference's stress pass.
+    assert g.word_to_ipa("the") == "ðˈə"
     # Rules still cover out-of-dictionary words.
     assert g.word_to_ipa("zorbly")  # nonsense word -> rules emit something
 

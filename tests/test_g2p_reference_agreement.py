@@ -18,7 +18,7 @@ from moonshine_tpu.eval.g2p_reference_agreement import (
 FLOORS = {
     "ar": (0.97, 0.97),
     "de": (0.97, 0.99),
-    "en": (0.85, 0.96),
+    "en": (0.98, 0.99),
     "es_es": (0.97, 0.99),
     "es_mx": (0.97, 0.99),
     "fr": (0.97, 0.99),

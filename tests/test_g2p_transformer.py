@@ -29,12 +29,12 @@ def trained():
 
 
 def test_build_dataset_covers_lexicon_and_rules():
-    engine, pairs = build_dataset("en", use_baked_dict=False)
+    engine, pairs = build_dataset("en")
     words = {w for w, _ in pairs}
-    assert "through" in words  # lexicon irregular
+    assert "through" in words  # dictionary irregular
     assert "chat" in words  # rule-family word
     assert len(pairs) > 300
-    # Without the baked dict, every target is the engine's own output.
+    # Every target matches what the full engine would output.
     for w, ipa in pairs[:20]:
         assert engine.word_to_ipa(w) == ipa
 
@@ -97,11 +97,16 @@ def test_load_rejects_foreign_safetensors(tmp_path):
 def test_phonemizer_routing(trained, tmp_path):
     model, _ = trained
     g = GraphemeToPhonemizer("en", oov_model=model)
-    # Lexicon words NEVER go through the network.
-    assert g.word_to_ipa("through") == "θɹu"
-    assert g.word_to_ipa("the") == "ðə"
-    # OOV words go through the model: same result as calling it directly.
-    assert g.word_to_ipa("zorblax") == model.predict("zorblax")
+    # Dictionary words NEVER go through the network.
+    assert g.word_to_ipa("through") == "θɹˈu"
+    assert g.word_to_ipa("people") == "pˈipəl"
+    # OOV words go through the model (the reference's ONNX OOV slot sits
+    # between the dictionary and the hand rules): same result as calling
+    # it directly, plus the stress pass every path applies.
+    from moonshine_tpu.tts.lang_rules import en_add_primary_stress
+
+    assert (g.word_to_ipa("zorblax")
+            == en_add_primary_stress(model.predict("zorblax")))
     # Path-based construction works too.
     p = tmp_path / "m.safetensors"
     model.save(p)
@@ -112,4 +117,4 @@ def test_phonemizer_routing(trained, tmp_path):
 def test_phonemizer_without_model_unchanged():
     g = GraphemeToPhonemizer("en")
     assert g.oov_model is None
-    assert g.word_to_ipa("cat") == "kæt"
+    assert g.word_to_ipa("cat") == "kˈæt"

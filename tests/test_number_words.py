@@ -152,8 +152,10 @@ def test_normalize_text_routes_by_language():
     assert GermanG2P().word_to_ipa("50") == GermanG2P().word_to_ipa("fünfzig")
     assert normalize_text("50%", "zh") == "百分之五十"
     assert normalize_text("%50 indirim", "tr") != "%50 indirim"  # expanded
-    # English path unchanged.
-    assert normalize_text("I have 25 dollars") == "I have twenty five dollars"
+    # English: plain digits stay for the engine's fused cardinal IPA;
+    # currency still expands in normalize.
+    assert normalize_text("I have 25 dollars") == "I have 25 dollars"
+    assert normalize_text("I have $25") == "I have twenty five dollars"
 
 
 def test_g2p_expands_numbers_in_language():

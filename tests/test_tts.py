@@ -53,14 +53,14 @@ def test_years():
 @pytest.mark.parametrize(
     "text,expected",
     [
-        ("I have 3 cats", "I have three cats"),
+        ("I have 3 cats", "I have 3 cats"),  # digits stay for the engine
         ("$5", "five dollars"),
         ("$1.50", "one dollar and fifty cents"),
         ("50%", "fifty percent"),
         ("the 2nd time", "the second time"),
         ("Dr. Smith", "doctor Smith"),
         ("meet at 3:30", "meet at three thirty"),
-        ("in 1984 there", "in nineteen eighty four there"),
+        ("in 1984 there", "in 1984 there"),  # fused cardinal IPA in-engine
         ("A&B", "A and B"),
     ],
 )
@@ -71,12 +71,14 @@ def test_normalize_text(text, expected):
 # -- G2P -------------------------------------------------------------------
 
 def test_g2p_english_basics():
+    # Reference-engine outputs (scripts/g2p_oracle en en_dict.tsv):
+    # every path emits a primary stress (english-hand-oov.cpp).
     g = GraphemeToPhonemizer("en")
-    assert g.word_to_ipa("the") == "ðə"  # lexicon
-    assert g.word_to_ipa("cat") == "kæt"  # rules
-    assert g.word_to_ipa("ship") == "ʃɪp"
-    assert g.word_to_ipa("make") == "meɪk"  # magic e
-    assert g.word_to_ipa("see") == "si"
+    assert g.word_to_ipa("the") == "ðˈə"  # function word
+    assert g.word_to_ipa("cat") == "kˈæt"  # hand rules
+    assert g.word_to_ipa("ship") == "ʃˈɪp"
+    assert g.word_to_ipa("make") == "mˈeɪk"  # magic e
+    assert g.word_to_ipa("see") == "sˈiː"  # baked dictionary
     assert g.word_to_ipa("charge").startswith("tʃ")
     assert "ŋ" in g.word_to_ipa("sing")
 
@@ -90,10 +92,13 @@ def test_g2p_sentence_with_pauses():
 
 
 def test_g2p_normalizes_numbers():
+    # Numeric tokens render through the reference's fused cardinal IPA
+    # (english-numbers.cpp) rather than a words-then-dict detour.
     g = GraphemeToPhonemizer("en")
-    ipa_digits = g.text_to_ipa("3 cats")
-    ipa_words = g.text_to_ipa("three cats")
-    assert ipa_digits == ipa_words
+    assert g.text_to_ipa("3", with_pauses=False) == "θɹˈi"
+    assert g.text_to_ipa("25", with_pauses=False) == "twˈɛntiˌfˈaɪv"
+    assert (g.text_to_ipa("1891", with_pauses=False)
+            == "wˈʌnˌθˈaʊzəndˌˈeɪtˌhˈʌndɹɪdˌnˈaɪntiˌwˈʌn")
 
 
 def test_g2p_spanish():
@@ -122,7 +127,7 @@ def test_cmudict_lexicon_loading(tmp_path):
     assert lex["world"] == "wɝld"
     g = GraphemeToPhonemizer("en")
     g.engine.add_lexicon(lex)
-    assert g.word_to_ipa("hello") == "hʌloʊ"
+    assert g.word_to_ipa("hello") == "hʌlˈoʊ"  # stress added on emit
 
 
 # -- acoustic model --------------------------------------------------------
