@@ -282,7 +282,7 @@ def _lang_engine(name: str) -> Callable[[], "RuleG2P"]:
             "vi": lambda: lr.VietnameseG2P(),
             "hi": lambda: lr.DevanagariG2P(),
             "ar": lambda: lr.ArabicG2P(),
-            "ja": lambda: lr.KanaG2P(),
+            "ja": lambda: lr.JapaneseG2P(),
             "ko": lambda: lr.HangulG2P(),
             "zh": lambda: lr.PinyinG2P(),
         }[name]()

@@ -10,9 +10,10 @@ Design per script family:
 - **Hangul (ko)**: fully algorithmic — syllables decompose arithmetically
   into lead/vowel/tail jamo; the jamo→IPA tables below give deterministic
   pronunciations (the reference's korean rules do the same decomposition).
-- **Kana (ja)**: a longest-match kana table covers hiragana/katakana
-  exactly; kanji requires the reference's tokenizer-POS ONNX helpers and
-  is skipped here (documented gap — words pass through the lexicon only).
+- **Kana (ja)**: the reference's exact mora table (japanese-kana-to-ipa
+  .cpp); kanji resolves through a reading lexicon harvested from the
+  reference's own shipped wiki corpus with greedy longest-match
+  segmentation standing in for its ONNX LUW segmenter.
 - **Pinyin + numbers (zh)**: toned-pinyin syllables map through an
   initial/final table; digit strings expand through the hanzi number
   reading (reference: chinese-numbers.cpp) and a hanzi lexicon covers the
@@ -318,48 +319,6 @@ class HangulG2P:
         return self.hangul_to_ipa(h)
 
 
-# ---------------------------------------------------------------------------
-# Japanese — kana table (longest match); kanji via lexicon only
-# ---------------------------------------------------------------------------
-
-_KANA: dict[str, str] = {
-    # digraphs first (longest-match)
-    "きゃ": "kʲa", "きゅ": "kʲɯ", "きょ": "kʲo", "しゃ": "ɕa", "しゅ": "ɕɯ",
-    "しょ": "ɕo", "ちゃ": "tɕa", "ちゅ": "tɕɯ", "ちょ": "tɕo", "にゃ": "ɲa",
-    "にゅ": "ɲɯ", "にょ": "ɲo", "ひゃ": "ça", "ひゅ": "çɯ", "ひょ": "ço",
-    "みゃ": "mʲa", "みゅ": "mʲɯ", "みょ": "mʲo", "りゃ": "ɾʲa", "りゅ": "ɾʲɯ",
-    "りょ": "ɾʲo", "ぎゃ": "ɡʲa", "ぎゅ": "ɡʲɯ", "ぎょ": "ɡʲo", "じゃ": "dʑa",
-    "じゅ": "dʑɯ", "じょ": "dʑo", "びゃ": "bʲa", "びゅ": "bʲɯ", "びょ": "bʲo",
-    "ぴゃ": "pʲa", "ぴゅ": "pʲɯ", "ぴょ": "pʲo",
-    # monographs
-    "あ": "a", "い": "i", "う": "ɯ", "え": "e", "お": "o",
-    "か": "ka", "き": "ki", "く": "kɯ", "け": "ke", "こ": "ko",
-    "さ": "sa", "し": "ɕi", "す": "sɯ", "せ": "se", "そ": "so",
-    "た": "ta", "ち": "tɕi", "つ": "tsɯ", "て": "te", "と": "to",
-    "な": "na", "に": "ɲi", "ぬ": "nɯ", "ね": "ne", "の": "no",
-    "は": "ha", "ひ": "çi", "ふ": "ɸɯ", "へ": "he", "ほ": "ho",
-    "ま": "ma", "み": "mi", "む": "mɯ", "め": "me", "も": "mo",
-    "や": "ja", "ゆ": "jɯ", "よ": "jo",
-    "ら": "ɾa", "り": "ɾi", "る": "ɾɯ", "れ": "ɾe", "ろ": "ɾo",
-    "わ": "ɰa", "を": "o", "ん": "ɴ",
-    "が": "ɡa", "ぎ": "ɡi", "ぐ": "ɡɯ", "げ": "ɡe", "ご": "ɡo",
-    "ざ": "dza", "じ": "dʑi", "ず": "dzɯ", "ぜ": "dze", "ぞ": "dzo",
-    "だ": "da", "ぢ": "dʑi", "づ": "dzɯ", "で": "de", "ど": "do",
-    "ば": "ba", "び": "bi", "ぶ": "bɯ", "べ": "be", "ぼ": "bo",
-    "ぱ": "pa", "ぴ": "pi", "ぷ": "pɯ", "ぺ": "pe", "ぽ": "po",
-    "ー": "ː", "っ": "Q",  # gemination marker resolved below
-}
-
-
-def _kata_to_hira(text: str) -> str:
-    out = []
-    for ch in text:
-        code = ord(ch)
-        if 0x30A1 <= code <= 0x30F6:
-            out.append(chr(code - 0x60))
-        else:
-            out.append(ch)
-    return "".join(out)
 
 
 # Lexicalized readings the kana rules can't know (topic-particle は etc.).
@@ -367,43 +326,6 @@ _JA_LEXICON = {
     "こんにちは": "koɴɲitɕiwa",
     "こんばんは": "koɴbaɴwa",
 }
-
-
-class KanaG2P:
-    def __init__(self, lexicon: dict[str, str] | None = None):
-        self.lexicon = dict(_JA_LEXICON)
-        self.lexicon.update(lexicon or {})
-        self._keys = sorted(_KANA, key=len, reverse=True)
-
-    def add_lexicon(self, lexicon: dict[str, str]) -> None:
-        self.lexicon.update(lexicon)
-
-    def word_to_ipa(self, word: str) -> str:
-        w = word.lower()
-        if w in self.lexicon:
-            return self.lexicon[w]
-        text = _kata_to_hira(word)
-        out: list[str] = []
-        i = 0
-        while i < len(text):
-            for k in self._keys:
-                if text.startswith(k, i):
-                    out.append(_KANA[k])
-                    i += len(k)
-                    break
-            else:
-                i += 1  # kanji or unknown: skipped (ONNX helper gap)
-        ipa = "".join(out)
-        # Sokuon (っ) geminates the following consonant.
-        ipa = re.sub(r"Q(.)", r"\1\1", ipa)
-        ipa = ipa.replace("Q", "")
-        # ん place assimilation: moraic nasal takes the following
-        # consonant's place (uvular ɴ only phrase-finally / before vowels
-        # and approximants) — reference japanese rules do the same.
-        ipa = re.sub(r"ɴ(?=[pbm])", "m", ipa)
-        ipa = re.sub(r"ɴ(?=[tdnɾszç]|tɕ|dʑ)", "n", ipa)
-        ipa = re.sub(r"ɴ(?=[kɡ])", "ŋ", ipa)
-        return ipa
 
 
 # ---------------------------------------------------------------------------
@@ -5418,3 +5340,206 @@ class EnglishG2P:
             if pred:
                 return en_add_primary_stress(pred)
         return english_hand_oov_ipa(gkey)
+
+
+# ---------------------------------------------------------------------------
+# Japanese — kana conversion mirroring the reference's
+# japanese-kana-to-ipa.cpp + lexicon/segmentation word pipeline
+# ---------------------------------------------------------------------------
+
+# Hiragana mora -> (onset, nucleus); longer keys first (the reference's
+# kMoraDesc table, japanese-kana-to-ipa.cpp:92-138).
+_JA_MORA = [
+    ("きゃ", "k", "ja"), ("きゅ", "k", "jɯ"), ("きょ", "k", "jo"),
+    ("ぎゃ", "g", "ja"), ("ぎゅ", "g", "jɯ"), ("ぎょ", "g", "jo"),
+    ("しゃ", "ɕ", "a"), ("しゅ", "ɕ", "ɯ"), ("しょ", "ɕ", "o"),
+    ("じゃ", "dʑ", "a"), ("じゅ", "dʑ", "ɯ"), ("じょ", "dʑ", "o"),
+    ("ちゃ", "tɕ", "a"), ("ちゅ", "tɕ", "ɯ"), ("ちょ", "tɕ", "o"),
+    ("にゃ", "n", "ja"), ("にゅ", "n", "jɯ"), ("にょ", "n", "jo"),
+    ("ひゃ", "ç", "a"), ("ひゅ", "ç", "ɯ"), ("ひょ", "ç", "o"),
+    ("びゃ", "b", "ja"), ("びゅ", "b", "jɯ"), ("びょ", "b", "jo"),
+    ("ぴゃ", "p", "ja"), ("ぴゅ", "p", "jɯ"), ("ぴょ", "p", "jo"),
+    ("みゃ", "m", "ja"), ("みゅ", "m", "jɯ"), ("みょ", "m", "jo"),
+    ("りゃ", "ɾ", "ja"), ("りゅ", "ɾ", "jɯ"), ("りょ", "ɾ", "jo"),
+    ("ふぁ", "ɸ", "a"), ("ふぃ", "ɸ", "i"), ("ふぇ", "ɸ", "e"),
+    ("ふぉ", "ɸ", "o"), ("ふゃ", "ɸ", "ja"), ("ふゅ", "ɸ", "jɯ"),
+    ("ふょ", "ɸ", "jo"), ("ヴぁ", "v", "a"), ("ヴぃ", "v", "i"),
+    ("ヴぇ", "v", "e"), ("ヴぉ", "v", "o"), ("ヴゃ", "v", "ja"),
+    ("ヴゅ", "v", "jɯ"), ("ヴょ", "v", "jo"), ("てぃ", "t", "i"),
+    ("てゅ", "t", "jɯ"), ("でぃ", "d", "i"), ("でゅ", "d", "jɯ"),
+    ("とぅ", "t", "ɯ"), ("どぅ", "d", "ɯ"), ("つぁ", "ts", "a"),
+    ("つぃ", "ts", "i"), ("つぇ", "ts", "e"), ("つぉ", "ts", "o"),
+    ("うぃ", "ɰ", "i"), ("うぇ", "ɰ", "e"), ("うぉ", "ɰ", "o"),
+    ("あ", "", "a"), ("い", "", "i"), ("う", "", "ɯ"),
+    ("え", "", "e"), ("お", "", "o"), ("か", "k", "a"),
+    ("き", "k", "i"), ("く", "k", "ɯ"), ("け", "k", "e"),
+    ("こ", "k", "o"), ("が", "g", "a"), ("ぎ", "g", "i"),
+    ("ぐ", "g", "ɯ"), ("げ", "g", "e"), ("ご", "g", "o"),
+    ("さ", "s", "a"), ("す", "s", "ɯ"), ("せ", "s", "e"),
+    ("そ", "s", "o"), ("し", "ɕ", "i"), ("ざ", "z", "a"),
+    ("ず", "z", "ɯ"), ("ぜ", "z", "e"), ("ぞ", "z", "o"),
+    ("じ", "dʑ", "i"), ("た", "t", "a"), ("て", "t", "e"),
+    ("と", "t", "o"), ("ち", "tɕ", "i"), ("つ", "ts", "ɯ"),
+    ("だ", "d", "a"), ("で", "d", "e"), ("ど", "d", "o"),
+    ("ぢ", "dʑ", "i"), ("づ", "dz", "ɯ"), ("な", "n", "a"),
+    ("に", "n", "i"), ("ぬ", "n", "ɯ"), ("ね", "n", "e"),
+    ("の", "n", "o"), ("は", "h", "a"), ("へ", "h", "e"),
+    ("ほ", "h", "o"), ("ひ", "ç", "i"), ("ふ", "ɸ", "ɯ"),
+    ("ば", "b", "a"), ("び", "b", "i"), ("ぶ", "b", "ɯ"),
+    ("べ", "b", "e"), ("ぼ", "b", "o"), ("ぱ", "p", "a"),
+    ("ぴ", "p", "i"), ("ぷ", "p", "ɯ"), ("ぺ", "p", "e"),
+    ("ぽ", "p", "o"), ("ま", "m", "a"), ("み", "m", "i"),
+    ("む", "m", "ɯ"), ("め", "m", "e"), ("も", "m", "o"),
+    ("や", "j", "a"), ("ゆ", "j", "ɯ"), ("よ", "j", "o"),
+    ("ら", "ɾ", "a"), ("り", "ɾ", "i"), ("る", "ɾ", "ɯ"),
+    ("れ", "ɾ", "e"), ("ろ", "ɾ", "o"), ("わ", "ɰ", "a"),
+    ("を", "", "o"), ("ん", "", "ɴ"), ("ぁ", "", "a"),
+    ("ぃ", "", "i"), ("ぅ", "", "ɯ"), ("ぇ", "", "e"),
+    ("ぉ", "", "o"), ("ゎ", "ɰ", "a"), ("ヴ", "v", "ɯ"),
+    ("ゐ", "j", "i"), ("ゑ", "j", "e"),
+]
+_JA_VOWELS_IPA = set("aeiou") | {"ɯ"}
+
+
+def _ja_kata_to_hira(s: str) -> str:
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if 0x30A1 <= o <= 0x30F6:
+            out.append(chr(o - 0x60))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def kana_to_ipa(text: str) -> str:
+    """Kana -> IPA (japanese-kana-to-ipa.cpp katakana_hiragana_to_ipa):
+    long-vowel ー extends the last vowel, small っ geminates as
+    onset + length mark."""
+    s = _ja_kata_to_hira(unicodedata.normalize("NFKC", text.strip()))
+    parts: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "ー":
+            if not parts:
+                parts.append("ː")
+            else:
+                last = parts[-1]
+                for j in range(len(last), 0, -1):
+                    if last[j - 1] in _JA_VOWELS_IPA:
+                        parts[-1] = last[:j] + "ː" + last[j:]
+                        break
+                else:
+                    parts[-1] = last + "ː"
+            i += 1
+            continue
+        if ch in ("っ", "ッ"):
+            j = i + 1
+            for key, onset, nuc in _JA_MORA:
+                if s.startswith(key, j):
+                    parts.append((onset + "ː" + nuc) if onset else nuc)
+                    i = j + len(key)
+                    break
+            else:
+                i = j
+            continue
+        for key, onset, nuc in _JA_MORA:
+            if s.startswith(key, i):
+                parts.append(onset + nuc)
+                i += len(key)
+                break
+        else:
+            i += 1
+    return "".join(parts)
+
+
+def ja_is_kana_only(text: str) -> bool:
+    s = _ja_kata_to_hira(unicodedata.normalize("NFKC", text.strip()))
+    if not s:
+        return False
+    for c in s:
+        if c in " \t\nーっッ":
+            continue
+        o = ord(c)
+        if 0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF:
+            continue
+        return False
+    return True
+
+
+def _ja_default_readings_path():
+    from pathlib import Path
+
+    return (Path(__file__).resolve().parents[2] / "tests" / "data"
+            / "g2p_ref" / "ja_readings.tsv")
+
+
+class JapaneseG2P:
+    """Japanese G2P: the reference's kana conversion plus a
+    surface->IPA reading lexicon with greedy longest-match segmentation
+    standing in for the reference's ONNX LUW segmenter + CDN dict
+    (japanese-onnx-g2p.cpp).  The default lexicon is harvested from the
+    reference's own shipped wiki corpus by kana-anchored alignment
+    (scripts/harvest_ja_readings.py)."""
+
+    def __init__(self, lexicon: dict[str, str] | None = None,
+                 use_harvested: bool = True):
+        self.lexicon = dict(lexicon or {})
+        if use_harvested and not self.lexicon:
+            p = _ja_default_readings_path()
+            if p.is_file():
+                for line in p.read_text(encoding="utf-8").splitlines():
+                    if "\t" in line and not line.startswith("#"):
+                        k, v = line.split("\t", 1)
+                        self.lexicon.setdefault(k, v)
+
+    def add_lexicon(self, lexicon: dict[str, str]) -> None:
+        self.lexicon.update(lexicon)
+
+    @staticmethod
+    def _is_kana_char(c: str) -> bool:
+        o = ord(c)
+        return (0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF)
+
+    def word_to_ipa(self, word: str) -> str:
+        """Greedy segmentation: longest lexicon match, else maximal kana
+        run, else skip; words join with spaces (the reference's LUW
+        word spacing)."""
+        w = unicodedata.normalize("NFKC", word.strip())
+        if not w:
+            return ""
+        if w in self.lexicon:
+            return self.lexicon[w]
+        if ja_is_kana_only(w):
+            return kana_to_ipa(w)
+        out: list[str] = []
+        i, n = 0, len(w)
+        max_key = min(12, max((len(k) for k in self.lexicon), default=0))
+        while i < n:
+            hit = None
+            for L in range(min(max_key, n - i), 0, -1):
+                cand = self.lexicon.get(w[i:i + L])
+                if cand is not None:
+                    hit = (L, cand)
+                    break
+            if hit is not None:
+                out.append(hit[1])
+                i += hit[0]
+                continue
+            c = w[i]
+            if self._is_kana_char(c) or c in "ーっッ":
+                j = i
+                while j < n and (self._is_kana_char(w[j])
+                                 or w[j] in "ーっッ"):
+                    # stop a kana run where a lexicon entry begins
+                    if j > i and any(
+                            w[j:j + L2] in self.lexicon
+                            for L2 in range(max_key, 0, -1)):
+                        break
+                    j += 1
+                out.append(kana_to_ipa(w[i:j]))
+                i = j
+                continue
+            i += 1
+        return " ".join(p for p in out if p)

@@ -24,7 +24,7 @@ FLOORS = {
     "fr": (0.97, 0.99),
     "hi": (0.97, 0.99),
     "it": (0.97, 0.99),
-    "ja": (0.04, 0.52),
+    "ja": (0.60, 0.76),
     "ko": (0.97, 0.99),
     "nl": (0.97, 0.99),
     "pt_br": (0.97, 0.99),
