@@ -516,10 +516,17 @@ class NeuralPackTTS:
 
     # -- front end ----------------------------------------------------------
 
+    #: micro-engine function-word readings (the micro G2P reads these
+    #: with full vowels; the moonshine-tts tier uses reduced forms —
+    #: reference: micro/g2p rules vs english-hand-oov.cpp kFunctionWords)
+    _MICRO_WORDS = {"to": "tu", "into": "ɪntu", "onto": "ɑntu"}
+
     def text_to_tokens(self, text: str) -> list[str]:
-        """Plain English text -> pack IPA tokens via the full G2P engine
-        (hand lexicon + baked 10,855-word real-pronunciation dict + rules;
-        single letters speak their names)."""
+        """Plain English text -> pack IPA tokens via the G2P engine
+        (baked 10,855-word real-pronunciation dict + rules; single
+        letters speak their names).  Stress marks are stripped: the
+        micro pack models prosody with its own duration/f0 streams, not
+        IPA stress tokens (micro/g2p/src/ipa_tokens.cc)."""
         parts: list[str] = []
         for word in text.lower().split():
             word = word.strip(".,!?;:")
@@ -527,8 +534,11 @@ class NeuralPackTTS:
                 continue
             if len(word) == 1 and word in _LETTER_IPA:
                 parts.append(_LETTER_IPA[word])
+            elif word in self._MICRO_WORDS:
+                parts.append(self._MICRO_WORDS[word])
             else:
-                parts.append(self.g2p.word_to_ipa(word))
+                ipa = self.g2p.word_to_ipa(word)
+                parts.append(ipa.replace("ˈ", "").replace("ˌ", ""))
         return tokenize_ipa(" ".join(parts))
 
     def synthesize(self, text: str, seed: int = 0) -> np.ndarray:
