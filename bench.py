@@ -264,7 +264,7 @@ def _train_streaming_weights(cfg, audio, steps=600, clip_seconds=2.56,
 
     from moonshine_tpu.core.tokenizer import BinTokenizer
     from moonshine_tpu.models import streaming as ms
-    from moonshine_tpu.train.streaming_step import make_overfit_step
+    from moonshine_tpu.train.streaming_step import make_batched_overfit_step
 
     tok = BinTokenizer.from_file(_TOKENIZER_BIN)
     phrases = [
@@ -297,7 +297,7 @@ def _train_streaming_weights(cfg, audio, steps=600, clip_seconds=2.56,
     opt = optax.adam(2e-3)
     params = ms.init_params(cfg, jax.random.PRNGKey(seed))
     opt_state = opt.init(params)
-    step = make_overfit_step(cfg, opt, examples)
+    step = make_batched_overfit_step(cfg, opt, examples)
     t0 = time.perf_counter()
     loss = float("inf")
     for i in range(steps):
@@ -556,7 +556,12 @@ def main() -> None:
     # 7.6k audio-s/s); 512 is the knee — near-max throughput at half the
     # wall of 1024 (docs/PERF.md round-2 sweep).
     p.add_argument("--batch", type=int, default=512)
-    p.add_argument("--duration", type=float, default=10.0, help="seconds per utterance")
+    # 9.26 s = 384 encoder frames = 3x128 lanes: the eval bucketer's
+    # 128-aligned default (eval bucketing, docs/PERF.md shape-choice
+    # note) is now also the bench headline; pass --duration 10 for the
+    # round-1/2 comparability number.
+    p.add_argument("--duration", type=float, default=9.26,
+                   help="seconds per utterance (default 128-lane-aligned)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--streaming-arch", default="medium_streaming")

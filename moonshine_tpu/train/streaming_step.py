@@ -92,3 +92,49 @@ def make_overfit_step(cfg: StreamingConfig, optimizer, examples, mem_bucket: int
         return params, opt_state, total / len(grad_fns)
 
     return step
+
+
+def make_batched_overfit_step(cfg: StreamingConfig, optimizer, examples,
+                              mem_bucket: int = 512):
+    """Single-program variant of :func:`make_overfit_step` for same-length
+    clips: tokens pad to one width and the whole example set runs as ONE
+    jitted vmapped grad step (the per-example version compiles one XLA
+    program per clip, which is minutes of relay compile at bench archs).
+    """
+    import optax
+
+    n_frames = len(examples[0][0]) // cfg.frame_len
+    assert all(len(a) == n_frames * cfg.frame_len for a, *_ in examples)
+    L = max(len(ti) for _, ti, _, _ in examples)
+
+    import numpy as np
+
+    def pad(x, fill):
+        out = np.full((L,), fill, dtype=np.int32)
+        out[: len(x)] = np.asarray(x)
+        return out
+
+    audio = jnp.stack([jnp.asarray(a, jnp.float32) for a, *_ in examples])
+    ti = jnp.asarray(np.stack([pad(t, 0) for _, t, _, _ in examples]))
+    to = jnp.asarray(np.stack([pad(t, 0) for _, _, t, _ in examples]))
+    mask = jnp.asarray(np.stack(
+        [pad(np.asarray(m, np.int32), 0) for _, _, _, m in examples]
+    ).astype(bool))
+
+    def mean_loss(params):
+        losses = jax.vmap(
+            lambda a, x, y, m: streaming_asr_loss(
+                params, cfg, a, x, y, m, n_frames, mem_bucket)
+        )(audio, ti, to, mask)
+        return jnp.mean(losses)
+
+    grad_fn = jax.value_and_grad(mean_loss)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = grad_fn(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
