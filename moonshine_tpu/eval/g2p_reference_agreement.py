@@ -93,7 +93,11 @@ class LangScore:
 
 
 def score_language(dialect: str, data_dir: Path | None = None,
-                   phonemizer=None) -> LangScore:
+                   phonemizer=None,
+                   line_range: tuple[int, int] | None = None) -> LangScore:
+    """``line_range``: optional (start, end) half-open golden-row slice —
+    used for honest train/held-out splits (e.g. the ja reading tier
+    trains on rows 0..80 and scores on 80..100)."""
     from moonshine_tpu.tts.g2p import GraphemeToPhonemizer
 
     data_dir = data_dir or default_data_dir()
@@ -104,6 +108,8 @@ def score_language(dialect: str, data_dir: Path | None = None,
             continue
         text, ipa = line.split("\t", 1)
         rows.append((text, ipa))
+    if line_range is not None:
+        rows = rows[line_range[0]:line_range[1]]
     g = phonemizer or GraphemeToPhonemizer(language=DIALECT_TO_LANG[dialect])
 
     ref_words = 0

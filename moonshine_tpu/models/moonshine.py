@@ -271,34 +271,52 @@ def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask
     kf = dense(a["k"], x)
     qsf = dense(swap_dense_params(a["q"], q_perm), x)
     ksf = dense(swap_dense_params(a["k"], k_perm), x)
-    q = _split_heads(
-        apply_rotary_fullwidth(qf, qsf, cos, sin, hd, cfg.encoder_heads),
-        cfg.encoder_heads,
+    q_full = apply_rotary_fullwidth(qf, qsf, cos, sin, hd, cfg.encoder_heads)
+    k_full = apply_rotary_fullwidth(kf, ksf, cos, sin, hd, cfg.encoder_kv_heads)
+    use_packed = (
+        attn_impl in ("pallas", "pallas_shmap")
+        and cfg.encoder_kv_heads == cfg.encoder_heads
     )
-    k = _split_heads(
-        apply_rotary_fullwidth(kf, ksf, cos, sin, hd, cfg.encoder_kv_heads),
-        cfg.encoder_kv_heads,
-    )
+    if use_packed:
+        # Packed-layout kernel: q/v stay [B, T, D] (the projections'
+        # natural lane-exact layout), K transposes once to dim-major —
+        # no head-split relayouts at all (ops/encoder_attention.py).
+        v_full = dense(a["v"], x)
+        kt = jnp.swapaxes(k_full, 1, 2)
+        if attn_impl == "pallas":
+            from ..ops.encoder_attention import encoder_attention_packed
+
+            o_full = encoder_attention_packed(
+                q_full, kt, v_full, frame_mask, heads=cfg.encoder_heads,
+                interpret=interpret,
+            )
+        else:
+            from ..ops.encoder_attention import (
+                encoder_attention_packed_sharded,
+            )
+
+            o_full = encoder_attention_packed_sharded(
+                q_full, kt, v_full, frame_mask, cfg.encoder_heads, mesh,
+                interpret=interpret,
+            )
+        return _encoder_layer_tail(cfg, h, lp, o_full, eps)
+    q = _split_heads(q_full, cfg.encoder_heads)
+    k = _split_heads(k_full, cfg.encoder_kv_heads)
     v = _split_heads(dense(a["v"], x), cfg.encoder_kv_heads)
-    if attn_impl == "pallas":
-        from ..ops.encoder_attention import encoder_attention
+    o = _attention(q, k, v, mask)
+    return _encoder_layer_tail(
+        cfg, h, lp, o.reshape(o.shape[0], o.shape[1], -1), eps
+    )
 
-        o = encoder_attention(q, k, v, frame_mask)
-    elif attn_impl == "pallas_shmap":
-        # GSPMD callers: the kernel under an explicit shard_map partition
-        # (batch over data, heads over model) instead of the XLA fallback.
-        from ..ops.encoder_attention import encoder_attention_sharded
 
-        o = encoder_attention_sharded(
-            q, k, v, frame_mask, mesh, interpret=interpret
-        )
-    else:
-        o = _attention(q, k, v, mask)
-    h = h + dense(a["o"], o.reshape(o.shape[0], o.shape[1], -1))
+def _encoder_layer_tail(cfg: MoonshineArchConfig, h, lp: Params,
+                        o_full: jnp.ndarray, eps: float):
+    """Attention output projection + residual + MLP (shared by both
+    attention layouts; o_full is [B, T, D])."""
+    h = h + dense(lp["attn"]["o"], o_full)
     x = layer_norm(lp["ln2"], h, eps)
     act = ACTIVATIONS[cfg.encoder_hidden_act]
-    h = h + dense(lp["mlp"]["fc2"], act(dense(lp["mlp"]["fc1"], x)))
-    return h
+    return h + dense(lp["mlp"]["fc2"], act(dense(lp["mlp"]["fc1"], x)))
 
 
 def _resolve_attn_impl(attn_impl: str) -> str:

@@ -108,6 +108,113 @@ def encoder_attention(
     return out.transpose(0, 2, 1, 3)  # [B, T, H, hd]
 
 
+def _packed_kernel(q_ref, kt_ref, v_ref, mask_ref, o_ref, *,
+                   heads: int, head_dim: int, scale: float):
+    mask = mask_ref[0]  # [1, T] int32 key validity; broadcasts over rows
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0][:, sl].astype(jnp.float32)   # [T, hd]
+        kt = kt_ref[0][sl, :].astype(jnp.float32)  # [hd, T]
+        logits = (
+            jax.lax.dot_general(
+                q, kt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )
+        logits = jnp.where(mask != 0, logits, NEG_INF)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        w = p / jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0][:, sl].astype(jnp.float32)
+        o_ref[0, :, sl] = jnp.dot(
+            w, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("heads", "interpret"))
+def encoder_attention_packed(
+    q: jnp.ndarray,   # [B, T, H*hd] — heads packed on lanes (NOT split)
+    kt: jnp.ndarray,  # [B, H*hd, T] — keys dim-major
+    v: jnp.ndarray,   # [B, T, H*hd]
+    frame_mask: jnp.ndarray | None,  # [B, T] bool key validity
+    heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed-layout VMEM attention; returns [B, T, H*hd].
+
+    Second-generation layout of ``encoder_attention``: the per-(b, h)
+    [T, 52] blocks of the original grid are DMA-latency bound — a
+    copy-only kernel over them costs 13.4 ms at B=512 where the full
+    packed kernel costs 9.3 (scripts/spike_attn_dma_floor.py,
+    spike_attn_multirow.py).  Blocks here are the lane-exact packed
+    [T, H*hd=416] projections the encoder layer already produces (no
+    head-split relayout in or out; K pre-transposed dim-major so QK^T is
+    a standard M-K-N GEMM); per-head structure is recovered with static
+    in-VMEM lane slices.  Math per head is identical to the original
+    kernel (fp32 logits/softmax/AV) — maxdiff 0.0 measured.
+    """
+    b, t, d = q.shape
+    hd = d // heads
+    if frame_mask is None:
+        mask_i32 = jnp.ones((b, 1, t), jnp.int32)
+    else:
+        mask_i32 = frame_mask.astype(jnp.int32)[:, None, :]
+    scale = float(hd) ** -0.5
+    blk = pl.BlockSpec((1, t, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ktblk = pl.BlockSpec((1, d, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mask_blk = pl.BlockSpec((1, 1, t), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_packed_kernel, heads=heads, head_dim=hd, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        grid=(b,),
+        in_specs=[blk, ktblk, blk, mask_blk],
+        out_specs=blk,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * heads * t * t * hd,
+            bytes_accessed=4 * b * t * d * q.dtype.itemsize + b * t * 4,
+            transcendentals=b * heads * t * t,
+        ),
+        interpret=interpret,
+    )(q, kt, v, mask_i32)
+
+
+def encoder_attention_packed_sharded(
+    q: jnp.ndarray,   # [B, T, H*hd]
+    kt: jnp.ndarray,  # [B, H*hd, T]
+    v: jnp.ndarray,   # [B, T, H*hd]
+    frame_mask: jnp.ndarray | None,  # [B, T]
+    heads: int,
+    mesh,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed kernel under GSPMD via shard_map (see
+    ``encoder_attention_sharded``): batch shards over ``data``; the
+    packed head axis shards over ``model`` in contiguous whole-head
+    blocks (H % model == 0 ⇒ each shard's lane slice is a whole number
+    of heads, so the per-shard kernel just runs with heads/model)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    b, t, d = q.shape
+    data, model = mesh.axis_names
+    n_model = mesh.shape[model]
+    if heads % n_model:
+        raise ValueError(f"heads {heads} not divisible by model axis {n_model}")
+    if frame_mask is None:
+        frame_mask = jnp.ones((b, t), bool)
+    fn = shard_map(
+        lambda qq, kk, vv, mm: encoder_attention_packed(
+            qq, kk, vv, mm, heads=heads // n_model, interpret=interpret),
+        mesh=mesh,
+        in_specs=(P(data, None, model), P(data, model, None),
+                  P(data, None, model), P(data, None)),
+        out_specs=P(data, None, model),
+        check_vma=False,
+    )
+    return fn(q, kt, v, frame_mask)
+
+
 def encoder_attention_sharded(
     q: jnp.ndarray,  # [B, T, H, hd]
     k: jnp.ndarray,

@@ -71,10 +71,11 @@ def _block_init(rng, dim: int, cross: bool):
     return p
 
 
-def init_params(cfg: G2PModelConfig, rng, out_vocab_size: int) -> Params:
+def init_params(cfg: G2PModelConfig, rng, out_vocab_size: int,
+                in_vocab_size: int = IN_VOCAB_SIZE) -> Params:
     k = jax.random.split(rng, 6 + 2 * cfg.layers)
     p: Params = {
-        "in_embed": jax.random.normal(k[0], (IN_VOCAB_SIZE, cfg.dim)) * 0.02,
+        "in_embed": jax.random.normal(k[0], (in_vocab_size, cfg.dim)) * 0.02,
         "in_pos": jax.random.normal(k[1], (cfg.max_word, cfg.dim)) * 0.02,
         "out_embed": jax.random.normal(k[2], (out_vocab_size, cfg.dim)) * 0.02,
         "out_pos": jax.random.normal(k[3], (cfg.max_ipa, cfg.dim)) * 0.02,
@@ -175,12 +176,43 @@ def greedy(p: Params, cfg: G2PModelConfig, src: jnp.ndarray) -> jnp.ndarray:
 class G2PTransformer:
     """A trained char->IPA model + its output vocabulary, as one artifact."""
 
-    def __init__(self, cfg: G2PModelConfig, params: Params, out_vocab: list[str]):
+    def __init__(self, cfg: G2PModelConfig, params: Params, out_vocab: list[str],
+                 in_vocab: list[str] | None = None):
+        """``in_vocab``: optional custom input alphabet (one codepoint per
+        entry, id = index + 4 after the specials) for non-Latin scripts —
+        the ja kanji-reading tier stores kana+kanji here.  None keeps the
+        default Latin ``_IN_CHARS`` table."""
         self.cfg = cfg
         self.params = params
         self.out_vocab = list(out_vocab)
+        self.in_vocab = list(in_vocab) if in_vocab is not None else None
+        self._in_map = (
+            {c: i + 4 for i, c in enumerate(self.in_vocab)}
+            if self.in_vocab is not None else None
+        )
         self._id_to_sym = {i: s for i, s in enumerate(self.out_vocab)}
         self._sym_to_id = {s: i for i, s in enumerate(self.out_vocab)}
+
+    @staticmethod
+    def build_in_vocab(words) -> list[str]:
+        """Input alphabet = every codepoint seen in the training surfaces."""
+        return sorted({ch for w in words for ch in w})
+
+    def encode_src(self, word: str) -> np.ndarray:
+        """word -> [max_word] ids using the model's input alphabet."""
+        if self._in_map is None:
+            return encode_word(word, self.cfg.max_word)
+        ids = [BOS] + [
+            self._in_map.get(c, UNK) for c in word[: self.cfg.max_word - 2]
+        ] + [EOS]
+        out = np.zeros(self.cfg.max_word, np.int32)
+        out[: len(ids)] = ids
+        return out
+
+    @property
+    def in_vocab_size(self) -> int:
+        return (len(self.in_vocab) + 4 if self.in_vocab is not None
+                else IN_VOCAB_SIZE)
 
     # -- vocab ---------------------------------------------------------------
 
@@ -215,7 +247,7 @@ class G2PTransformer:
         return self.predict_batch([word])[0]
 
     def predict_batch(self, words: list[str]) -> list[str]:
-        src = np.stack([encode_word(w, self.cfg.max_word) for w in words])
+        src = np.stack([self.encode_src(w) for w in words])
         out = greedy(self.params, self.cfg, jnp.asarray(src))
         return [self.decode_ids(row[1:]) for row in np.asarray(out)]
 
@@ -235,6 +267,8 @@ class G2PTransformer:
             "out_vocab": json.dumps(self.out_vocab, ensure_ascii=False),
             "config": json.dumps(self.cfg._asdict()),
         }
+        if self.in_vocab is not None:
+            meta["in_vocab"] = json.dumps(self.in_vocab, ensure_ascii=False)
         save_file(flat, str(path), metadata=meta)
 
     @classmethod
@@ -247,9 +281,11 @@ class G2PTransformer:
         if "out_vocab" not in meta or "config" not in meta:
             raise ValueError(f"{path}: not a G2PTransformer artifact (missing metadata)")
         out_vocab = json.loads(meta["out_vocab"])
+        in_vocab = json.loads(meta["in_vocab"]) if "in_vocab" in meta else None
         cfg = G2PModelConfig(**json.loads(meta["config"]))
         flat = load_file(str(path))
-        target = init_params(cfg, jax.random.PRNGKey(0), len(out_vocab))
+        in_size = len(in_vocab) + 4 if in_vocab is not None else IN_VOCAB_SIZE
+        target = init_params(cfg, jax.random.PRNGKey(0), len(out_vocab), in_size)
         paths = jax.tree_util.tree_flatten_with_path(target)[0]
         treedef = jax.tree_util.tree_structure(target)
         new_leaves = []
@@ -265,4 +301,4 @@ class G2PTransformer:
                 raise ValueError(f"Shape mismatch for {name}: {arr.shape} vs {tuple(leaf.shape)}")
             new_leaves.append(jnp.asarray(arr, leaf.dtype))
         params = jax.tree_util.tree_unflatten(treedef, new_leaves)
-        return cls(cfg, params, out_vocab)
+        return cls(cfg, params, out_vocab, in_vocab)

@@ -32,6 +32,7 @@ from __future__ import annotations
 import re
 import unicodedata
 from dataclasses import dataclass, field
+from pathlib import Path as _PathType
 
 # ---------------------------------------------------------------------------
 # Korean — algorithmic Hangul decomposition
@@ -5454,6 +5455,10 @@ def kana_to_ipa(text: str) -> str:
     return "".join(parts)
 
 
+def _ja_is_kanji(c: str) -> bool:
+    return 0x4E00 <= ord(c) <= 0x9FFF or c in "々〆ヶ"
+
+
 def ja_is_kana_only(text: str) -> bool:
     s = _ja_kata_to_hira(unicodedata.normalize("NFKC", text.strip()))
     if not s:
@@ -5484,7 +5489,12 @@ class JapaneseG2P:
     (scripts/harvest_ja_readings.py)."""
 
     def __init__(self, lexicon: dict[str, str] | None = None,
-                 use_harvested: bool = True):
+                 use_harvested: bool = True, neural=None):
+        """``neural``: optional kanji-reading model (a
+        ``G2PTransformer`` or a path to its safetensors artifact,
+        trained by train/ja_reader.py) — the backstop for kanji spans
+        the lexicon misses, mirroring the reference's ONNX helper tier
+        (japanese-tok-pos-onnx.h).  None keeps lexicon+kana only."""
         self.lexicon = dict(lexicon or {})
         if use_harvested and not self.lexicon:
             p = _ja_default_readings_path()
@@ -5493,6 +5503,11 @@ class JapaneseG2P:
                     if "\t" in line and not line.startswith("#"):
                         k, v = line.split("\t", 1)
                         self.lexicon.setdefault(k, v)
+        if isinstance(neural, (str, _PathType)):
+            from .g2p_transformer import G2PTransformer
+
+            neural = G2PTransformer.load(neural)
+        self.neural = neural
 
     def add_lexicon(self, lexicon: dict[str, str]) -> None:
         self.lexicon.update(lexicon)
@@ -5541,5 +5556,30 @@ class JapaneseG2P:
                 out.append(kana_to_ipa(w[i:j]))
                 i = j
                 continue
+            if self.neural is not None and _ja_is_kanji(c):
+                # Neural reading tier: maximal kanji run the lexicon
+                # missed (stopping where a lexicon entry begins), read by
+                # the trained span->IPA model instead of being dropped.
+                # Kanji-run-only spans, deliberately: extending into the
+                # trailing hiragana (okurigana) was measured at 28.2% vs
+                # 55.9% held-out agreement — particles get swallowed
+                # (scripts/eval_ja_neural.py, docs/EVAL.md).
+                j = i + 1
+                while j < n and _ja_is_kanji(w[j]) and not any(
+                        w[j:j + L2] in self.lexicon
+                        for L2 in range(max_key, 0, -1)):
+                    j += 1
+                out.append(self._neural_reading(w[i:j]))
+                i = j
+                continue
             i += 1
         return " ".join(p for p in out if p)
+
+    def _neural_reading(self, span: str) -> str:
+        cache = getattr(self, "_neural_cache", None)
+        if cache is None:
+            cache = self._neural_cache = {}
+        hit = cache.get(span)
+        if hit is None:
+            hit = cache[span] = self.neural.predict(span)
+        return hit

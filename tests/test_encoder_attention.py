@@ -69,17 +69,77 @@ def test_encoder_apply_pallas_path():
     rng = np.random.default_rng(3)
     audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
 
-    orig = ea.encoder_attention
+    orig = ea.encoder_attention_packed
     try:
         # Route the in-scan calls through interpreter mode on CPU.
-        ea_interp = lambda q, k, v, m, interpret=True: orig(q, k, v, m, interpret=True)
-        ea.encoder_attention = ea_interp
+        def ea_interp(q, kt, v, m, heads, interpret=True):
+            return orig(q, kt, v, m, heads=heads, interpret=True)
+
+        ea.encoder_attention_packed = ea_interp
         feats, mask = mm.frontend_apply(params["frontend"], cfg, audio)
         out_k = mm.encoder_apply(params["encoder"], cfg, feats, None, attn_impl="pallas")
     finally:
-        ea.encoder_attention = orig
+        ea.encoder_attention_packed = orig
     out_x = mm.encoder_apply(params["encoder"], cfg, feats, None, attn_impl="xla")
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=1e-4, rtol=1e-4)
+
+
+def test_packed_kernel_matches_xla_attention():
+    """The packed-layout kernel (ops/encoder_attention.py second
+    generation: [B,T,H*hd] blocks, in-VMEM head slices, K dim-major)
+    equals the split-head XLA attention, masked and unmasked."""
+    from moonshine_tpu.ops.encoder_attention import encoder_attention_packed
+
+    rng = np.random.default_rng(4)
+    B, T, H, hd = 3, 31, 4, 20
+    q, k, v = (_rand(rng, B, T, H, hd) for _ in range(3))
+    qp = q.reshape(B, T, H * hd)
+    ktp = jnp.swapaxes(k.reshape(B, T, H * hd), 1, 2)
+    vp = v.reshape(B, T, H * hd)
+
+    ref = _attention(q, k, v, None).reshape(B, T, H * hd)
+    out = encoder_attention_packed(qp, ktp, vp, None, heads=H, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    lengths = np.array([31, 12, 1])
+    fm = jnp.asarray(np.arange(T)[None, :] < lengths[:, None])
+    ref_m = _attention(q, k, v, fm[:, None, None, :]).reshape(B, T, H * hd)
+    out_m = encoder_attention_packed(qp, ktp, vp, fm, heads=H, interpret=True)
+    for b, n in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(out_m)[b, :n], np.asarray(ref_m)[b, :n],
+            atol=2e-5, rtol=1e-4,
+        )
+
+
+def test_packed_sharded_matches_xla_on_mesh():
+    """Packed kernel under shard_map: whole-head lane blocks over the
+    model axis, batch over data."""
+    import pytest
+
+    from moonshine_tpu.ops.encoder_attention import (
+        encoder_attention_packed_sharded,
+    )
+    from moonshine_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh(data=4, model=2)
+    b, t, h, hd = 8, 64, 4, 16
+    rng = np.random.default_rng(5)
+    q, k, v = (_rand(rng, b, t, h, hd) for _ in range(3))
+    mask = jnp.asarray(rng.random((b, t)) > 0.2)
+
+    qp = q.reshape(b, t, h * hd)
+    ktp = jnp.swapaxes(k.reshape(b, t, h * hd), 1, 2)
+    vp = v.reshape(b, t, h * hd)
+    out = encoder_attention_packed_sharded(
+        qp, ktp, vp, mask, h, mesh, interpret=True)
+    ref = _attention(q, k, v, mask[:, None, None, :]).reshape(b, t, h * hd)
+    got = np.asarray(out)
+    refn = np.asarray(ref)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(got[valid], refn[valid], atol=2e-5, rtol=1e-4)
 
 
 def test_sharded_kernel_matches_xla_on_mesh():
