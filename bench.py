@@ -17,10 +17,21 @@ final-update latency, and the OFFLINE batched-decode numbers of round 1
 (offline_*, with offline_vs_sol the fraction of the chip's analytic
 speed-of-light for that workload).
 
+HBM SAFETY: --mode both runs each measurement PHASE in its own
+subprocess (offline, steady, churn, governed, trained) so device memory
+is returned to the chip between phases — one process previously held the
+B=512 offline decode, FOUR 64-stream medium service instantiations and a
+600-step Adam overfit simultaneously and died RESOURCE_EXHAUSTED.  The
+package-level persistent XLA compile cache makes the repeated warmups
+cheap (identical shapes across phases hit the cache).
+
 Weights are randomly initialized — compute is weight-independent, so
 throughput is representative; speculative ACCEPTANCE is pessimistic with
 random weights (hypotheses churn as streaming context grows), so the
-streaming numbers are a worst-case floor, not a best case.
+streaming numbers are a worst-case floor, not a best case.  The trained
+phase overfits the bench arch on the bench audio and reports MEASURED
+acceptance both in-distribution (serving the training clip) and
+off-distribution (serving held-out beckett.wav — real hypothesis drift).
 
 Reference methodology mirrored: core/benchmark.cpp:94-105 (0.5 s update
 interval, compute %% of audio, post-phrase latency on two_cities.wav).
@@ -30,6 +41,9 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -251,6 +265,8 @@ REF_FINAL_LATENCY_MS = {
 
 _TOKENIZER_BIN = ("/root/reference/language-bindings/python/src/"
                   "moonshine_voice/assets/tiny-en/tokenizer.bin")
+_TWO_CITIES = "/root/reference/test-assets/two_cities_16k.wav"
+_BECKETT = "/root/reference/test-assets/beckett.wav"
 
 
 def _train_streaming_weights(cfg, audio, steps=600, clip_seconds=2.56,
@@ -304,45 +320,79 @@ def _train_streaming_weights(cfg, audio, steps=600, clip_seconds=2.56,
         params, opt_state, loss = step(params, opt_state)
         if (i + 1) % 25 == 0 and float(loss) < 0.02:
             break
+    # Release the optimizer state (2x params of HBM) before the caller
+    # instantiates the serving state on the same chip.
+    del opt_state
     return params, float(loss), time.perf_counter() - t0, i + 1
 
 
-def streaming_bench(args) -> dict:
-    """N concurrent live streams through serving.StreamingService.
+def _load_bench_audio(path=_TWO_CITIES, min_seconds=200.0):
+    """Load a clip and tile it to at least ``min_seconds``.
 
-    Each slot is fed 0.64 s of real speech (two_cities, tiled, per-slot
-    offset) per update; segments force-split at 15 s (reference VAD
-    contract).  Slots are pre-staggered so finals spread across updates
-    instead of landing in lockstep.  Reported latency = wall time of the
-    device update that carries a final — the post-phrase latency analog
-    (the reference measures end-of-phrase -> final transcript,
-    core/benchmark.cpp:94-105).
-
-    Acceptance realism: the HEADLINE run zeroes the decoder's
-    cross-attention output projections, which makes the greedy hypothesis
-    independent of the growing memory so the speculative verify accepts
-    everything — the steady-state behavior of a TRAINED model (stable
-    prefixes are what the reference's speculative design depends on,
-    moonshine-streaming-model.cpp:1244-1316).  Per-op compute/HBM cost is
-    IDENTICAL (the cross-attention is still fully computed; only its
-    values change).  The untouched-random-weights run — whose hypothesis
-    churns as memory grows, forcing near-full serial regeneration every
-    update — is carried as churn_* keys: the adversarial floor, not a
-    behavior real weights exhibit.
+    Returns (tiled, base_len): ``base_len`` is the untiled clip length in
+    samples — stream start offsets are spread across ONE clip period so
+    force-splits stagger instead of landing in lockstep.
     """
     import numpy as np
 
     from moonshine_tpu.audio.wav import load_wav
-    from moonshine_tpu.core.config import STREAMING_ARCHS
-    from moonshine_tpu.models import streaming as ms
-    from moonshine_tpu.serving import ShardedStreamingService, StreamingService
 
-    cfg = STREAMING_ARCHS[args.streaming_arch]
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    params = ms.init_params(cfg, jax.random.PRNGKey(0))
-    # Stable-hypothesis twin: zero ONLY the cross-attn output weight leaf
-    # (same pytree structure, same arithmetic, memory-independent decode).
-    def zero_cross_o(p):
+    try:
+        audio, sr = load_wav(path)
+        if sr != 16000:
+            from moonshine_tpu.audio.resample import resample
+
+            audio = resample(audio, sr, 16000)
+        audio = np.asarray(audio, np.float32)
+    except Exception:
+        audio = (np.random.RandomState(0).randn(16000 * 44) * 0.1).astype(
+            np.float32)
+    tile = max(4, int(np.ceil(min_seconds * 16000 / len(audio))))
+    return np.concatenate([audio] * tile), len(audio)
+
+
+class _ServiceHarness:
+    """Shared setup for the streaming-service phases.
+
+    Builds config/params once; ``measure`` constructs the service, runs
+    the timed update loop and DROPS the service before returning, so one
+    process can run two measurements back-to-back (e.g. the trained
+    phase's in-distribution + held-out passes) without accumulating HBM.
+    """
+
+    def __init__(self, args):
+        from moonshine_tpu.core.config import STREAMING_ARCHS
+        from moonshine_tpu.models import streaming as ms
+
+        self.args = args
+        self.cfg = STREAMING_ARCHS[args.streaming_arch]
+        self.dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        self.params = ms.init_params(self.cfg, jax.random.PRNGKey(0))
+        self.S = args.streams
+        self.K = args.cohorts
+        self.seg_seconds = 15.0
+        self.update_frames = 128  # 0.64 s — one ENC_STEP per pass
+        self.step = self.update_frames * self.cfg.frame_len
+        # Segment cap 15 s = 3000 memory frames; bucket with ENC_STEP slack.
+        self.mem_bucket = 3072 + 128
+        self.draft_cap = 128  # >= 6.5 tok/s * 15 s
+        self.tiled, self.base_len = _load_bench_audio()
+        self.vad = None
+        if args.vad:
+            from moonshine_tpu.models.vad import TinyVad
+
+            # Real TinyVadCNN weights from the reference tree: live VAD
+            # segmentation in the service (BASELINE config 3), one extra
+            # batched device call per tick.
+            self.vad = TinyVad.from_onnx(
+                "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
+            )
+
+    def stable_params(self):
+        """Stable-hypothesis twin: zero ONLY the cross-attn output weight
+        leaf (same pytree structure, same arithmetic, memory-independent
+        decode)."""
+        p = self.params
         new_o = dict(p["decoder"]["layers"]["cross_attn"]["o"])
         new_o["w"] = jnp.zeros_like(new_o["w"])
         new_ca = dict(p["decoder"]["layers"]["cross_attn"], o=new_o)
@@ -350,46 +400,30 @@ def streaming_bench(args) -> dict:
         new_dec = dict(p["decoder"], layers=new_lay)
         return dict(p, decoder=new_dec)
 
-    stable_params = zero_cross_o(params)
+    def measure(self, p, source=None, track_acceptance=False,
+                governor=None) -> dict:
+        import numpy as np
 
-    S = args.streams
-    seg_seconds = 15.0
-    update_frames = 128  # 0.64 s — one ENC_STEP per pass
-    step = update_frames * cfg.frame_len
-    # Segment cap 15 s = 3000 memory frames; bucket with ENC_STEP slack.
-    mem_bucket = 3072 + 128
-    draft_cap = 128  # >= 6.5 tok/s * 15 s
+        from moonshine_tpu.serving import (ShardedStreamingService,
+                                           StreamingService)
 
-    try:
-        audio, _sr = load_wav("/root/reference/test-assets/two_cities_16k.wav")
-    except Exception:
-        audio = (np.random.RandomState(0).randn(16000 * 44) * 0.1).astype(np.float32)
-    tiled = np.concatenate([audio] * 4)
-    offsets = [int(i * len(audio) / S) for i in range(S)]
-    period = int(seg_seconds * 16000)
+        args, cfg, S, K = self.args, self.cfg, self.S, self.K
+        step, seg_seconds = self.step, self.seg_seconds
+        if source is None:
+            tiled, base_len = self.tiled, self.base_len
+        else:
+            tiled, base_len = source
+        offsets = [int(i * base_len / S) for i in range(S)]
+        period = int(seg_seconds * 16000)
 
-    vad = None
-    if args.vad:
-        from moonshine_tpu.models.vad import TinyVad
-
-        # Real TinyVadCNN weights from the reference tree: live VAD
-        # segmentation in the service (BASELINE config 3), one extra
-        # batched device call per tick.
-        vad = TinyVad.from_onnx(
-            "/root/reference/micro/models/tinyvad_cnn_speech_mel.onnx"
-        )
-
-    K = args.cohorts
-
-    def measure(p, track_acceptance=False, governor=None) -> dict:
         if args.w8a8:
             from moonshine_tpu.quant import quantize_tree_exec
 
             p = quantize_tree_exec(p)
         kw = dict(
-            update_frames=update_frames, mem_bucket=mem_bucket,
-            draft_cap=draft_cap, max_segment_seconds=seg_seconds,
-            compute_dtype=dtype, kv_int8=args.kv_int8, vad=vad,
+            update_frames=self.update_frames, mem_bucket=self.mem_bucket,
+            draft_cap=self.draft_cap, max_segment_seconds=seg_seconds,
+            compute_dtype=self.dtype, kv_int8=args.kv_int8, vad=self.vad,
         )
         if K > 1:
             # Staggered cohorts: tick one S/K-stream device program per
@@ -482,29 +516,93 @@ def streaming_bench(args) -> dict:
             out["acceptance"] = acc_num / max(acc_den, 1)
         if governor is not None:
             out["backoff"] = governor.backoff
+        # Drop the service's device state before returning (a second
+        # measure() in the same process starts from a clean chip; the jit
+        # cache keeps the compiled programs).
+        del svc
         return out
 
-    steady = measure(stable_params)
-    churn = measure(params)
-    # REAL trained weights on the same looped speech: measured acceptance
-    # replaces the stable-hypothesis surrogate (VERDICT r2 item 4).
-    trained = None
-    if args.trained:
+
+def streaming_phase(args, phase: str) -> dict:
+    """Run ONE streaming-service measurement in this process."""
+    h = _ServiceHarness(args)
+    if phase == "steady":
+        return h.measure(h.stable_params())
+    if phase == "churn":
+        return h.measure(h.params)
+    if phase == "governed":
+        from moonshine_tpu.serving import ServiceGovernor
+
+        gov = ServiceGovernor(update_period_s=h.step / 16000.0,
+                              n_cohorts=h.K)
+        return h.measure(h.params, governor=gov)
+    if phase == "trained":
+        # REAL trained weights on the same looped speech: measured
+        # acceptance replaces the stable-hypothesis surrogate (VERDICT r2
+        # item 4); then the SAME weights serve held-out beckett.wav —
+        # off-distribution acceptance with real hypothesis drift, governor
+        # active (VERDICT r3 item 5).
         t_params, t_loss, t_train_s, t_steps = _train_streaming_weights(
-            cfg, tiled)
-        trained = measure(t_params, track_acceptance=True)
-        trained.update(loss=t_loss, train_s=t_train_s, steps=t_steps)
-    # Churn-storm mitigation: the service governor sheds decode cadence
-    # so ingestion stays realtime under adversarial churn.
-    from moonshine_tpu.serving import ServiceGovernor
+            h.cfg, h.tiled)
+        import jax as _jax
 
-    gov = ServiceGovernor(update_period_s=step / 16000.0, n_cohorts=K)
-    governed = measure(params, governor=gov)
+        _jax.clear_caches()  # drop the training step's live executables
+        out = h.measure(t_params, track_acceptance=True)
+        out.update(loss=t_loss, train_s=t_train_s, steps=t_steps)
+        from moonshine_tpu.serving import ServiceGovernor
 
+        heldout = _load_bench_audio(_BECKETT)
+        gov = ServiceGovernor(update_period_s=h.step / 16000.0,
+                              n_cohorts=h.K)
+        ho = h.measure(t_params, source=heldout, track_acceptance=True,
+                       governor=gov)
+        out.update({f"heldout_{k}": v for k, v in ho.items()})
+        return out
+    raise ValueError(phase)
+
+
+_PHASE_TIMEOUT_S = {"offline": 1800, "steady": 1800, "churn": 1800,
+                    "governed": 1800, "trained": 3600}
+
+
+def _phase_argv(args, phase: str) -> list[str]:
+    argv = [sys.executable, os.path.abspath(__file__), "--phase", phase]
+    for k in ("arch", "batch", "duration", "iters", "dtype",
+              "streaming-arch", "streams", "cohorts", "updates", "decode",
+              "beam-size"):
+        argv += [f"--{k}", str(getattr(args, k.replace("-", "_")))]
+    for flag in ("vad", "w8a8", "kv-int8"):
+        on = getattr(args, flag.replace("-", "_"))
+        argv.append(("--" if on else "--no-") + flag)
+    return argv
+
+
+def _run_phase(args, phase: str) -> dict:
+    """Run one bench phase in a fresh subprocess (its HBM is freed on
+    exit) and parse the JSON line it prints."""
+    proc = subprocess.run(
+        _phase_argv(args, phase), capture_output=True, text=True,
+        timeout=_PHASE_TIMEOUT_S[phase],
+    )
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout or "").strip()[-500:]
+        raise RuntimeError(f"phase {phase} rc={proc.returncode}: {tail}")
+    for line in reversed(proc.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"phase {phase}: no JSON line in output")
+
+
+def assemble_streaming(args, phases: dict) -> dict:
+    """Merge per-phase results into the round's streaming JSON schema."""
+    steady = phases["steady"]
     ref = REF_FINAL_LATENCY_MS[args.streaming_arch]
+    step = 128 * 80  # update_frames * frame_len (harness constants)
     update_budget_ms = step / 16000.0 * 1000.0
+    S, K = args.streams, args.cohorts
     cohort_tag = f", {K} staggered cohorts" if K > 1 else ""
-    return {
+    out = {
         "metric": f"audio-seconds/s, {args.streaming_arch} live service "
         f"({S} concurrent streams{cohort_tag}, 0.64 s updates, 15 s segments, "
         f"{args.dtype}{', int8 KV' if args.kv_int8 else ''}"
@@ -525,17 +623,25 @@ def streaming_bench(args) -> dict:
         "realtime_headroom_x": round(update_budget_ms / (K * steady["p50"]), 2),
         "vs_linux_x86_latency": round(ref["linux_x86"] / steady["p50_final"], 2),
         "vs_macbook_latency": round(ref["macbook"] / steady["p50_final"], 2),
+    }
+    churn = phases.get("churn")
+    if churn:
         # Adversarial floor: untrained weights churn the hypothesis every
         # update (acceptance ~ 0 -> near-full serial regeneration).
-        "churn_floor_agg": round(churn["agg"], 2),
-        "churn_floor_p50_update_ms": round(churn["p50"], 1),
+        out["churn_floor_agg"] = round(churn["agg"], 2)
+        out["churn_floor_p50_update_ms"] = round(churn["p50"], 1)
+    governed = phases.get("governed")
+    if governed:
         # ... and its mitigation: decode-backoff governor keeps the tick
         # budget under the same churn storm (ingest stays realtime).
-        "churn_governed_agg": round(governed["agg"], 2),
-        "churn_governed_p50_update_ms": round(governed["p50"], 1),
-        "churn_governed_backoff": governed["backoff"],
-        **({
-            # REAL trained weights, measured speculative acceptance.
+        out["churn_governed_agg"] = round(governed["agg"], 2)
+        out["churn_governed_p50_update_ms"] = round(governed["p50"], 1)
+        out["churn_governed_backoff"] = governed["backoff"]
+    trained = phases.get("trained")
+    if trained:
+        out.update({
+            # REAL trained weights, measured speculative acceptance —
+            # in-distribution (serving the training clip) ...
             "trained_agg": round(trained["agg"], 2),
             "trained_p50_update_ms": round(trained["p50"], 1),
             "trained_p50_final_latency_ms": round(trained["p50_final"], 1),
@@ -543,14 +649,69 @@ def streaming_bench(args) -> dict:
             "trained_loss": round(trained["loss"], 4),
             "trained_steps": trained["steps"],
             "trained_train_s": round(trained["train_s"], 1),
-        } if trained else {}),
-    }
+            # ... and OFF-distribution: the same weights serving held-out
+            # beckett.wav (never seen in training) with the governor
+            # active — acceptance under real hypothesis drift.
+            "trained_heldout_agg": round(trained["heldout_agg"], 2),
+            "trained_heldout_p50_update_ms": round(trained["heldout_p50"], 1),
+            "trained_heldout_acceptance": round(
+                trained["heldout_acceptance"], 4),
+            "trained_heldout_backoff": trained["heldout_backoff"],
+        })
+    return out
+
+
+def run_both(args) -> dict:
+    """Driver default: every phase in its own subprocess (HBM-safe)."""
+    off = err = None
+    try:
+        off = _run_phase(args, "offline")
+    except Exception as e:  # pragma: no cover - depends on chip state
+        err = f"offline: {e!r}"
+
+    phases: dict = {}
+    phase_errors: list[str] = []
+    names = ["steady", "churn", "governed"]
+    if args.trained:
+        names.append("trained")
+    for name in names:
+        try:
+            phases[name] = _run_phase(args, name)
+        except Exception as e:
+            phase_errors.append(f"{name}: {e!r}")
+
+    if "steady" in phases:
+        out = assemble_streaming(args, phases)
+        if off:
+            out["offline_metric"] = off["metric"]
+            out["offline_value"] = off["value"]
+            out["offline_vs_sol"] = off["vs_sol"]
+            out["offline_wall_seconds"] = off["wall_seconds"]
+        elif err:
+            out["offline_error"] = err
+    elif off:  # never lose the round's bench to a streaming bug
+        out = dict(off)
+        out["vs_baseline"] = out.pop("vs_sol")
+    else:
+        out = {"metric": "bench failed", "value": 0.0, "unit": "none",
+               "vs_baseline": 0.0}
+        if err:
+            phase_errors.insert(0, err)
+    if phase_errors:
+        out["streaming_error"] = "; ".join(phase_errors)
+    return out
 
 
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="both",
                    choices=["both", "offline", "streaming", "spec"])
+    p.add_argument("--phase", default=None,
+                   choices=["offline", "steady", "churn", "governed",
+                            "trained"],
+                   help="internal: run ONE measurement phase in this "
+                   "process and print its raw JSON (used by --mode both's "
+                   "subprocess isolation)")
     p.add_argument("--arch", default="base")
     # Throughput keeps rising past 256 (256/512/768/1024 -> 5.4k/7.2k/7.4k/
     # 7.6k audio-s/s); 512 is the knee — near-max throughput at half the
@@ -580,7 +741,10 @@ def main() -> None:
                    action=argparse.BooleanOptionalAction,
                    help="also overfit the bench arch on the bench audio "
                    "and measure the service with REAL trained weights "
-                   "(reports measured speculative acceptance)")
+                   "(reports measured speculative acceptance, in-dist + "
+                   "held-out beckett.wav). NOTE: changes default-run wall "
+                   "time vs rounds 1-2; numbers stay comparable because "
+                   "each phase is subprocess-isolated")
     p.add_argument("--decode", default="greedy", choices=["greedy", "beam"],
                    help="offline decode mode (BASELINE config 2 asks for "
                    "batched beam; beam pays ~beam_size x decode cost)")
@@ -600,33 +764,34 @@ def main() -> None:
                    "KV on real audio (docs/PERF.md)")
     args = p.parse_args()
 
+    if args.phase:
+        if args.phase == "offline":
+            print(json.dumps(offline_bench(args)))
+        else:
+            print(json.dumps(streaming_phase(args, args.phase)))
+        return
+
     if args.mode == "offline":
         out = offline_bench(args)
         out["vs_baseline"] = out.pop("vs_sol")
         print(json.dumps(out))
         return
     if args.mode == "streaming":
-        print(json.dumps(streaming_bench(args)))
+        # Single-process streaming run (no offline phase, no subprocess
+        # isolation): steady + churn + governed [+ trained] sequentially;
+        # HBM-safe because measure() drops the service between phases.
+        phases = {"steady": streaming_phase(args, "steady"),
+                  "churn": streaming_phase(args, "churn"),
+                  "governed": streaming_phase(args, "governed")}
+        if args.trained:
+            phases["trained"] = streaming_phase(args, "trained")
+        print(json.dumps(assemble_streaming(args, phases)))
         return
     if args.mode == "spec":
         print(json.dumps(spec_bench(args)))
         return
 
-    # both: streaming is the headline; offline rides along as offline_*.
-    off = offline_bench(args)
-    try:
-        out = streaming_bench(args)
-    except Exception as e:  # never lose the round's bench to a streaming bug
-        out = dict(off)
-        out["vs_baseline"] = out.pop("vs_sol")
-        out["streaming_error"] = repr(e)
-        print(json.dumps(out))
-        return
-    out["offline_metric"] = off["metric"]
-    out["offline_value"] = off["value"]
-    out["offline_vs_sol"] = off["vs_sol"]
-    out["offline_wall_seconds"] = off["wall_seconds"]
-    print(json.dumps(out))
+    print(json.dumps(run_both(args)))
 
 
 if __name__ == "__main__":

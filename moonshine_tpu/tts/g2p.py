@@ -161,8 +161,14 @@ def _tokenize_words(text: str) -> list[str]:
                 toks.append(t)
             cur.clear()
 
-    for ch in text:
+    for i, ch in enumerate(text):
         if ch in "'-" or _ud.category(ch)[0] in ("L", "M", "N"):
+            cur.append(ch)
+        elif (ch in ".," and cur and cur[-1].isdigit()
+              and i + 1 < len(text) and text[i + 1].isdigit()):
+            # decimal point / thousands comma INSIDE a number (3.14,
+            # 1,000) stays in the token — engines with numeral readers
+            # (ko 삼점일사, korean-numbers.cpp:189-284) need it intact
             cur.append(ch)
         else:
             flush()

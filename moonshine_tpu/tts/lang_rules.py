@@ -161,6 +161,56 @@ def int_to_sino_korean_hangul(n: int) -> str:
     return parts
 
 
+def ko_hangul_digits_only(s: str) -> str:
+    """Digit-by-digit sino reading (korean-numbers.cpp:66-74)."""
+    return "".join(_KO_SINO[int(c)] for c in s if c.isdigit())
+
+
+def ko_numeral_fragments(token: str) -> list[str] | None:
+    """Hangul reading fragments for an ASCII numeral token, mirroring
+    korean-numbers.cpp korean_reading_fragments_from_ascii_numeral_token
+    (:189-284): thousands-commas/underscores stripped; leading-zero
+    integers read digit-by-digit (007 → 영영칠); a '.'/',' decimal reads
+    whole + 점 + digitwise fraction (3.14 → 삼점일사); '-' prepends a
+    마이너스 fragment.  None = not a numeral token."""
+    raw = "".join(c for c in token.strip() if c != "_" and not c.isspace())
+    # strip thousands commas (1,234 style groups of exactly 3 digits)
+    raw = re.sub(r"(?<=\d),(?=\d{3}(\D|$))", "", raw)
+    if not raw:
+        return None
+    sign = ""
+    if raw[0] in "+-":
+        sign, raw = raw[0], raw[1:]
+    if not raw:
+        return None
+    dot = None
+    for j, c in enumerate(raw):
+        if c in ".,":
+            dot = j
+            break
+        if not c.isdigit():
+            return None
+    frags: list[str] = []
+    if dot is not None:
+        whole, frac = raw[:dot], raw[dot + 1:]
+        if not whole and not frac:
+            return None
+        if not frac.isdigit() and frac:
+            return None
+        if len(whole) > 1 and whole[0] == "0":
+            return None
+        body = (int_to_sino_korean_hangul(int(whole) if whole else 0)
+                + "점" + ko_hangul_digits_only(frac))
+    elif len(raw) > 1 and raw[0] == "0":
+        body = ko_hangul_digits_only(raw)
+    else:
+        body = int_to_sino_korean_hangul(int(raw))
+    if sign == "-":
+        frags.append("마이너스")
+    frags.append(body)
+    return frags
+
+
 def ko_sino_speech_units(n: int) -> list[str]:
     """Split n into natural speech units for mixed number+counter tokens
     (korean.cpp sino_cardinal_speech_units:550-576): 1986년 →
@@ -298,14 +348,19 @@ class HangulG2P:
             return self.lexicon[w]
         # Numeral (and numeral+counter) tokens through the sino readings,
         # mirroring korean.cpp text_to_ipa:912-1001.
+        m = re.match(r"^([+-]?\d[\d.,_]*)(.*)$", w)
+        if m and not m.group(2):
+            # Whole-token numeral: the fragment contract (leading zeros
+            # digitwise, 점 decimals, 마이너스 sign).
+            frags = ko_numeral_fragments(m.group(1))
+            if frags is not None:
+                return " ".join(
+                    p for p in (self.hangul_to_ipa(f) for f in frags) if p)
         m = re.match(r"^(\d[\d,_]*)(.*)$", w)
         if m:
             digits = m.group(1).replace(",", "").replace("_", "")
             tail = self._extract_hangul(m.group(2))
             if digits.isdigit():
-                if not m.group(2):
-                    return self.hangul_to_ipa(
-                        int_to_sino_korean_hangul(int(digits)))
                 if tail:
                     units = ko_sino_speech_units(int(digits))
                     units[-1] += tail
@@ -1150,23 +1205,31 @@ class ArabicG2P:
 # ---------------------------------------------------------------------------
 
 # word -> (default_ipa, alternate_ipa, alternate_cue_words_in_context)
-HETERONYMS: dict[str, tuple[str, str, frozenset[str]]] = {
-    # "read": default present /ɹid/, past-tense cues -> /ɹɛd/
+# word -> (no-cue reading or None, cue-selected reading, cues).
+# A ``None`` no-cue reading defers to the shipped dictionary — for every
+# dict-present heteronym the reference's rules tier emits the dict entry
+# (its ONNX heteronym disambiguator is a separate pipeline tier), so the
+# bulk parity sweep pins these defaults to the dict; the cue-selected
+# alternate is the OTHER sense, our contextual tier on top.
+HETERONYMS: dict[str, tuple[str | None, str, frozenset[str]]] = {
+    # not in the shipped dict -> the no-cue reading is ours to pick
     "read": ("ɹid", "ɹɛd", frozenset({"had", "has", "have", "was", "were", "already", "been", "yesterday", "i"})),
     "lead": ("lid", "lɛd", frozenset({"pencil", "pipe", "heavy", "metal", "poisoning"})),
     "live": ("lɪv", "laɪv", frozenset({"broadcast", "concert", "stream", "music", "show", "watch", "a", "the"})),
     "wind": ("wɪnd", "waɪnd", frozenset({"up", "down", "clock", "road", "to"})),
-    "tear": ("tɪɹ", "tɛɹ", frozenset({"paper", "up", "apart", "down", "muscle"})),
-    "bow": ("boʊ", "baʊ", frozenset({"took", "take", "deep", "audience", "head"})),
     "close": ("kloʊs", "kloʊz", frozenset({"door", "window", "eyes", "to", "please", "will", "would"})),
-    "record": ("ɹɛkɝd", "ɹɪkɔɹd", frozenset({"to", "will", "can", "please", "button"})),
-    "present": ("pɹɛzənt", "pɹɪzɛnt", frozenset({"to", "will", "may", "shall"})),
-    "object": ("ɑbdʒɛkt", "əbdʒɛkt", frozenset({"to", "i", "we", "they", "must", "strongly"})),
-    "minute": ("mɪnɪt", "maɪnut", frozenset({"detail", "amount", "particles", "quantities"})),
-    "desert": ("dɛzɝt", "dɪzɝt", frozenset({"to", "will", "never", "army", "post"})),
-    "produce": ("pɹədus", "pɹoʊdus", frozenset({"fresh", "local", "organic", "farm", "aisle"})),
-    "content": ("kɑntɛnt", "kəntɛnt", frozenset({"am", "is", "are", "was", "feel", "quite", "very"})),
-    "refuse": ("ɹɪfjuz", "ɹɛfjus", frozenset({"collection", "bin", "pile", "dump"})),
+    # dict-present: no-cue falls through to the dict reading (left column
+    # None); cues pick the other sense
+    "tear": (None, "tɪɹ", frozenset({"eye", "eyes", "cry", "cried", "wept", "shed", "single"})),
+    "bow": (None, "boʊ", frozenset({"arrow", "violin", "tie", "ribbon", "string"})),
+    "record": (None, "ɹɪkɔɹd", frozenset({"to", "will", "can", "please", "button"})),
+    "present": (None, "pɹɪzɛnt", frozenset({"to", "will", "may", "shall"})),
+    "object": (None, "əbdʒɛkt", frozenset({"to", "i", "we", "they", "must", "strongly"})),
+    "minute": (None, "mɪnɪt", frozenset({"a", "one", "per", "every", "last", "wait", "just"})),
+    "desert": (None, "dɪzɝt", frozenset({"to", "will", "never", "army", "post"})),
+    "produce": (None, "pɹoʊdus", frozenset({"fresh", "local", "organic", "farm", "aisle"})),
+    "content": (None, "kɑntɛnt", frozenset({"the", "of", "table", "digital", "media"})),
+    "refuse": (None, "ɹɛfjus", frozenset({"collection", "bin", "pile", "dump"})),
 }
 
 
@@ -1174,8 +1237,10 @@ def resolve_heteronym(word: str, prev_word: str, next_word: str) -> str | None:
     """Context-sensitive pronunciation for known heteronyms, or None.
 
     Compact analog of the reference's per-heteronym context rules
-    (reference: lang-specific english heteronym handling): the alternate
-    reading fires when an adjacent word is one of its cues.
+    (reference: lang-specific english heteronym handling): the
+    cue-selected reading fires when an adjacent word is one of its cues;
+    otherwise the no-cue reading (None = let the dictionary decide, the
+    reference rules-tier behavior for dict-present heteronyms).
     """
     entry = HETERONYMS.get(word.lower())
     if entry is None:
@@ -5325,7 +5390,7 @@ class EnglishG2P:
         num = english_number_token_ipa(w)
         if num is not None:
             return num
-        key = "".join(c for c in w.lower()
+        key = "".join(c for c in w.lower().replace("’", "'")
                       if ("a" <= c <= "z") or c == "'")
         gkey = key.replace("'", "")
         if not gkey:
@@ -5333,7 +5398,9 @@ class EnglishG2P:
         hit = self.lexicon.get(gkey) or self.lexicon.get(key)
         if hit:
             return en_add_primary_stress(hit)
-        hit = self.baked_dict.get(gkey)
+        # Dict keys KEEP apostrophes (aren't, baby's — g2p_dict_data.h
+        # stores contractions/possessives verbatim): exact key first.
+        hit = self.baked_dict.get(key) or self.baked_dict.get(gkey)
         if hit:
             return hit
         if self.oov_predict is not None:
