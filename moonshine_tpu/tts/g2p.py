@@ -224,6 +224,14 @@ class GraphemeToPhonemizer:
                 self.engine.oov_predict = oov_model.predict
 
     def text_to_ipa(self, text: str, with_pauses: bool = True) -> str:
+        # Engines owning a whole-text pipeline (ja LUW tagger flow,
+        # lang_rules.JaLuwPipeline) take precedence; None = fall through
+        # to the per-token path.
+        eng_full = getattr(self.engine, "text_to_ipa", None)
+        if eng_full is not None:
+            full = eng_full(text)
+            if full is not None:
+                return full
         normalized = normalize_text(text, self.language)
         tokens = _tokenize_words(normalized)
         words = [t for t in tokens if t not in _PUNCT_PAUSE]

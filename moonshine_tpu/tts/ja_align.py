@@ -215,6 +215,60 @@ def load_corpus(ref_dir: Path | None = None):
     return [(s, g.split()) for s, g in zip(srcs, golds)]
 
 
+def load_annotations(ref_dir: Path | None = None):
+    """The reference helper's own shipped (surface, UPOS) annotations,
+    one list per wiki line (tok_pos_wiki_100.txt — the output of
+    japanese-tok-pos-onnx on exactly these lines)."""
+    ref = ref_dir or REF_JA_DIR
+    out = []
+    for line in (ref / "tok_pos_wiki_100.txt").read_text(
+            encoding="utf-8").splitlines():
+        pairs = []
+        for tok in line.split(" "):
+            if not tok:
+                continue
+            surf, _, tag = tok.rpartition("/")
+            if surf:
+                pairs.append((surf, tag))
+        out.append(pairs)
+    return out
+
+
+def reference_annotator(ref_dir: Path | None = None):
+    """annotate(text) -> [(surface, UPOS)] backed by the shipped
+    annotations (keyed by reconstructed source line); unknown text gets
+    a script-run fallback segmentation (NOUN for han runs)."""
+    index = {}
+    for pairs in load_annotations(ref_dir):
+        index["".join(s for s, _ in pairs)] = pairs
+
+    def annotate(text: str):
+        hit = index.get(text)
+        if hit is not None:
+            return hit
+        out, cur, kind = [], [], None
+
+        def k_of(c):
+            if is_kanji(c):
+                return "han"
+            if is_kana(c):
+                return "kana"
+            return "other"
+        for c in text:
+            k = k_of(c)
+            if k != kind and cur:
+                out.append(("".join(cur),
+                            "NOUN" if kind == "han" else "ADP"))
+                cur = []
+            kind = k
+            cur.append(c)
+        if cur:
+            out.append(("".join(cur), "NOUN" if kind == "han" else "ADP"))
+        return out
+
+    return annotate
+
+
 def kana_spans(corpus) -> Counter:
     """Kana-only training spans: every kana run in the corpus source
     paired with its deterministic kana-table IPA (exact supervision the

@@ -377,6 +377,233 @@ class HangulG2P:
 
 
 
+def _ja_only_hiragana(s: str) -> bool:
+    return bool(s) and all(0x3040 <= ord(c) <= 0x309F for c in s)
+
+
+def _ja_only_katakana(s: str) -> bool:
+    return bool(s) and all(c == "ー" or 0x30A0 <= ord(c) <= 0x30FF
+                           for c in s)
+
+
+def _ja_only_han(s: str) -> bool:
+    def han(c):
+        o = ord(c)
+        return (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+                or 0xF900 <= o <= 0xFAFF)
+    return bool(s) and all(han(c) for c in s)
+
+
+def _ja_is_single_han(s: str) -> bool:
+    return len(s) == 1 and _ja_only_han(s)
+
+
+# Trailing particles split off a lexicon-missed unit, longest first
+# (japanese-onnx-g2p.cpp trailing_particles_sorted:178-193).
+_JA_TRAILING_PARTICLES = sorted(
+    ["について", "によって", "に対して", "では", "には", "から", "まで",
+     "へは", "は", "を", "に", "で", "と", "が", "も", "か", "や", "へ"],
+    key=len, reverse=True)
+
+
+def ja_merge_for_lexicon_lookup(pairs):
+    """The reference's three tagger-unit merges
+    (japanese-onnx-g2p.cpp:85-172): adjacent single-han runs glue into
+    one unit; a katakana NOUN/PROPN absorbs a following single-han
+    NOUN/PROPN; a VERB/ADJ all-han unit absorbs trailing hiragana runs
+    (okurigana)."""
+    out = []
+    i = 0
+    while i < len(pairs):  # merge_single_han_luws
+        surf, tag = pairs[i]
+        if _ja_is_single_han(surf):
+            j = i + 1
+            acc = surf
+            while j < len(pairs) and _ja_is_single_han(pairs[j][0]):
+                acc += pairs[j][0]
+                j += 1
+            out.append((acc, tag))
+            i = j
+        else:
+            out.append(pairs[i])
+            i += 1
+    pairs, out, i = out, [], 0
+    while i < len(pairs):  # merge_katakana_plus_han
+        surf, tag = pairs[i]
+        if (_ja_only_katakana(surf) and tag in ("NOUN", "PROPN")
+                and i + 1 < len(pairs)
+                and _ja_is_single_han(pairs[i + 1][0])
+                and pairs[i + 1][1] in ("NOUN", "PROPN")):
+            out.append((surf + pairs[i + 1][0], tag))
+            i += 2
+        else:
+            out.append(pairs[i])
+            i += 1
+    pairs, out, i = out, [], 0
+    while i < len(pairs):  # merge_verb_adj_okurigana
+        surf, tag = pairs[i]
+        if _ja_only_han(surf) and tag in ("VERB", "ADJ"):
+            j = i + 1
+            acc = surf
+            while j < len(pairs) and _ja_only_hiragana(pairs[j][0]):
+                acc += pairs[j][0]
+                j += 1
+            out.append((acc, tag))
+            i = j
+        else:
+            out.append(pairs[i])
+            i += 1
+    return out
+
+
+def ja_script_run_annotator(text: str):
+    """Deterministic script-run segmentation honoring the tagger
+    contract: maximal same-script runs, han runs tagged NOUN (so the
+    single-han merge glues compounds), everything else ADP.  Measured
+    67.6% held-out word agreement vs the reference pipeline's golden —
+    within 1.3 points of using the reference helper's own shipped
+    annotations (68.9%), and far above the trained char tagger (38.6%;
+    scripts/eval_ja_neural.py) — hence the production default."""
+    out, cur, kind = [], [], None
+
+    def k_of(c):
+        o = ord(c)
+        if 0x4E00 <= o <= 0x9FFF or c in "々〆ヶ":
+            return "han"
+        if 0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF or c in "ーっッ":
+            return "kana"
+        return "other"
+
+    for c in text:
+        k = k_of(c)
+        if k != kind and cur:
+            out.append(("".join(cur), "NOUN" if kind == "han" else "ADP"))
+            cur = []
+        kind = k
+        cur.append(c)
+    if cur:
+        out.append(("".join(cur), "NOUN" if kind == "han" else "ADP"))
+    return out
+
+
+class JaLuwPipeline:
+    """Exact replica of the reference's JapaneseOnnxG2p text flow
+    (japanese-onnx-g2p.cpp:292-381): tagger (surface, UPOS) pairs →
+    lexicon-lookup merges → per-unit G2P (lexicon exact hit, trailing-
+    particle suffix split, kana conversion, greedy longest-lexicon-match
+    per-char accumulation — silently dropping anything unreadable,
+    digits included) → words joined by single spaces.
+
+    ``annotate``: callable text -> [(surface, UPOS)] — our trained
+    tok_pos tagger (tts/tok_pos.py), the reference helper's shipped
+    annotations, or any other segmenter honoring the contract.
+    ``lexicon``: surface → IPA (first-IPA column semantics).
+    """
+
+    def __init__(self, lexicon: dict[str, str], annotate,
+                 char_table: dict[str, str] | None = None):
+        self.lexicon = dict(lexicon)
+        # per-kanji on'yomi KANA tier: consulted in the accumulate path
+        # BEFORE single-char lexicon entries (whose kun readings are the
+        # standalone-unit choice, wrong inside compounds: 国境 must be
+        # こく+きょう→こっきょう, not くに…), kept as kana so runs
+        # compose with sokuon gemination (ja_compose_onyomi).
+        self.char_kana = dict(char_table or {})
+        self.annotate = annotate
+        by_first: dict[str, list[str]] = {}
+        for w in self.lexicon:
+            if w:
+                by_first.setdefault(w[0], []).append(w)
+        for v in by_first.values():
+            v.sort(key=len, reverse=True)
+        self._by_first = by_first
+
+    def g2p_word(self, word: str) -> str:
+        w = unicodedata.normalize("NFC", word.strip())
+        if not w or not any(_ja_is_kanji(c) or self._is_kana(c)
+                            for c in w):
+            return ""
+        hit = self.lexicon.get(w)
+        if hit is not None:
+            return hit
+        for suf in _JA_TRAILING_PARTICLES:
+            if len(w) > len(suf) and w.endswith(suf):
+                base = self.g2p_word(w[:-len(suf)])
+                sufr = self.g2p_word(suf)
+                if base and sufr:
+                    return base + sufr
+                if base:
+                    return base + (sufr or kana_to_ipa(suf))
+                break
+        if ja_is_kana_only(w):
+            return kana_to_ipa(w)
+        acc: list[str] = []
+        pending: list[str] = []  # consecutive per-kanji on'yomi kana
+
+        def flush():
+            if pending:
+                acc.append(kana_to_ipa(ja_compose_onyomi(pending)))
+                pending.clear()
+
+        i, n = 0, len(w)
+        while i < n:
+            found = False
+            for cand in self._by_first.get(w[i], ()):
+                # multi-char dict entries outrank everything; single-char
+                # dict entries are standalone (kun) readings and yield to
+                # the on'yomi tier inside compounds
+                if len(cand) >= 2 and w.startswith(cand, i):
+                    flush()
+                    acc.append(self.lexicon[cand])
+                    i += len(cand)
+                    found = True
+                    break
+            if found:
+                continue
+            c = w[i]
+            if c in self.char_kana:
+                pending.append(self.char_kana[c])
+                i += 1
+                continue
+            if c in self.lexicon:
+                flush()
+                acc.append(self.lexicon[c])
+                i += 1
+                continue
+            if self._is_kana(c) or c in "ーっッ":
+                # maximal kana run, converted as one string — per-char
+                # conversion would split two-char morae (ファ) and lose
+                # sokuon gemination
+                flush()
+                j = i
+                while j < n and (self._is_kana(w[j]) or w[j] in "ーっッ"):
+                    if j > i and any(
+                            len(cc) >= 2 and w.startswith(cc, j)
+                            for cc in self._by_first.get(w[j], ())):
+                        break
+                    j += 1
+                acc.append(kana_to_ipa(w[i:j]))
+                i = j
+                continue
+            flush()
+            i += 1
+        flush()
+        return "".join(acc)
+
+    @staticmethod
+    def _is_kana(c: str) -> bool:
+        o = ord(c)
+        return 0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF
+
+    def text_to_ipa(self, text: str) -> str:
+        raw = unicodedata.normalize("NFC", text.strip())
+        if not raw:
+            return ""
+        pairs = ja_merge_for_lexicon_lookup(list(self.annotate(raw)))
+        words = [self.g2p_word(s) for s, _ in pairs]
+        return " ".join(p for p in words if p)
+
+
 # Lexicalized readings the kana rules can't know (topic-particle は etc.).
 _JA_LEXICON = {
     "こんにちは": "koɴɲitɕiwa",
@@ -5547,6 +5774,77 @@ def _ja_default_readings_path():
             / "g2p_ref" / "ja_readings.tsv")
 
 
+def _ja_data_path(name: str):
+    from pathlib import Path
+
+    return Path(__file__).resolve().parent / "data" / name
+
+
+def _load_kana_tsv(path) -> dict[str, str]:
+    out: dict[str, str] = {}
+    if path.is_file():
+        for line in path.read_text(encoding="utf-8").splitlines():
+            if "\t" in line and not line.startswith("#"):
+                k, v = line.split("\t", 1)
+                out[k] = v.strip()
+    return out
+
+
+_JA_CORE_CACHE: dict[str, str] | None = None
+_JA_ONYOMI_CACHE: dict[str, str] | None = None
+
+
+def ja_core_lexicon() -> dict[str, str]:
+    """Hand-authored word→IPA lexicon (tts/data/ja_core_words.tsv,
+    original data; readings stored as kana, converted here)."""
+    global _JA_CORE_CACHE
+    if _JA_CORE_CACHE is None:
+        _JA_CORE_CACHE = {
+            k: kana_to_ipa(v)
+            for k, v in _load_kana_tsv(
+                _ja_data_path("ja_core_words.tsv")).items()
+        }
+    return _JA_CORE_CACHE
+
+
+def ja_onyomi_table() -> dict[str, str]:
+    """Hand-authored kanji→on'yomi kana (tts/data/ja_onyomi.tsv)."""
+    global _JA_ONYOMI_CACHE
+    if _JA_ONYOMI_CACHE is None:
+        _JA_ONYOMI_CACHE = _load_kana_tsv(_ja_data_path("ja_onyomi.tsv"))
+    return _JA_ONYOMI_CACHE
+
+
+_JA_KANA_ONSET = {}
+for _row, _cls in (("かきくけこ", "k"), ("がぎぐげご", "g"),
+                   ("さしすせそ", "s"), ("ざじずぜぞ", "z"),
+                   ("たちつてと", "t"), ("だぢづでど", "d"),
+                   ("はひふへほ", "h"), ("ぱぴぷぺぽ", "p"),
+                   ("ばびぶべぼ", "b")):
+    for _c in _row:
+        _JA_KANA_ONSET[_c] = _cls
+_JA_H2P = {"は": "ぱ", "ひ": "ぴ", "ふ": "ぷ", "へ": "ぺ", "ほ": "ぽ"}
+
+
+def ja_compose_onyomi(readings: list[str]) -> str:
+    """Concatenate per-kanji on'yomi with sokuon gemination: a reading
+    ending in つ/ち geminates before k/s/t/h/p onsets (はつ+ひょう →
+    はっぴょう, with the h-row onset fortified to p); く/き geminate
+    before k only (がく+こう → がっこう)."""
+    out = ""
+    for r in readings:
+        if out and r:
+            onset = _JA_KANA_ONSET.get(r[0], "")
+            last = out[-1]
+            if ((last in "つち" and onset in ("k", "s", "t", "h", "p"))
+                    or (last in "くき" and onset == "k")):
+                out = out[:-1] + "っ"
+                if onset == "h":
+                    r = _JA_H2P[r[0]] + r[1:]
+        out += r
+    return out
+
+
 class JapaneseG2P:
     """Japanese G2P: the reference's kana conversion plus a
     surface->IPA reading lexicon with greedy longest-match segmentation
@@ -5556,12 +5854,21 @@ class JapaneseG2P:
     (scripts/harvest_ja_readings.py)."""
 
     def __init__(self, lexicon: dict[str, str] | None = None,
-                 use_harvested: bool = True, neural=None):
+                 use_harvested: bool = True, neural=None,
+                 use_core: bool = True, use_onyomi: bool = True,
+                 tagger=None):
         """``neural``: optional kanji-reading model (a
         ``G2PTransformer`` or a path to its safetensors artifact,
         trained by train/ja_reader.py) — the backstop for kanji spans
         the lexicon misses, mirroring the reference's ONNX helper tier
-        (japanese-tok-pos-onnx.h).  None keeps lexicon+kana only."""
+        (japanese-tok-pos-onnx.h).  None keeps lexicon+kana only.
+
+        ``use_core``: merge the hand-authored word lexicon
+        (tts/data/ja_core_words.tsv) under any corpus-harvested entries
+        (harvested readings are corpus-verified and win on key clash).
+        ``use_onyomi``: read lexicon-missed kanji runs by per-kanji
+        on'yomi composition with sokuon gemination
+        (tts/data/ja_onyomi.tsv) before falling to the neural tier."""
         self.lexicon = dict(lexicon or {})
         if use_harvested and not self.lexicon:
             p = _ja_default_readings_path()
@@ -5570,11 +5877,35 @@ class JapaneseG2P:
                     if "\t" in line and not line.startswith("#"):
                         k, v = line.split("\t", 1)
                         self.lexicon.setdefault(k, v)
+        if use_core:
+            for k, v in ja_core_lexicon().items():
+                self.lexicon.setdefault(k, v)
+        self.onyomi = ja_onyomi_table() if use_onyomi else {}
         if isinstance(neural, (str, _PathType)):
             from .g2p_transformer import G2PTransformer
 
             neural = G2PTransformer.load(neural)
         self.neural = neural
+        # LUW tagger (callable text -> [(surface, UPOS)]): text flows
+        # through the reference's exact tagger→merge→per-unit pipeline
+        # (JaLuwPipeline) — the wiring of the tok_pos tier into ja G2P
+        # (japanese-tok-pos-onnx.h:1).  Default None = the deterministic
+        # script-run annotator (best measured self-contained tier);
+        # pass a TokPosTagger.annotate or other callable to override,
+        # or False to disable the LUW path entirely.
+        self._luw = None
+        if tagger is None:
+            tagger = ja_script_run_annotator
+        if tagger is not False:
+            self._luw = JaLuwPipeline(self.lexicon, tagger,
+                                      char_table=self.onyomi)
+
+    def text_to_ipa(self, text: str) -> str | None:
+        """LUW-pipeline whole-text conversion; None when no tagger is
+        configured (callers fall back to per-token word_to_ipa)."""
+        if self._luw is None:
+            return None
+        return self._luw.text_to_ipa(text)
 
     def add_lexicon(self, lexicon: dict[str, str]) -> None:
         self.lexicon.update(lexicon)
@@ -5623,20 +5954,27 @@ class JapaneseG2P:
                 out.append(kana_to_ipa(w[i:j]))
                 i = j
                 continue
-            if self.neural is not None and _ja_is_kanji(c):
-                # Neural reading tier: maximal kanji run the lexicon
-                # missed (stopping where a lexicon entry begins), read by
-                # the trained span->IPA model instead of being dropped.
-                # Kanji-run-only spans, deliberately: extending into the
-                # trailing hiragana (okurigana) was measured at 28.2% vs
-                # 55.9% held-out agreement — particles get swallowed
+            if (self.onyomi or self.neural is not None) and _ja_is_kanji(c):
+                # Maximal kanji run the lexicon missed (stopping where a
+                # lexicon entry begins).  Kanji-run-only spans,
+                # deliberately: extending into the trailing hiragana
+                # (okurigana) was measured at 28.2% vs 55.9% held-out
+                # agreement — particles get swallowed
                 # (scripts/eval_ja_neural.py, docs/EVAL.md).
                 j = i + 1
                 while j < n and _ja_is_kanji(w[j]) and not any(
                         w[j:j + L2] in self.lexicon
                         for L2 in range(max_key, 0, -1)):
                     j += 1
-                out.append(self._neural_reading(w[i:j]))
+                span = w[i:j]
+                # On'yomi composition first — how unseen Sino-Japanese
+                # compounds are actually read; neural remains the
+                # backstop for kanji outside the authored table.
+                if self.onyomi and all(ch in self.onyomi for ch in span):
+                    out.append(kana_to_ipa(ja_compose_onyomi(
+                        [self.onyomi[ch] for ch in span])))
+                elif self.neural is not None:
+                    out.append(self._neural_reading(span))
                 i = j
                 continue
             i += 1

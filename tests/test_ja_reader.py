@@ -76,6 +76,8 @@ def test_japanese_g2p_neural_backstop(reader):
     # unknown kanji now produce a (neural) reading instead of dropping
     out = g.word_to_ipa("山川")
     assert out != ""
-    # without the neural tier the same word is dropped
-    g0 = JapaneseG2P(lexicon={"学校": "gakkoɯ"}, use_harvested=False)
+    # without the neural AND on'yomi tiers the same word is dropped
+    # (on'yomi composition — round 4 — now reads it when enabled)
+    g0 = JapaneseG2P(lexicon={"学校": "gakkoɯ"}, use_harvested=False,
+                     use_onyomi=False)
     assert g0.word_to_ipa("山川") == ""
