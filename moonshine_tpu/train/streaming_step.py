@@ -23,19 +23,29 @@ from ..core.config import StreamingConfig
 from ..models import streaming as ms
 
 
-def streaming_forward(params, cfg: StreamingConfig, audio: jnp.ndarray, n_frames: int):
+def streaming_forward(params, cfg: StreamingConfig, audio: jnp.ndarray, n_frames: int,
+                      remat: bool = True):
     """Run frontend + final-semantics encode over a whole utterance.
 
     audio: [n_frames * frame_len] float32 (trim to a frame multiple — the
     host buffers sub-frame remainders and a final flush drops them, so
     training must see exactly the frames inference will).
     Returns the StreamingState with memory/cross-KV filled.
+
+    ``remat``: rematerialize each encode block in the backward pass
+    (jax.checkpoint) — the vmapped batched overfit step at the medium
+    arch otherwise holds every block's activations simultaneously and
+    RESOURCE_EXHAUSTs one chip (bench train-weights phase, round 4).
     """
+    fe = jax.checkpoint(ms.frontend_step, static_argnums=(1,)) if remat \
+        else ms.frontend_step
+    enc = jax.checkpoint(ms.encode_step, static_argnums=(1,)) if remat \
+        else ms.encode_step
     state = ms.init_state(cfg)
-    state = ms.frontend_step(params, cfg, audio, state)
+    state = fe(params, cfg, audio, state)
     for off in range(0, n_frames, ms.ENC_STEP):
         step = min(n_frames - off, ms.ENC_STEP)
-        state = ms.encode_step(params, cfg, state, jnp.asarray(step, jnp.int32))
+        state = enc(params, cfg, state, jnp.asarray(step, jnp.int32))
     return state
 
 

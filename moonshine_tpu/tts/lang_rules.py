@@ -696,12 +696,214 @@ def chinese_number_to_hanzi(digits: str) -> str:
     return out
 
 
+def _zh_is_cjk(c: str) -> bool:
+    o = ord(c)
+    return (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+            or 0xF900 <= o <= 0xFAFF)
+
+
+def zh_numeral_to_hanzi(token: str) -> str | None:
+    """ASCII/fullwidth numeral token → hanzi reading, mirroring
+    chinese-numbers.cpp arabic_numeral_token_to_han(:170-282):
+    thousands separators stripped, '-' → 负, decimals → whole + 点 +
+    digitwise fraction, leading-zero integers digitwise.  None = not a
+    numeral token."""
+    tok = "".join(chr(ord(c) - 0xFF10 + ord("0"))
+                  if "０" <= c <= "９" else c
+                  for c in token.strip())
+    tok = "".join(c for c in tok if c not in ",_ ")
+    if not tok:
+        return None
+    neg = tok[0] == "-"
+    if tok[0] in "+-":
+        tok = tok[1:]
+    if not tok:
+        return None
+    seps = [c for c in tok if c == "."]
+    if len(seps) > 1:
+        return None
+    if "." in tok:
+        whole, frac = tok.split(".", 1)
+        whole = whole or "0"
+        if not frac.isdigit() or not whole.isdigit():
+            return None
+        body = chinese_number_to_hanzi(whole) + "点" + "".join(
+            _ZH_DIGITS[int(c)] for c in frac)
+    elif len(tok) > 1 and tok[0] == "0":
+        if not tok.isdigit():
+            return None
+        body = "".join(_ZH_DIGITS[int(c)] for c in tok)
+    elif tok.isdigit():
+        body = chinese_number_to_hanzi(tok)
+    else:
+        return None
+    return ("负" if neg else "") + body
+
+
+_ZH_AUTHORED_CACHE: dict[str, list[str]] | None = None
+
+
+def zh_authored_lexicon() -> dict[str, list[str]]:
+    """Hand-authored hanzi→IPA readings (tts/data/zh_pinyin.tsv,
+    original data; toned pinyin converted through PinyinG2P's syllable
+    rules).  '|'-separated alternatives become the reference's
+    readings-vector semantics (first = default)."""
+    global _ZH_AUTHORED_CACHE
+    if _ZH_AUTHORED_CACHE is None:
+        conv = PinyinG2P()
+        out: dict[str, list[str]] = {}
+        p = _ja_data_path("zh_pinyin.tsv")
+        if p.is_file():
+            for line in p.read_text(encoding="utf-8").splitlines():
+                if not line.strip() or line.startswith("#"):
+                    continue
+                if "\t" not in line:
+                    continue
+                k, v = line.split("\t", 1)
+                for alt in v.strip().split("|"):
+                    ipa = conv.word_to_ipa(alt.strip())
+                    if ipa:
+                        out.setdefault(k, []).append(ipa)
+        _ZH_AUTHORED_CACHE = out
+    return _ZH_AUTHORED_CACHE
+
+
+class ChineseHanziG2P:
+    """Full-text hanzi G2P mirroring the reference's ChineseRuleG2p flow
+    (chinese.cpp:497-546): tokens are whole CJK runs, signed decimal
+    digit runs, or ASCII-alpha runs; each token goes dict exact hit
+    (readings[0] without POS context) → per-char readings joined by
+    spaces (han_reading_to_ipa:401-424) → arabic→han→per-char → ASCII
+    lowercased; everything else is dropped.  The lexicon is the
+    reference's ``word -> [readings]`` dict.tsv contract
+    (load_chinese_lexicon_stream:191-211) — load a real CDN dict via
+    ``from_dict_tsv`` or default to the authored table."""
+
+    def __init__(self, lexicon: dict[str, list[str]] | None = None):
+        self.lexicon = {k: list(v)
+                        for k, v in (lexicon or zh_authored_lexicon()).items()}
+
+    @classmethod
+    def from_dict_tsv(cls, path) -> "ChineseHanziG2P":
+        lex: dict[str, list[str]] = {}
+        from pathlib import Path as _P
+
+        for line in _P(path).read_text(encoding="utf-8").splitlines():
+            t = line.strip()
+            if not t or t.startswith("#") or "\t" not in t:
+                continue
+            k, v = t.split("\t", 1)
+            lex.setdefault(k.strip(), []).append(v.strip())
+        return cls(lex)
+
+    def _readings0(self, key: str) -> str | None:
+        r = self.lexicon.get(key)
+        return r[0] if r else None
+
+    def _han_reading_to_ipa(self, han: str) -> str:
+        parts = []
+        for c in han:
+            r = self._readings0(c)
+            if r is None or not r:
+                return ""
+            parts.append(r)
+        return " ".join(parts)
+
+    def g2p_word(self, word: str) -> str:
+        w = word.strip()
+        if not w:
+            return ""
+        hit = self._readings0(w)
+        if hit:
+            return hit
+        if all(_zh_is_cjk(c) for c in w):
+            fb = self._han_reading_to_ipa(w)
+            if fb:
+                return fb
+            # The reference emits NOTHING when any char misses the dict
+            # (han_reading_to_ipa:401-424 all-or-nothing).  Where it
+            # would go silent we degrade gracefully instead: read the
+            # covered chars, skip the rest — strictly more output,
+            # parity unaffected (this branch only fires where the
+            # reference's output is empty).
+            parts = [r for r in (self._readings0(c) for c in w) if r]
+            if parts:
+                return " ".join(parts)
+        han = zh_numeral_to_hanzi(w)
+        if han:
+            ipa = self._han_reading_to_ipa(han)
+            if ipa:
+                return ipa
+        if w.isascii() and w.isalpha():
+            return w.lower()
+        return ""
+
+    def text_to_ipa(self, text: str) -> str:
+        out: list[str] = []
+        i, n = 0, len(text)
+        while i < n:
+            c = text[i]
+            if _zh_is_cjk(c):
+                j = i
+                while j < n and _zh_is_cjk(text[j]):
+                    j += 1
+                ipa = self.g2p_word(text[i:j])
+                if ipa:
+                    out.append(ipa)
+                i = j
+                continue
+            if c.isdigit() or (c in "+-" and i + 1 < n
+                               and text[i + 1].isdigit()):
+                # digit run; ONE '.'/',' followed by a digit extends it
+                # as the decimal separator (try_consume_g2p_token
+                # chinese.cpp:131-169)
+                j = i + (1 if c in "+-" else 0)
+                seen_dot = False
+                while j < n:
+                    if text[j].isdigit():
+                        j += 1
+                    elif (not seen_dot and text[j] in ".,"
+                          and j + 1 < n and text[j + 1].isdigit()):
+                        seen_dot = True
+                        j += 1
+                    else:
+                        break
+                ipa = self.g2p_word(text[i:j])
+                if ipa:
+                    out.append(ipa)
+                i = j
+                continue
+            if c.isascii() and c.isalpha():
+                j = i
+                while j < n and text[j].isascii() and text[j].isalpha():
+                    j += 1
+                out.append(text[i:j].lower())
+                i = j
+                continue
+            i += 1
+        return " ".join(out)
+
+
 class PinyinG2P:
-    """zh engine: hanzi lexicon, toned pinyin syllables, digit expansion."""
+    """zh engine: hanzi lexicon, toned pinyin syllables, digit expansion.
+
+    Whole-text hanzi input flows through ``ChineseHanziG2P`` (the
+    reference ChineseRuleG2p replica backed by the authored reading
+    table); pinyin/latin input keeps the per-token syllable rules."""
 
     def __init__(self, lexicon: dict[str, str] | None = None):
         self.lexicon = dict(_ZH_HANZI_IPA)
         self.lexicon.update(lexicon or {})
+        self._hanzi: ChineseHanziG2P | None = None
+
+    def text_to_ipa(self, text: str) -> str | None:
+        """Full-text path for hanzi-bearing input; None = fall through
+        to the per-token pinyin path."""
+        if not any(_zh_is_cjk(c) for c in text):
+            return None
+        if self._hanzi is None:
+            self._hanzi = ChineseHanziG2P()
+        return self._hanzi.text_to_ipa(text)
 
     def add_lexicon(self, lexicon: dict[str, str]) -> None:
         self.lexicon.update(lexicon)
