@@ -109,6 +109,9 @@ def offline_bench(args) -> dict:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     params = mm.init_params(cfg, jax.random.PRNGKey(0))
     params = jax.tree.map(lambda x: x.astype(dtype), params)
+    # static rotary pair-swap permutation folded into the weights once
+    # (prepare_rotary_params) instead of per-step in-trace gathers
+    params = mm.prepare_rotary_params(params, cfg)
     if args.w8a8:
         from moonshine_tpu.quant import quantize_tree_exec
 

@@ -94,6 +94,176 @@ def catalog_json() -> str:
     )
 
 
+_LANGUAGE_NAMES = {
+    "en": "English", "ar": "Arabic", "zh": "Chinese", "ja": "Japanese",
+    "ko": "Korean", "uk": "Ukrainian", "vi": "Vietnamese", "es": "Spanish",
+}
+
+# reference: the catalog's default (first) model per language
+_DEFAULT_MODEL = "tiny"
+
+
+def _base_url() -> str:
+    return (os.environ.get("MOONSHINE_TPU_MODEL_URL") or "").rstrip("/")
+
+
+def _file_obj(base: str, key: str, f: CatalogFile) -> dict:
+    url = f"{base}/{key}/{f.name}" if base else ""
+    return {
+        "name": f.name,
+        "url": url,
+        "size": f.size or None,
+        "checksum": f.crc32c,
+        "checksum_type": "crc32c" if f.crc32c else "",
+    }
+
+
+def _groups_json(entries: list[CatalogEntry]) -> str:
+    """The reference's dependency-manifest shape
+    (moonshine-c-api.h:910-1074): ``{"groups":[{"base_url","files":
+    [{name,url,size,checksum,checksum_type}]}]}``."""
+    base = _base_url()
+    groups = []
+    for e in entries:
+        gb = f"{base}/{e.key}" if base else ""
+        groups.append({
+            "base_url": gb,
+            "files": [_file_obj(base, e.key, f) for f in e.files],
+        })
+    return json.dumps({"groups": groups})
+
+
+def stt_dependencies_json(language: str = "en",
+                          model_arch: str | None = None,
+                          include_spelling: bool = False) -> str:
+    """Download manifest for an STT model (reference:
+    moonshine_get_stt_dependencies, moonshine-c-api.h:975-1017)."""
+    lang = (language or "en").strip().lower()
+    for code, name in _LANGUAGE_NAMES.items():
+        if lang == name.lower():
+            lang = code
+            break
+    model = model_arch or _DEFAULT_MODEL
+    e = CATALOG.get(f"{model}-{lang}")
+    if e is None:
+        raise KeyError(f"unknown language/arch: {language}/{model}")
+    entries = [e]
+    if include_spelling:
+        entries.append(CatalogEntry(
+            "spelling", lang, (CatalogFile("spelling.safetensors"),)))
+    return _groups_json(entries)
+
+
+def embedding_dependencies_json(model_name: str | None = None,
+                                variant: str | None = None) -> str:
+    """(reference: moonshine_get_embedding_dependencies)."""
+    name = model_name or EMBEDDING_ENTRY.model
+    if name != EMBEDDING_ENTRY.model:
+        raise KeyError(f"unknown embedding model: {model_name}")
+    return _groups_json([EMBEDDING_ENTRY])
+
+
+def diarization_dependencies_json() -> str:
+    """(reference: moonshine_get_diarization_dependencies)."""
+    return _groups_json([DIARIZATION_ENTRY])
+
+
+def g2p_dependencies_json(languages: str | None = None) -> str:
+    """G2P data dependencies (reference: moonshine_get_g2p_dependencies).
+    The TPU build bakes its rule/lexicon data into the package, so the
+    manifest is typically empty groups per language — the honest answer
+    for a build with no CDN-fetched G2P assets."""
+    return json.dumps({"groups": []})
+
+
+def tts_dependencies_json(languages: str | None = None) -> str:
+    """Merged G2P + TTS voice dependencies (reference:
+    moonshine_get_tts_dependencies)."""
+    e = CatalogEntry("tts", "any", (CatalogFile("voices.safetensors"),))
+    return _groups_json([e])
+
+
+def tts_voices_json(languages: str | None = None,
+                    root: str | os.PathLike | None = None) -> str:
+    """Known TTS voices with availability (reference:
+    moonshine_get_tts_voices: ``{lang: [{"id","state"}]}``).  Built-in
+    voices (the trained style voice and the shipped neural pack) are
+    always ``found``; ``<name>.safetensors`` voice packs under ``root``
+    list as found, and a missing root lists the pack ids as missing."""
+    langs = [s.strip() for s in (languages or "en").split(",") if s.strip()]
+    rootp = Path(root) if root else cache_dir()
+    out: dict[str, list[dict]] = {}
+    for lang in langs:
+        voices = [{"id": "style_default", "state": "found"},
+                  {"id": "neural-pack", "state": "found"}]
+        if rootp.is_dir():
+            for p in sorted(rootp.glob("*.voicepack.safetensors")):
+                voices.append({"id": p.name.split(".")[0], "state": "found"})
+        out[lang] = voices
+    return json.dumps(out)
+
+
+def stt_catalog_json() -> str:
+    """Full STT catalog (reference: moonshine_get_stt_catalog:
+    ``{"languages":[{code, english_name, models:[...]}]}``)."""
+    base = _base_url()
+    langs: dict[str, list[dict]] = {}
+    for e in CATALOG.values():
+        langs.setdefault(e.language, []).append({
+            "model_arch": e.model,
+            "download_url": f"{base}/{e.key}" if base else "",
+            "is_default": e.model == _DEFAULT_MODEL,
+        })
+    return json.dumps({"languages": [
+        {"code": code, "english_name": _LANGUAGE_NAMES.get(code, code),
+         "models": sorted(models, key=lambda m: not m["is_default"])}
+        for code, models in sorted(langs.items())
+    ]})
+
+
+def embedding_catalog_json() -> str:
+    """(reference: moonshine_get_embedding_catalog)."""
+    base = _base_url()
+    e = EMBEDDING_ENTRY
+    return json.dumps({"models": [{
+        "name": e.model,
+        "english_name": "Embedding Gemma 300M",
+        "download_url": f"{base}/{e.key}" if base else "",
+        "variants": ["fp32", "bf16"],
+        "default_variant": "bf16",
+    }]})
+
+
+_CATALOG_KINDS = {
+    "stt_catalog": lambda arg, opt: stt_catalog_json(),
+    "embedding_catalog": lambda arg, opt: embedding_catalog_json(),
+    "stt_dependencies": lambda arg, opt: stt_dependencies_json(
+        arg or "en", (opt or {}).get("model_arch"),
+        bool((opt or {}).get("include_spelling"))),
+    "tts_dependencies": lambda arg, opt: tts_dependencies_json(arg),
+    "g2p_dependencies": lambda arg, opt: g2p_dependencies_json(arg),
+    "embedding_dependencies": lambda arg, opt: embedding_dependencies_json(
+        arg, (opt or {}).get("variant")),
+    "diarization_dependencies": lambda arg, opt: diarization_dependencies_json(),
+    "tts_voices": lambda arg, opt: tts_voices_json(
+        arg, (opt or {}).get("root") or (opt or {}).get("g2p_root")),
+}
+
+
+def catalog_request_json(kind: str, arg: str | None = None,
+                         options: dict | None = None) -> str:
+    """Single dispatch for the native catalog/dependency JSON surface
+    (server RPC ``{"type":"catalog","kind":...}`` and the C ABI's
+    mt_client_catalog_json) — the service-boundary analog of the
+    reference's eight moonshine_get_* entry points
+    (moonshine-c-api.h:910-1074)."""
+    fn = _CATALOG_KINDS.get(kind)
+    if fn is None:
+        raise KeyError(f"unknown catalog kind: {kind!r} "
+                       f"(one of {sorted(_CATALOG_KINDS)})")
+    return fn(arg, options)
+
+
 def cache_dir() -> Path:
     root = os.environ.get(DEFAULT_CACHE_ENV)
     if root:

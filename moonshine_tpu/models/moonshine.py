@@ -269,14 +269,29 @@ def _encoder_layer_apply(cfg: MoonshineArchConfig, h, lp: Params, cos, sin, mask
     k_perm = pair_swap_perm(hd, half, cfg.encoder_kv_heads)
     qf = dense(a["q"], x)
     kf = dense(a["k"], x)
-    qsf = dense(swap_dense_params(a["q"], q_perm), x)
-    ksf = dense(swap_dense_params(a["k"], k_perm), x)
+    # Prefer permuted weights precomputed at load (prepare_rotary_params)
+    # over the in-trace column gather — same arithmetic, but the gather
+    # otherwise re-runs every step (ADVICE r3).
+    qsf = dense(a["q_swapped"], x) if "q_swapped" in a else dense(
+        swap_dense_params(a["q"], q_perm), x)
+    ksf = dense(a["k_swapped"], x) if "k_swapped" in a else dense(
+        swap_dense_params(a["k"], k_perm), x)
     q_full = apply_rotary_fullwidth(qf, qsf, cos, sin, hd, cfg.encoder_heads)
     k_full = apply_rotary_fullwidth(kf, ksf, cos, sin, hd, cfg.encoder_kv_heads)
     use_packed = (
         attn_impl in ("pallas", "pallas_shmap")
         and cfg.encoder_kv_heads == cfg.encoder_heads
     )
+    if attn_impl in ("pallas", "pallas_shmap") and not use_packed:
+        # GQA configs have no packed-kernel path: make the silent
+        # degradation to the XLA attention visible (ADVICE r3).
+        import warnings
+
+        warnings.warn(
+            f"attn_impl={attn_impl!r} requested but encoder_kv_heads "
+            f"({cfg.encoder_kv_heads}) != encoder_heads "
+            f"({cfg.encoder_heads}); falling back to the XLA attention "
+            "path", stacklevel=2)
     if use_packed:
         # Packed-layout kernel: q/v stay [B, T, D] (the projections'
         # natural lane-exact layout), K transposes once to dim-major —
@@ -330,6 +345,45 @@ def _resolve_attn_impl(attn_impl: str) -> str:
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     except Exception:
         return "xla"
+
+
+def prepare_rotary_params(params: Params, cfg: MoonshineArchConfig) -> Params:
+    """Precompute the rotary pair-swap weight permutations ONCE at
+    parameter-load time (ADVICE r3): adds ``q_swapped``/``k_swapped``
+    leaves beside the encoder attention projections, which
+    ``_encoder_layer_apply`` prefers over the per-step in-trace column
+    gather.  Exact — a static permutation of output columns.  Idempotent.
+    """
+    import numpy as np
+
+    enc = params.get("encoder")
+    if not enc or "layers" not in enc or "attn" not in enc["layers"]:
+        return params
+    a = enc["layers"]["attn"]
+    if "q_swapped" in a:
+        return params
+    hd = cfg.head_dim
+    half = cfg.rotary_dim // 2  # partial-rotary aware (rotary_tables)
+    q_perm = np.asarray(pair_swap_perm(hd, half, cfg.encoder_heads))
+    k_perm = np.asarray(pair_swap_perm(hd, half, cfg.encoder_kv_heads))
+
+    def permute(p: dict, perm) -> dict:
+        out = dict(p)
+        # stacked [L, in, out] leaves: permute the OUTPUT (last) axis
+        if "w" in out:
+            out["w"] = out["w"][..., perm]
+        if "w_q" in out:
+            out["w_q"] = out["w_q"][..., perm]
+        if "w_scale" in out:
+            out["w_scale"] = out["w_scale"][..., perm]
+        if "b" in out:
+            out["b"] = out["b"][..., perm]
+        return out
+
+    new_a = dict(a, q_swapped=permute(a["q"], q_perm),
+                 k_swapped=permute(a["k"], k_perm))
+    new_layers = dict(enc["layers"], attn=new_a)
+    return dict(params, encoder=dict(enc, layers=new_layers))
 
 
 def encoder_apply(

@@ -844,4 +844,35 @@ int32_t mt_client_speech_clip(const char* host, int32_t port, const float* pcm,
   return MT_CLIENT_OK;
 }
 
+int32_t mt_client_catalog_json(const char* host, int32_t port,
+                               const char* kind, const char* arg,
+                               const char* options_json, char* out_json,
+                               int32_t cap) {
+  /* Reference analog: the moonshine_get_* catalog/dependency family
+   * (moonshine-c-api.h:910-1074), carried over the service boundary.
+   * The JSON document rides a binary frame so this client never parses
+   * nested escapes; header carries the byte count. */
+  if (kind == nullptr) return MT_CLIENT_ERR_PROTOCOL;
+  std::string req =
+      "{\"type\": \"catalog\", \"kind\": \"" + json_escape(kind) + "\"";
+  if (arg != nullptr)
+    req += ", \"arg\": \"" + json_escape(arg) + "\"";
+  if (options_json != nullptr && options_json[0] != '\0')
+    req += std::string(", \"options\": ") + options_json;
+  req += "}";
+  std::unique_ptr<Conn> conn;
+  int rc = rpc_send(conn, host, int(port), req);
+  if (rc != MT_CLIENT_OK) return rc;
+  std::map<std::string, JsonValue> kv;
+  rc = rpc_recv_header(*conn, kv);
+  if (rc != MT_CLIENT_OK) return rc;
+  if (!kv.count("n")) return MT_CLIENT_ERR_PROTOCOL;
+  std::string payload;
+  rc = rpc_recv_binary(*conn, payload);
+  if (rc != MT_CLIENT_OK) return rc;
+  if (payload.size() != size_t(kv["n"].num)) return MT_CLIENT_ERR_PROTOCOL;
+  if (out_json != nullptr && cap > 0) copy_text(out_json, size_t(cap), payload);
+  return int32_t(payload.size());
+}
+
 }  // extern "C"

@@ -138,6 +138,29 @@ MT_CLIENT_EXPORT int32_t mt_client_speech_clip(const char* host, int32_t port,
                                                int32_t sample_rate,
                                                mt_clip_result_t* out);
 
+/* Catalog / dependency JSON surface — the service-boundary analog of the
+ * reference's moonshine_get_* family (reference:
+ * moonshine-c-api.h:910-1074).  `kind` selects the document:
+ *   "stt_catalog"              full STT model catalog
+ *   "embedding_catalog"        embedding model catalog
+ *   "stt_dependencies"         download manifest; `arg` = language,
+ *                              options_json may carry {"model_arch":...,
+ *                              "include_spelling":true}
+ *   "tts_dependencies"         merged TTS voice deps; `arg` = languages
+ *   "g2p_dependencies"         G2P data deps; `arg` = languages
+ *   "embedding_dependencies"   `arg` = model name (NULL = default)
+ *   "diarization_dependencies" no arguments
+ *   "tts_voices"               voices w/ availability; `arg` = languages
+ * `options_json` is a JSON object forwarded verbatim (may be NULL).
+ * Writes the NUL-terminated JSON document into out_json (truncated when
+ * longer than cap) and returns the full byte length, or a negative
+ * mt_client_status.  Caller-owned buffer — no library-owned memory. */
+MT_CLIENT_EXPORT int32_t mt_client_catalog_json(const char* host, int32_t port,
+                                                const char* kind,
+                                                const char* arg,
+                                                const char* options_json,
+                                                char* out_json, int32_t cap);
+
 #ifdef __cplusplus
 } /* extern "C" */
 #endif

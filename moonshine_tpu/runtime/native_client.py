@@ -122,6 +122,11 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(_ClipResult),
     ]
+    lib.mt_client_catalog_json.restype = ctypes.c_int32
+    lib.mt_client_catalog_json.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
 
@@ -271,3 +276,25 @@ def native_speech_clip(
         "found": bool(out.found), "start_s": out.start_s,
         "end_s": out.end_s, "speech_s": out.speech_s,
     }
+
+
+def native_catalog_json(host: str, port: int, kind: str,
+                        arg: str | None = None,
+                        options: dict | None = None) -> str:
+    """Catalog/dependency JSON over the C ABI (mt_client_catalog_json —
+    the reference's moonshine_get_* family, moonshine-c-api.h:910-1074)."""
+    import json as _json
+
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native client library unavailable")
+    buf = ctypes.create_string_buffer(1 << 20)
+    n = lib.mt_client_catalog_json(
+        host.encode(), port, kind.encode(),
+        arg.encode() if arg is not None else None,
+        _json.dumps(options).encode() if options else None,
+        buf, len(buf),
+    )
+    if n < 0:
+        raise ConnectionError(f"mt_client_catalog_json -> {n}")
+    return buf.value.decode("utf-8", "replace")

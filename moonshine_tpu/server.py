@@ -170,7 +170,7 @@ class TranscriptionServer:
 
     # -- one-shot RPC surface ---------------------------------------------------
 
-    _RPC_TYPES = ("tts", "g2p", "embed", "speech_clip")
+    _RPC_TYPES = ("tts", "g2p", "embed", "speech_clip", "catalog")
 
     def _rpc_tts(self, msg: dict):
         if self._tts is None:
@@ -217,6 +217,20 @@ class TranscriptionServer:
             elif kind == "g2p":
                 ipa = await loop.run_in_executor(None, self._rpc_g2p, msg)
                 await websocket.send(json.dumps({"type": "g2p_result", "ipa": ipa}))
+            elif kind == "catalog":
+                # catalog/dependency JSON surface (reference:
+                # moonshine-c-api.h:910-1074 moonshine_get_* family)
+                from .catalog import catalog_request_json
+
+                payload = await loop.run_in_executor(
+                    None, catalog_request_json, str(msg.get("kind", "")),
+                    msg.get("arg"), msg.get("options"))
+                data = payload.encode("utf-8")
+                # JSON rides a binary frame (header carries the byte
+                # count) so native mini-parsers never see nested escapes
+                await websocket.send(json.dumps(
+                    {"type": "catalog_json", "n": len(data)}))
+                await websocket.send(data)
             elif kind == "embed":
                 texts = [str(t) for t in msg.get("texts", [])]
                 emb = await loop.run_in_executor(None, self._rpc_embed, texts)

@@ -18,6 +18,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 from pathlib import Path
 
 import jax
@@ -26,7 +27,11 @@ import optax
 
 from ..tts.tok_pos import TokPosConfig, TokPosTagger, forward, init_params, PAD
 
-REF_DATA = Path("/root/reference/core/moonshine-tts/tests/data")
+# override with MOONSHINE_REFERENCE_ROOT for other host layouts
+# (ADVICE r3: the default matches this environment's mount point)
+REF_DATA = Path(os.environ.get(
+    "MOONSHINE_REFERENCE_ROOT",
+    "/root/reference")) / "core" / "moonshine-tts" / "tests" / "data"
 CORPORA = {
     "zh": REF_DATA / "zh_hans" / "tok_pos_wiki_filtered.txt",
     "ja": REF_DATA / "ja" / "tok_pos_wiki_100.txt",

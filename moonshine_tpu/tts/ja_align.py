@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections import Counter
 from functools import lru_cache
+import os
 from pathlib import Path
 
 from .lang_rules import kana_to_ipa
@@ -25,7 +26,9 @@ from .lang_rules import kana_to_ipa
 MAX_SPAN = 8
 MAX_PATHS = 200
 
-REF_JA_DIR = Path("/root/reference/core/moonshine-tts/tests/data/ja")
+REF_JA_DIR = Path(os.environ.get(
+    "MOONSHINE_REFERENCE_ROOT",
+    "/root/reference")) / "core" / "moonshine-tts" / "tests" / "data" / "ja"
 
 
 def is_kana(c: str) -> bool:

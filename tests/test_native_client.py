@@ -368,3 +368,28 @@ def test_jni_shim_compiles_and_links(tmp_path):
     ).stdout
     for fn in ("connect", "addAudio", "pollEventText", "tts", "g2p"):
         assert f"Java_ai_moonshine_tpu_MoonshineClient_{fn}" in syms
+
+
+def test_rpc_catalog_json():
+    """Native catalog/dependency JSON family (reference:
+    moonshine-c-api.h:910-1074) over the loopback service boundary."""
+    import json as _json
+
+    with _rpc_harness() as h:
+        port = h.server.port
+        cat = _json.loads(native_client.native_catalog_json(
+            "127.0.0.1", port, "stt_catalog"))
+        assert any(l["code"] == "en" for l in cat["languages"])
+        deps = _json.loads(native_client.native_catalog_json(
+            "127.0.0.1", port, "stt_dependencies", "en",
+            {"include_spelling": True}))
+        assert len(deps["groups"]) == 2
+        voices = _json.loads(native_client.native_catalog_json(
+            "127.0.0.1", port, "tts_voices", "en"))
+        assert voices["en"]
+        dia = _json.loads(native_client.native_catalog_json(
+            "127.0.0.1", port, "diarization_dependencies"))
+        assert dia["groups"][0]["files"]
+        # unknown kind surfaces as a server error -> protocol error code
+        with pytest.raises(ConnectionError):
+            native_client.native_catalog_json("127.0.0.1", port, "nope")
