@@ -393,3 +393,49 @@ def test_rpc_catalog_json():
         # unknown kind surfaces as a server error -> protocol error code
         with pytest.raises(ConnectionError):
             native_client.native_catalog_json("127.0.0.1", port, "nope")
+
+
+def test_embind_shim_compiles_and_links(tmp_path):
+    """The WASM Embind shim is a thin wrapper over moonshine_client.h:
+    prove it by compiling + linking it into a shared object against the
+    declared-subset embind_compat.h (the WASM analog of the JNI proof;
+    an Emscripten SDK build uses the real <emscripten/bind.h> via
+    -DMOONSHINE_EMBIND_REAL_HEADER with the same source unchanged)."""
+    wasm_dir = NATIVE_DIR.parent / "bindings" / "wasm"
+    out = tmp_path / "libmoonshine_embind.so"
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", "-fPIC", "-shared", "-pthread",
+         str(wasm_dir / "moonshine_embind.cpp"),
+         str(NATIVE_DIR / "moonshine_client.cpp"), "-o", str(out)],
+        check=True, capture_output=True, text=True,
+    )
+    assert out.exists()
+
+
+def test_java_api_matches_jni_symbols(tmp_path):
+    """Every native method declared by the Java API class has a
+    matching Java_ai_moonshine_tpu_MoonshineClient_* symbol in the
+    compiled JNI shim — the Java surface and the C++ shim cannot
+    drift apart silently."""
+    import re
+
+    java = (NATIVE_DIR.parent / "bindings" / "android" / "java" / "ai"
+            / "moonshine" / "tpu" / "MoonshineClient.java").read_text()
+    natives = re.findall(
+        r"native\s+[\w\[\]<>]+\s+(\w+)\s*\(", java)
+    assert sorted(natives) == sorted(
+        ["connect", "start", "addAudio", "stop", "pollEventText", "free",
+         "tts", "g2p"])
+    jni_dir = NATIVE_DIR.parent / "bindings" / "jni"
+    out = tmp_path / "libmoonshine_jni_check.so"
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", "-fPIC", "-shared", "-pthread",
+         str(jni_dir / "moonshine_jni.cpp"),
+         str(NATIVE_DIR / "moonshine_client.cpp"), "-o", str(out)],
+        check=True, capture_output=True, text=True,
+    )
+    syms = subprocess.run(
+        ["nm", "-D", str(out)], check=True, capture_output=True, text=True
+    ).stdout
+    for fn in natives:
+        assert f"Java_ai_moonshine_tpu_MoonshineClient_{fn}" in syms, fn
