@@ -114,13 +114,45 @@ def main() -> None:
         tick()
 
     tick_ms = []
+    dispatch_ms = []  # host-side cost: issuing all K cohort programs
+    collect_ms = []   # completion: device execution + result fetch
     t0 = time.perf_counter()
     for _ in range(args.updates):
         feed_all()
         t1 = time.perf_counter()
-        tick()
-        tick_ms.append((time.perf_counter() - t1) * 1000.0)
+        if args.serial:
+            tick()
+            t2 = t3 = time.perf_counter()
+        else:
+            # split dispatch/collect for per-phase accounting (VERDICT
+            # r3 item 10): update_begin is the async XLA dispatch,
+            # update_end blocks on the device result
+            pendings = [c.update_begin() for c in svc.cohorts]
+            t2 = time.perf_counter()
+            for c_svc, p in zip(svc.cohorts, pendings):
+                c_svc.update_end(p)
+            t3 = time.perf_counter()
+        tick_ms.append((t3 - t1) * 1000.0)
+        dispatch_ms.append((t2 - t1) * 1000.0)
+        collect_ms.append((t3 - t2) * 1000.0)
     wall = time.perf_counter() - t0
+
+    # Calibration: ONE cohort ticked synchronously = the per-device
+    # program time with no cross-cohort contention.  The linearity
+    # argument then cites measured occupancy: a full K-cohort period
+    # whose wall approaches the isolated single-program wall means the
+    # K programs truly overlapped (on hardware: ran on K chips).
+    iso_ms = []
+    for _ in range(max(6, args.updates // 4)):
+        for i in range(svc.per_cohort):
+            c = cursors[i]
+            svc.add_audio(i, tiled[c : c + step])
+            cursors[i] = c + step
+        t1 = time.perf_counter()
+        svc.update(cohort=0)
+        iso_ms.append((time.perf_counter() - t1) * 1000.0)
+    iso_p50 = float(np.percentile(iso_ms, 50))
+    tick_p50 = float(np.percentile(tick_ms, 50))
 
     audio_seconds = S * args.updates * step / 16000.0
     print(json.dumps({
@@ -129,8 +161,17 @@ def main() -> None:
         "streams_per_device": args.streams_per_device,
         "mode": "serial" if args.serial else "parallel",
         "agg_audio_s_per_s": round(audio_seconds / wall, 2),
-        "p50_tick_ms": round(float(np.percentile(tick_ms, 50)), 1),
+        "p50_tick_ms": round(tick_p50, 1),
         "p95_tick_ms": round(float(np.percentile(tick_ms, 95)), 1),
+        # per-phase accounting: host dispatch vs device completion
+        "p50_dispatch_ms": round(float(np.percentile(dispatch_ms, 50)), 1),
+        "p50_collect_ms": round(float(np.percentile(collect_ms, 50)), 1),
+        # isolated single-cohort program (the per-device tick with no
+        # sibling contention) and the derived overlap metrics
+        "p50_isolated_program_ms": round(iso_p50, 1),
+        "overlap_efficiency": round(iso_p50 / max(tick_p50, 1e-9), 3),
+        "coordination_overhead_pct": round(
+            100.0 * max(tick_p50 - iso_p50, 0.0) / max(tick_p50, 1e-9), 1),
         "compile_s": round(t_compile, 1),
         "host_cores": os.cpu_count(),
         "arch": args.arch,
