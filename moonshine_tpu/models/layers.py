@@ -139,6 +139,14 @@ def group_norm_all(p: Params, x: jnp.ndarray, mask: jnp.ndarray | None, eps: flo
 
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     # torch nn.functional.gelu default is the exact erf formulation.
+    # Sub-fp32 inputs compute in fp32: bf16 erf is BOTH ~3x slower on
+    # TPU (the bf16 erf lowering dominated the whole MLP at bench
+    # shapes — 14.1 vs 9.9 ms, scripts/spike notes in docs/PERF.md) and
+    # less accurate than erf-in-fp32-then-round, which is also what
+    # torch's bf16 gelu computes.
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return jax.nn.gelu(
+            x.astype(jnp.float32), approximate=False).astype(x.dtype)
     return jax.nn.gelu(x, approximate=False)
 
 

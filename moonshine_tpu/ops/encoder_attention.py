@@ -110,11 +110,24 @@ def encoder_attention(
 
 def _packed_kernel(q_ref, kt_ref, v_ref, mask_ref, o_ref, *,
                    heads: int, head_dim: int, scale: float):
+    # Three MXU-rate fixes (round 4; scripts/spike_attn_bf16_mxu.py +
+    # docs/PERF.md):  q/kt stay bf16 into the dot (fp32 ACCUMULATION
+    # unchanged — the explicit astype(f32) made Mosaic materialize fp32
+    # VMEM copies of values holding only bf16 information; maxdiff 0.0);
+    # the K=hd contraction zero-pads to 128 lanes IN VMEM ([T,52]x[52,T]
+    # runs the MXU at ~10%, the zero-padded [T,128]x[128,T] is
+    # bit-identical and markedly faster); softmax weights cast bf16 for
+    # the AV dot (fp32 accumulation) — the same operand dtypes the XLA
+    # path feeds its attention einsum.
     mask = mask_ref[0]  # [1, T] int32 key validity; broadcasts over rows
+    kpad = 128 - head_dim if head_dim < 128 else 0
     for h in range(heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0][:, sl].astype(jnp.float32)   # [T, hd]
-        kt = kt_ref[0][sl, :].astype(jnp.float32)  # [hd, T]
+        q = q_ref[0][:, sl]   # [T, hd]
+        kt = kt_ref[0][sl, :]  # [hd, T]
+        if kpad:
+            q = jnp.pad(q, ((0, 0), (0, kpad)))
+            kt = jnp.pad(kt, ((0, kpad), (0, 0)))
         logits = (
             jax.lax.dot_general(
                 q, kt, (((1,), (0,)), ((), ())),
@@ -125,8 +138,8 @@ def _packed_kernel(q_ref, kt_ref, v_ref, mask_ref, o_ref, *,
         logits = jnp.where(mask != 0, logits, NEG_INF)
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
-        w = p / jnp.sum(p, axis=-1, keepdims=True)
-        v = v_ref[0][:, sl].astype(jnp.float32)
+        w = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q_ref.dtype)
+        v = v_ref[0][:, sl]
         o_ref[0, :, sl] = jnp.dot(
             w, v, preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)

@@ -29,6 +29,31 @@ import pytest
 REPO_ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: training-heavy test (runs only with MOONSHINE_FULL_SUITE=1 "
+        "or -m slow); the default suite stays under ~8 minutes")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Fast/slow split (VERDICT r3 item 9): the training-in-tests
+    pattern (overfit fixtures, tagger/reader/diarization training) grew
+    the default suite past 20 minutes.  Those tests carry
+    ``@pytest.mark.slow`` and are skipped by default; run the FULL
+    suite with ``MOONSHINE_FULL_SUITE=1 python -m pytest tests/``
+    (CI mode) or ``-m slow`` for only the slow set."""
+    if os.environ.get("MOONSHINE_FULL_SUITE"):
+        return
+    if config.getoption("markexpr", default=""):
+        return  # explicit marker selection overrides the default skip
+    skip = pytest.mark.skip(
+        reason="slow: set MOONSHINE_FULL_SUITE=1 for the full suite")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 REFERENCE = pathlib.Path("/root/reference")
 TEST_ASSETS = REFERENCE / "test-assets"
 TOKENIZER_BIN = (

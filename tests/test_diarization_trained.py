@@ -14,6 +14,8 @@ audio is scored with eval/der.py through the full SpeakerDiarizer.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training-heavy (fast/slow split, conftest)
+
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 

@@ -51,5 +51,8 @@ def test_agreement_floor(dialect):
 def test_all_goldens_have_floors():
     present = {p.name.split(".")[0]
                for p in default_data_dir().glob("*.golden.tsv")}
+    # goldens with their own ratchet harness (zh full-text engine
+    # parity: tests/test_zh_fulltext.py) are not per-dialect floors
+    present -= {"zh_fulltext"}
     assert present == set(FLOORS)
     assert present <= set(DIALECT_TO_LANG)

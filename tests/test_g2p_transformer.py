@@ -11,6 +11,8 @@ GraphemeToPhonemizer.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training-heavy (fast/slow split, conftest)
+
 from moonshine_tpu.train.g2p import build_dataset, distill
 from moonshine_tpu.tts.g2p import GraphemeToPhonemizer
 from moonshine_tpu.tts.g2p_transformer import (

@@ -18,9 +18,9 @@ from moonshine_tpu.tts import ja_align
 from moonshine_tpu.tts.g2p_transformer import G2PTransformer
 from moonshine_tpu.tts.lang_rules import JapaneseG2P, kana_to_ipa
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not ja_align.REF_JA_DIR.is_dir(), reason="reference ja corpus not mounted"
-)
+), pytest.mark.slow]  # training-heavy (fast/slow split, conftest)
 
 
 @pytest.fixture(scope="module")

@@ -132,6 +132,7 @@ def test_websocket_loopback(n_clients, cohorts):
         assert all("latency_ms" in e for e in finals)
 
 
+@pytest.mark.slow
 def test_server_full_rejects():
     websockets = pytest.importorskip("websockets")
     from moonshine_tpu.server import TranscriptionServer

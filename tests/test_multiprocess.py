@@ -20,6 +20,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training-heavy (fast/slow split, conftest)
+
 REPO = Path(__file__).resolve().parents[1]
 
 WORKER = r"""

@@ -22,9 +22,9 @@ from moonshine_tpu.train.tok_pos import (
 )
 from moonshine_tpu.tts.tok_pos import TokPosConfig, TokPosTagger
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.skipif(
     not CORPORA["zh"].is_file(), reason="reference zh corpus not mounted"
-)
+), pytest.mark.slow]  # training-heavy (fast/slow split, conftest)
 
 
 @pytest.fixture(scope="module")

@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training-heavy (fast/slow split, conftest)
+
 import jax
 import jax.numpy as jnp
 import optax

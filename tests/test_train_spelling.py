@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # training-heavy (fast/slow split, conftest)
+
 DATA = "/root/reference/test-assets/alphanumeric"
 
 needs_data = pytest.mark.skipif(not os.path.isdir(DATA), reason="captured set unavailable")
