@@ -439,3 +439,24 @@ def test_java_api_matches_jni_symbols(tmp_path):
     ).stdout
     for fn in natives:
         assert f"Java_ai_moonshine_tpu_MoonshineClient_{fn}" in syms, fn
+
+
+def test_swift_api_matches_c_header():
+    """The Swift shim calls only symbols moonshine_client.h declares
+    (no swiftc on this image — the ABI consistency is checked
+    textually; a Swift toolchain builds the package unchanged via its
+    systemLibrary modulemap)."""
+    import re
+
+    swift = (NATIVE_DIR.parent / "bindings" / "swift" / "Sources"
+             / "MoonshineTpu" / "MoonshineClient.swift").read_text()
+    header = (NATIVE_DIR / "moonshine_client.h").read_text()
+    calls = set(re.findall(r"\bmt_client_\w+", swift))
+    assert calls  # the shim actually binds the ABI
+    declared = set(re.findall(r"\bmt_client_\w+", header))
+    missing = calls - declared
+    assert not missing, f"Swift shim references undeclared symbols: {missing}"
+    # the struct layout the Swift side reads must exist
+    for field in ("type;", "segment;", "start_s;", "end_s;",
+                  "latency_ms;"):
+        assert field in header
