@@ -194,16 +194,27 @@ def _single(state: BatchedStreamingState, s: int) -> StreamingState:
     return StreamingState(**vals)
 
 
+# Buffers a reset does NOT need to zero: every read is masked/sliced by
+# the cursors the reset does clear (feat_count, enc_emitted, mem_len,
+# per-tick cache_len) — cross attention masks keys by mem_len, the
+# windowed encode masks by win_valid/feat arithmetic and slices only
+# n_new rows, decode self caches rewrite from position 0 each tick, and
+# memory/feats append at their cursors before any read.  Zeroing them
+# anyway cost ~GBs of cache traffic behind a jnp.where EVERY tick
+# (k/v cross alone are ~750 MB each at medium-32 x 3200).
+_RESET_SKIP_FIELDS = _KV_FIELDS + _KV_SCALE_FIELDS + ("memory", "feats")
+
+
 def _mask_reset(state: BatchedStreamingState, reset: jnp.ndarray) -> BatchedStreamingState:
-    """Zero the state of streams flagged in ``reset`` [S] bool."""
+    """Zero the CONTROL state of streams flagged in ``reset`` [S] bool
+    (cursors, frontend carries, sample context); the bulk KV/feature
+    buffers stay — their stale contents are unreachable once the
+    cursors are zero (see _RESET_SKIP_FIELDS)."""
 
     def f(name, x):
-        if x is None:
-            return None
-        if name in _KV_FIELDS or name in _KV_SCALE_FIELDS:  # stream axis is axis 1
-            m = reset.reshape((1, -1) + (1,) * (x.ndim - 2))
-        else:
-            m = reset.reshape((-1,) + (1,) * (x.ndim - 1))
+        if x is None or name in _RESET_SKIP_FIELDS:
+            return x
+        m = reset.reshape((-1,) + (1,) * (x.ndim - 1))
         return jnp.where(m, jnp.zeros_like(x), x)
 
     return BatchedStreamingState(
@@ -549,7 +560,8 @@ def service_update(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "mem_bucket", "draft_cap", "enc_passes", "decode"),
+    static_argnames=("cfg", "mem_bucket", "draft_cap", "enc_passes",
+                     "decode", "decode_mem_bucket"),
     donate_argnames=("state",),
 )
 def service_update_meta(
@@ -563,6 +575,7 @@ def service_update_meta(
     draft_cap: int = DRAFT_CAP,
     enc_passes: int = 2,
     decode: bool = True,
+    decode_mem_bucket: int | None = None,
 ) -> ServiceUpdateOut:
     """:func:`service_update` with a one-array control plane.
 
@@ -577,6 +590,7 @@ def service_update_meta(
         meta[0], meta[1] != 0, meta[2] != 0, draft,
         meta[3], meta[4], meta[5] != 0,
         mem_bucket, draft_cap, enc_passes, decode,
+        decode_mem_bucket,
     ))
 
 
@@ -596,7 +610,18 @@ def _service_update_impl(
     draft_cap: int,
     enc_passes: int,
     decode: bool,
+    decode_mem_bucket: int | None = None,
 ) -> ServiceUpdateOut:
+    # Memory-length bucketing for the DECODE phases (verify + greedy
+    # continue): their cross-attention streams the whole sliced cache
+    # every token, so reading only the smallest 128-multiple bucket
+    # covering this tick's longest memory — instead of always the full
+    # mem_bucket — scales the dominant per-token HBM traffic with the
+    # ACTUAL segment fill.  Encode/state layout is untouched; callers
+    # must guarantee max(mem_len) + this tick's new frames <=
+    # decode_mem_bucket (serving picks from its host mirror).
+    dmb = mem_bucket if decode_mem_bucket is None else min(
+        decode_mem_bucket, mem_bucket)
     state = _mask_reset(state, reset)
 
     # Frontend (vmapped masked variable-length ingest).
@@ -651,17 +676,17 @@ def _service_update_impl(
     # Caches are already layer/head-major: no relayout here or inside the
     # greedy while_loop.
     S = chunk.shape[0]
-    kc_lm = state.k_cross[..., :mem_bucket]
-    vc_lm = state.v_cross[..., :mem_bucket]
-    kc_slm = state.k_cross_scale[..., :mem_bucket] if quant else None
-    vc_slm = state.v_cross_scale[..., :mem_bucket] if quant else None
+    kc_lm = state.k_cross[..., :dmb]
+    vc_lm = state.v_cross[..., :dmb]
+    kc_slm = state.k_cross_scale[..., :dmb] if quant else None
+    vc_slm = state.v_cross_scale[..., :dmb] if quant else None
     zero_len = jnp.zeros((S,), jnp.int32)
     seq = jnp.concatenate(
         [jnp.full((S, 1), cfg.bos_id, jnp.int32), draft[:, :draft_cap]], axis=1
     )  # [S, 1 + draft_cap]
     logits, k_self, v_self, k_self_s, v_self_s = _decode_step_batch(
         params, cfg, seq, zero_len, state.k_self, state.v_self,
-        kc_lm, vc_lm, state.mem_len, mem_bucket,
+        kc_lm, vc_lm, state.mem_len, dmb,
         state.k_self_scale, state.v_self_scale, kc_slm, vc_slm,
     )
     preds = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, 1 + draft_cap]
@@ -708,7 +733,7 @@ def _service_update_impl(
     def body(c: Carry):
         lg, k_s, v_s, k_ss, v_ss = _decode_step_batch(
             params, cfg, c.last[:, None], c.cache_len, c.k_self, c.v_self,
-            kc_lm, vc_lm, state.mem_len, mem_bucket,
+            kc_lm, vc_lm, state.mem_len, dmb,
             c.k_self_s, c.v_self_s, kc_slm, vc_slm,
         )
         nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)

@@ -156,6 +156,15 @@ class StreamingService:
             self.draft_buckets.append(b)
             b *= 2
         self.draft_buckets.append(draft_cap)
+        # Memory-length ladder for the DECODE phases: per-token
+        # cross-attention streams the whole sliced cross cache, so early
+        # in a segment the decode reads a fraction of mem_bucket (the
+        # draft-bucket idea applied to the memory axis).  Each (draft,
+        # mem) pair is one compiled program (warmup covers them).
+        self.mem_buckets: list[int] = sorted({
+            b for b in (1024, 2048, mem_bucket)
+            if sb.ENC_STEP * 2 <= b <= mem_bucket
+        } | {mem_bucket})
         self.max_tps = max_tokens_per_second
         self.max_segment_samples = int(max_segment_seconds * 16000)
         self.state = self._place(
@@ -320,6 +329,13 @@ class StreamingService:
         # (ingest-only ticks carry no draft: smallest bucket).
         max_dl = int(draft_len.max()) if (S and decode_tick) else 0
         cap = next(b for b in self.draft_buckets if b >= max_dl)
+        # Smallest memory bucket covering every slot's segment fill:
+        # mem_len never exceeds feat_total (enc_emitted <= feat_total by
+        # the stable-frame arithmetic), so the host mirror bounds the
+        # decode's cross-cache read exactly.
+        max_mem = max((s2.feat_total for s2 in self.slots), default=0)
+        dmb = next((b for b in self.mem_buckets if b >= max_mem),
+                   self.mem_bucket)
         # Device-resident inputs, uploaded ONCE: burst ticks (prefill /
         # drain) reuse the same zero chunk + follow-up meta across every
         # catch-up pass instead of re-paying per-transfer relay cost.
@@ -346,7 +362,8 @@ class StreamingService:
             self.state = out.state
             mirror_pass()
             first = False
-        with profiling.log_run("service_update", streams=S, draft_bucket=cap):
+        with profiling.log_run("service_update", streams=S, draft_bucket=cap,
+                               mem_bucket=dmb):
             out = sb.service_update_meta(
                 self.params, self.cfg, self.state,
                 chunk_dev if first else zeros_chunk_dev,
@@ -354,6 +371,7 @@ class StreamingService:
                 self._upload(draft[:, :cap]),
                 mem_bucket=self.mem_bucket, draft_cap=cap,
                 enc_passes=1, decode=decode_tick,
+                decode_mem_bucket=dmb if decode_tick else None,
             )
         mirror_pass()
         self.state = out.state
@@ -417,16 +435,18 @@ class StreamingService:
         # the remaining verify buckets so live ticks never hit a compile.
         import jax.numpy as jnp
 
-        for cap in self.draft_buckets[1:]:
-            out = sb.service_update_meta(
-                self.params, self.cfg, self.state,
-                jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
-                jnp.zeros((6, self.S), jnp.int32),
-                jnp.full((self.S, cap), self.cfg.eos_id, jnp.int32),
-                mem_bucket=self.mem_bucket, draft_cap=cap,
-                enc_passes=1, decode=True,
-            )
-            self.state = out.state
+        for cap in self.draft_buckets:
+            for dmb in self.mem_buckets:
+                out = sb.service_update_meta(
+                    self.params, self.cfg, self.state,
+                    jnp.zeros((self.S, self.F * FRAME_LEN), jnp.float32),
+                    jnp.zeros((6, self.S), jnp.int32),
+                    jnp.full((self.S, cap), self.cfg.eos_id, jnp.int32),
+                    mem_bucket=self.mem_bucket, draft_cap=cap,
+                    enc_passes=1, decode=True,
+                    decode_mem_bucket=dmb,
+                )
+                self.state = out.state
         if self.vad is not None:
             import jax.numpy as jnp
 
