@@ -181,7 +181,13 @@ def test_streaming_service_int8_end_to_end():
     assert single.k_cross.dtype == jnp.float32
 
 
-def test_batch_state_reset_clears_scales():
+def test_batch_state_reset_contract():
+    """Round-4 lean reset: control state (cursors, carries) zeroes; the
+    bulk KV/scale buffers are RETAINED — every read of them is masked by
+    the cursors the reset clears (cross_mask by mem_len, self by
+    per-tick cache positions), so zeroing them was pure cache traffic
+    (streaming_batch._RESET_SKIP_FIELDS).  Transcript exactness across
+    rollovers is pinned by the trained overfit suites."""
     from moonshine_tpu.core.config import StreamingConfig
     from moonshine_tpu.models import streaming_batch as sb
 
@@ -192,13 +198,16 @@ def test_batch_state_reset_clears_scales():
     )
     st = sb.init_batch_state(scfg, 2, mem_cap=128, kv_int8=True)
     st = st._replace(
-        k_cross_scale=st.k_cross_scale + 1.0, k_self_scale=st.k_self_scale + 2.0
+        k_cross_scale=st.k_cross_scale + 1.0, k_self_scale=st.k_self_scale + 2.0,
+        mem_len=st.mem_len + 7, feat_count=st.feat_count + 9,
     )
     out = sb._mask_reset(st, jnp.asarray([True, False]))
-    assert np.all(np.asarray(out.k_cross_scale[:, 0]) == 0)
-    assert np.all(np.asarray(out.k_cross_scale[:, 1]) == 1.0)
-    assert np.all(np.asarray(out.k_self_scale[:, 0]) == 0)
-    assert np.all(np.asarray(out.k_self_scale[:, 1]) == 2.0)
+    # cursors cleared per-stream (what makes stale buffers unreachable)
+    assert int(out.mem_len[0]) == 0 and int(out.mem_len[1]) == 7
+    assert int(out.feat_count[0]) == 0 and int(out.feat_count[1]) == 9
+    # bulk scale buffers retained (stale-but-unreachable by the masks)
+    assert np.all(np.asarray(out.k_cross_scale) == 1.0)
+    assert np.all(np.asarray(out.k_self_scale) == 2.0)
 
 
 def test_collect_cross_attention_int8(setup):
