@@ -2023,7 +2023,8 @@ def _pt_insert_stress(ipa: str) -> str:
     for i, ch in enumerate(ipa):
         if ch in _PT_IPA_VOWEL_SET:
             return ipa[:i] + "ˈ" + ipa[i:]
-    return "ˈ" + ipa
+    # vowelless: the reference parks the mark at the end (coda-only)
+    return ipa + "ˈ"
 
 
 def _pt_prev_global_vowel(w: str, gidx: int) -> bool:
@@ -4639,7 +4640,10 @@ def _nl_insert_stress(s: str) -> str:
             if s.startswith(pat, pos):
                 return s[:pos] + "ˈ" + s[pos:]
         pos += 1
-    return "ˈ" + s
+    # vowelless chunk: the reference's move-to-nucleus normalization
+    # parks the mark after a coda-only tail (dutch.cpp
+    # normalize_ipa_stress_for_vocoder: fɪˈts -> fɪtsˈ)
+    return s + "ˈ"
 
 
 def _nl_syllable_ipa(s: str) -> str:
