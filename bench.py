@@ -612,7 +612,11 @@ def assemble_streaming(args, phases: dict) -> dict:
     """Merge per-phase results into the round's streaming JSON schema."""
     steady = phases["steady"]
     ref = REF_FINAL_LATENCY_MS[args.streaming_arch]
-    step = 128 * 80  # update_frames * frame_len (harness constants)
+    from moonshine_tpu.core.config import STREAMING_ARCHS
+
+    # update_frames (harness constant) x the arch's real frame length —
+    # NOT hardcoded 80, so update_budget_ms stays right for any arch.
+    step = 128 * STREAMING_ARCHS[args.streaming_arch].frame_len
     update_budget_ms = step / 16000.0 * 1000.0
     S, K = args.streams, args.cohorts
     cohort_tag = f", {K} staggered cohorts" if K > 1 else ""

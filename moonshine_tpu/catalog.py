@@ -154,13 +154,30 @@ def stt_dependencies_json(language: str = "en",
     return _groups_json(entries)
 
 
+#: Embedding variants this build ships (the reference's q4/q8/fp16 tiers are
+#: ONNX-specific; on TPU the tiers are the safetensors dtype).
+EMBEDDING_VARIANTS = ("fp32", "bf16")
+_DEFAULT_EMBEDDING_VARIANT = "bf16"
+
+
 def embedding_dependencies_json(model_name: str | None = None,
                                 variant: str | None = None) -> str:
-    """(reference: moonshine_get_embedding_dependencies)."""
+    """(reference: moonshine_get_embedding_dependencies,
+    moonshine-c-api.h:1018-1027 — options recognize ``variant`` and the
+    manifest lists the variant-specific model file)."""
     name = model_name or EMBEDDING_ENTRY.model
     if name != EMBEDDING_ENTRY.model:
         raise KeyError(f"unknown embedding model: {model_name}")
-    return _groups_json([EMBEDDING_ENTRY])
+    v = variant or _DEFAULT_EMBEDDING_VARIANT
+    if v not in EMBEDDING_VARIANTS:
+        raise KeyError(f"unknown embedding variant: {variant!r} "
+                       f"(expected one of {EMBEDDING_VARIANTS})")
+    files = tuple(
+        CatalogFile(f"model_{v}.safetensors" if f.name == "model.safetensors"
+                    else f.name, optional=f.optional)
+        for f in EMBEDDING_ENTRY.files)
+    e = CatalogEntry(EMBEDDING_ENTRY.model, EMBEDDING_ENTRY.language, files)
+    return _groups_json([e])
 
 
 def diarization_dependencies_json() -> str:
@@ -183,22 +200,46 @@ def tts_dependencies_json(languages: str | None = None) -> str:
     return _groups_json([e])
 
 
+#: Downloadable voice-pack ids the catalog knows about even when absent —
+#: listed with ``state: "missing"`` when the pack root has no files, mirroring
+#: the reference catalog's not-yet-downloaded voices.
+KNOWN_VOICE_PACKS = ("alto", "tenor")
+
+
 def tts_voices_json(languages: str | None = None,
-                    root: str | os.PathLike | None = None) -> str:
+                    root: str | os.PathLike | None = None,
+                    _trusted_root: bool = True) -> str:
     """Known TTS voices with availability (reference:
     moonshine_get_tts_voices: ``{lang: [{"id","state"}]}``).  Built-in
     voices (the trained style voice and the shipped neural pack) are
-    always ``found``; ``<name>.safetensors`` voice packs under ``root``
-    list as found, and a missing root lists the pack ids as missing."""
+    always ``found``; ``<name>.voicepack.safetensors`` packs under
+    ``root`` list as found; catalog-known packs (:data:`KNOWN_VOICE_PACKS`)
+    with no file under ``root`` list as ``missing``.
+
+    ``_trusted_root=False`` (the server RPC path) confines ``root`` to
+    descendants of :func:`cache_dir` so a remote client cannot glob
+    arbitrary server directories."""
     langs = [s.strip() for s in (languages or "en").split(",") if s.strip()]
     rootp = Path(root) if root else cache_dir()
+    if not _trusted_root:
+        cache = cache_dir().resolve()
+        try:
+            rootp.resolve().relative_to(cache)
+        except ValueError:
+            rootp = cache
     out: dict[str, list[dict]] = {}
+    found_packs = set()
+    if rootp.is_dir():
+        found_packs = {p.name.split(".")[0]
+                       for p in rootp.glob("*.voicepack.safetensors")}
     for lang in langs:
         voices = [{"id": "style_default", "state": "found"},
                   {"id": "neural-pack", "state": "found"}]
-        if rootp.is_dir():
-            for p in sorted(rootp.glob("*.voicepack.safetensors")):
-                voices.append({"id": p.name.split(".")[0], "state": "found"})
+        for pid in sorted(found_packs):
+            voices.append({"id": pid, "state": "found"})
+        for pid in KNOWN_VOICE_PACKS:
+            if pid not in found_packs:
+                voices.append({"id": pid, "state": "missing"})
         out[lang] = voices
     return json.dumps(out)
 
@@ -246,7 +287,8 @@ _CATALOG_KINDS = {
         arg, (opt or {}).get("variant")),
     "diarization_dependencies": lambda arg, opt: diarization_dependencies_json(),
     "tts_voices": lambda arg, opt: tts_voices_json(
-        arg, (opt or {}).get("root") or (opt or {}).get("g2p_root")),
+        arg, (opt or {}).get("root") or (opt or {}).get("g2p_root"),
+        _trusted_root=False),
 }
 
 

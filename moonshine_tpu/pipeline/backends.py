@@ -62,7 +62,11 @@ class OfflineBackend:
         word_timestamps: bool = False,
         kv_int8: bool = False,
     ):
-        self.params = params
+        # Fold the rotary pair-swap permutation into the weights once at
+        # load (idempotent; the apply side prefers the folded leaves) so
+        # the production path never pays the per-step in-trace column
+        # gather (ADVICE r4).
+        self.params = mm.prepare_rotary_params(params, cfg)
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.max_tokens_per_second = max_tokens_per_second

@@ -288,13 +288,22 @@ def native_catalog_json(host: str, port: int, kind: str,
     lib = load()
     if lib is None:
         raise RuntimeError("native client library unavailable")
-    buf = ctypes.create_string_buffer(1 << 20)
-    n = lib.mt_client_catalog_json(
-        host.encode(), port, kind.encode(),
-        arg.encode() if arg is not None else None,
-        _json.dumps(options).encode() if options else None,
-        buf, len(buf),
-    )
-    if n < 0:
-        raise ConnectionError(f"mt_client_catalog_json -> {n}")
-    return buf.value.decode("utf-8", "replace")
+    # mt_client_catalog_json returns the full byte length of the document
+    # (which may exceed the buffer); re-issue with a right-sized buffer
+    # rather than silently returning a truncated, invalid JSON string.
+    cap = 1 << 20
+    for _ in range(2):
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.mt_client_catalog_json(
+            host.encode(), port, kind.encode(),
+            arg.encode() if arg is not None else None,
+            _json.dumps(options).encode() if options else None,
+            buf, len(buf),
+        )
+        if n < 0:
+            raise ConnectionError(f"mt_client_catalog_json -> {n}")
+        if n < cap:
+            return buf.value.decode("utf-8", "replace")
+        cap = n + 1
+    raise ConnectionError(
+        f"mt_client_catalog_json document still exceeds {cap} bytes")

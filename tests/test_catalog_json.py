@@ -71,9 +71,45 @@ def test_tts_voices_states(tmp_path):
     assert set(doc) == {"en", "ja"}
     ids = [v["id"] for v in doc["en"]]
     assert "style_default" in ids and "neural-pack" in ids
+    # catalog-known packs with no file under root list as missing
+    # (ADVICE r4: the docstring's missing-state promise is now real)
+    assert {"id": "alto", "state": "missing"} in doc["en"]
     (tmp_path / "alto.voicepack.safetensors").write_bytes(b"x")
     doc = json.loads(catalog.tts_voices_json("en", root=tmp_path))
     assert {"id": "alto", "state": "found"} in doc["en"]
+    assert {"id": "alto", "state": "missing"} not in doc["en"]
+
+
+def test_tts_voices_untrusted_root_confined(tmp_path, monkeypatch):
+    """The server RPC path must not glob arbitrary server directories
+    (ADVICE r4): an out-of-cache root falls back to cache_dir()."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    (cache / "tenor.voicepack.safetensors").write_bytes(b"x")
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    (outside / "leak.voicepack.safetensors").write_bytes(b"x")
+    monkeypatch.setenv(catalog.DEFAULT_CACHE_ENV, str(cache))
+    doc = json.loads(catalog.catalog_request_json(
+        "tts_voices", "en", {"root": str(outside)}))
+    ids = {v["id"] for v in doc["en"]}
+    assert "leak" not in ids and "tenor" in ids
+    # trusted (in-process) callers may still point anywhere
+    doc = json.loads(catalog.tts_voices_json("en", root=outside))
+    assert "leak" in {v["id"] for v in doc["en"]}
+
+
+def test_embedding_dependencies_variant_selection():
+    """ADVICE r4: the variant selects the model file and unknown
+    variants raise (reference: moonshine-c-api.h:1018-1027)."""
+    doc = json.loads(catalog.embedding_dependencies_json(variant="fp32"))
+    names = [f["name"] for f in doc["groups"][0]["files"]]
+    assert "model_fp32.safetensors" in names
+    default = json.loads(catalog.embedding_dependencies_json())
+    dnames = [f["name"] for f in default["groups"][0]["files"]]
+    assert "model_bf16.safetensors" in dnames  # default variant
+    with pytest.raises(KeyError):
+        catalog.embedding_dependencies_json(variant="q4")
 
 
 def test_dispatch_known_and_unknown_kinds():
