@@ -256,6 +256,135 @@ def spec_bench(args) -> dict:
     }
 
 
+def spec_trained_bench(args) -> dict:
+    """Trained-pair batched speculative decoding at bench scale (BASELINE
+    config 4 as a measured configuration, not a ceiling).
+
+    Loads the draft/verify pair the ``spec-train`` phase overfit on the
+    bench audio (the protocol of tests/test_train_overfit.py::
+    test_speculative_cross_model_trained_pair scaled to real dims), then
+    measures on one chip, B lanes of real speech:
+
+      * the verifier's own greedy decode (natural EOS at the ~60-token
+        transcripts the labels fill — same token count as the forced-cap
+        greedy headline), and
+      * ``speculative_decode_batched`` with the trained draft — greedy
+        acceptance, so output tokens are bit-identical to the verifier's
+        greedy decode; MEASURED acceptance comes from the trained pair.
+
+    Also runs the same pair on held-out beckett.wav windows (never seen
+    in training) for the off-distribution acceptance floor.
+    Reference: core/speculative-decode-bench.cpp:1-6 (greedy vs
+    speculative decoder time), CHANGELOGS.md:11 (103 -> 74 ms from
+    speculative decoding on the real pair).
+    """
+    import numpy as np
+
+    from moonshine_tpu.core.config import ARCHS
+    from moonshine_tpu.decoding.greedy import greedy_decode
+    from moonshine_tpu.decoding.speculative import speculative_decode_batched
+    from moonshine_tpu.models import moonshine as mm
+    from moonshine_tpu.train.checkpoint import import_safetensors
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    vcfg = ARCHS[args.arch]
+    dcfg = _spec_draft_cfg(args)
+    vparams = import_safetensors(
+        _SPEC_VERIFY_WEIGHTS, mm.init_params(vcfg, jax.random.PRNGKey(0)))
+    dparams = import_safetensors(
+        _SPEC_DRAFT_WEIGHTS, mm.init_params(dcfg, jax.random.PRNGKey(1)))
+    vparams = jax.tree.map(lambda x: x.astype(dtype), vparams)
+    dparams = jax.tree.map(lambda x: x.astype(dtype), dparams)
+    vparams = mm.prepare_rotary_params(vparams, vcfg)
+    dparams = mm.prepare_rotary_params(dparams, dcfg)
+
+    B = args.batch
+    windows, _ = _offline_training_windows(args.duration)
+    n_samples = windows.shape[1]
+    audio = jnp.asarray(np.stack([windows[i % len(windows)]
+                                  for i in range(B)]))
+    max_tokens = max(int(args.duration * vcfg.max_tokens_per_second), 8)
+    gamma = args.spec_gamma
+
+    venc = jax.jit(lambda p, a: mm.encode(p, vcfg, a, attn_impl="auto"))
+    denc = jax.jit(lambda p, a: mm.encode(p, dcfg, a, attn_impl="auto"))
+
+    def time_fn(fn):
+        out = fn()
+        np.asarray(out.tokens)
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = fn()
+            np.asarray(out.tokens)
+            times.append(time.perf_counter() - t0)
+        return min(times), out
+
+    # End-to-end pipelines (encode included), mirroring offline_bench.
+    def greedy_pipe():
+        vmem, vmask = venc(vparams, audio)
+        return greedy_decode(vparams, vcfg, vmem, vmask,
+                             max_tokens=max_tokens, kv_int8=args.kv_int8)
+
+    def spec_pipe():
+        vmem, vmask = venc(vparams, audio)
+        dmem, dmask = denc(dparams, audio)
+        return speculative_decode_batched(
+            dparams, dcfg, vparams, vcfg, dmem, dmask, vmem, vmask,
+            gamma=gamma, max_tokens=max_tokens, kv_int8=args.kv_int8)
+
+    t_greedy, g = time_fn(greedy_pipe)
+    t_spec, s = time_fn(spec_pipe)
+    g_tokens = np.asarray(g.tokens)
+    s_tokens = np.asarray(s.tokens)
+    match = float((g_tokens == s_tokens).mean())
+    lengths = np.asarray(s.lengths)
+    accepted = np.asarray(s.accepted_draft_tokens)
+    acceptance = float(accepted.sum() / max(lengths.sum(), 1))
+
+    # Held-out audio (never trained on): off-distribution acceptance.
+    ho_tiled, ho_base = _load_bench_audio(_BECKETT)
+    ho = jnp.asarray(np.stack([
+        ho_tiled[(i % 12) * ho_base // 12:][:n_samples] for i in range(B)
+    ]))
+
+    def spec_ho():
+        vmem, vmask = venc(vparams, ho)
+        dmem, dmask = denc(dparams, ho)
+        return speculative_decode_batched(
+            dparams, dcfg, vparams, vcfg, dmem, dmask, vmem, vmask,
+            gamma=gamma, max_tokens=max_tokens, kv_int8=args.kv_int8)
+
+    t_ho, sh = time_fn(spec_ho)
+    ho_len = np.asarray(sh.lengths)
+    ho_acc = float(np.asarray(sh.accepted_draft_tokens).sum()
+                   / max(ho_len.sum(), 1))
+
+    audio_seconds = B * args.duration
+    bytes_per_el = 2 if args.dtype == "bfloat16" else 4
+    t_sol = speed_of_light_seconds(vcfg, B, n_samples, max_tokens, bytes_per_el)
+    return {
+        "metric": f"audio-seconds/s, {dcfg.name}-draft/{vcfg.name}-verify "
+        f"TRAINED-PAIR speculative decode (batch={B}, "
+        f"{args.duration:.0f}s utterances, gamma={gamma}, {args.dtype}, "
+        f"1 chip)",
+        "value": round(audio_seconds / t_spec, 2),
+        "unit": "audio-seconds/s",
+        "vs_sol": round(t_sol / t_spec, 4),
+        "acceptance": round(acceptance, 4),
+        "speedup_vs_greedy_x": round(t_greedy / t_spec, 3),
+        "greedy_trained_value": round(audio_seconds / t_greedy, 2),
+        "greedy_trained_vs_sol": round(t_sol / t_greedy, 4),
+        "token_match_vs_greedy": round(match, 4),
+        "mean_tokens": round(float(lengths.mean()), 1),
+        "rounds": int(s.rounds),
+        "heldout_value": round(audio_seconds / t_ho, 2),
+        "heldout_acceptance": round(ho_acc, 4),
+        "heldout_mean_tokens": round(float(ho_len.mean()), 1),
+        "wall_seconds": round(t_spec, 4),
+    }
+
+
 # Reference post-phrase latency on Linux x86 CPU for each streaming arch
 # (BASELINE.md:25-27 / reference README.md:194-199, two_cities.wav); the
 # MacBook Pro M-series column is carried for the stretch comparison.
@@ -272,6 +401,123 @@ _TWO_CITIES = "/root/reference/test-assets/two_cities_16k.wav"
 _BECKETT = "/root/reference/test-assets/beckett.wav"
 # hand-off file between the train-weights and trained phases
 _TRAINED_WEIGHTS = "/tmp/moonshine_bench_trained_weights.safetensors"
+# hand-off files between the spec-train and spec phases
+_SPEC_VERIFY_WEIGHTS = "/tmp/moonshine_bench_spec_verify.safetensors"
+_SPEC_DRAFT_WEIGHTS = "/tmp/moonshine_bench_spec_draft.safetensors"
+
+# Dickens ch.1 running text (public domain) — labels for the offline
+# trained-pair protocol; windows take ~45 consecutive words each so the
+# transcripts FILL the 6.5 tok/s budget (decode length matches the
+# forced-cap greedy headline instead of ending in an early EOS).
+_TALE_TEXT = (
+    "It was the best of times, it was the worst of times, it was the age "
+    "of wisdom, it was the age of foolishness, it was the epoch of belief, "
+    "it was the epoch of incredulity, it was the season of Light, it was "
+    "the season of Darkness, it was the spring of hope, it was the winter "
+    "of despair, we had everything before us, we had nothing before us, we "
+    "were all going direct to Heaven, we were all going direct the other "
+    "way, in short, the period was so far like the present period, that "
+    "some of its noisiest authorities insisted on its being received, for "
+    "good or for evil, in the superlative degree of comparison only."
+)
+
+
+def _spec_draft_cfg(args):
+    """Draft arch for the trained-pair speculative phase: the published
+    tiny (BASELINE config 4's tiny-draft/base-verify), or a half-tiny
+    'nano' draft — cheaper proposals at the same shared 32768 vocab."""
+    from moonshine_tpu.core.config import ARCHS, MoonshineArchConfig
+
+    if args.spec_draft == "tiny":
+        return ARCHS["tiny"]
+    if args.spec_draft == "pico":
+        return MoonshineArchConfig(
+            name="pico", hidden_size=96, intermediate_size=384,
+            encoder_layers=2, decoder_layers=2, encoder_heads=4,
+            decoder_heads=4, encoder_kv_heads=4, decoder_kv_heads=4,
+        )
+    return MoonshineArchConfig(
+        name="nano", hidden_size=144, intermediate_size=576,
+        encoder_layers=3, decoder_layers=3, encoder_heads=4,
+        decoder_heads=4, encoder_kv_heads=4, decoder_kv_heads=4,
+    )
+
+
+def _offline_training_windows(duration: float, n_examples: int = 12):
+    """``n_examples`` distinct real-speech windows of ``duration`` seconds
+    spread across the two_cities clip, plus per-window label token lists
+    that fill the per-utterance token budget."""
+    import numpy as np
+
+    tiled, base_len = _load_bench_audio()
+    n = int(16000 * duration)
+    windows = np.stack([
+        tiled[k * base_len // n_examples:][:n] for k in range(n_examples)
+    ])
+    return windows, base_len
+
+
+def _offline_training_batch(cfg, duration: float, n_examples: int = 12):
+    """Teacher-forced batch for the offline trained-pair protocol."""
+    import numpy as np
+
+    from moonshine_tpu.core.tokenizer import BinTokenizer
+    from moonshine_tpu.train import step as ts
+
+    tok = BinTokenizer.from_file(_TOKENIZER_BIN)
+    windows, _ = _offline_training_windows(duration, n_examples)
+    budget = max(int(duration * cfg.max_tokens_per_second) - 2, 4)
+    words = _TALE_TEXT.split()
+    labels = []
+    for k in range(n_examples):
+        start = (k * 9) % len(words)
+        text, toks = "", []
+        for j in range(len(words)):
+            cand = (text + " " + words[(start + j) % len(words)]).strip()
+            cand_toks = tok.text_to_tokens(cand)
+            if len(cand_toks) > budget:
+                break
+            text, toks = cand, cand_toks
+        labels.append(list(toks))
+
+    s_max = max(len(t) for t in labels) + 1
+    B = n_examples
+    batch = ts.Batch(
+        audio=jnp.asarray(windows, jnp.float32),
+        audio_lengths=jnp.full((B,), windows.shape[1], jnp.int32),
+        tokens_in=jnp.asarray(np.stack([
+            np.pad([cfg.decoder_start_token_id] + t, (0, s_max - len(t) - 1))
+            for t in labels
+        ]), jnp.int32),
+        tokens_out=jnp.asarray(np.stack([
+            np.pad(t + [cfg.eos_token_id], (0, s_max - len(t) - 1))
+            for t in labels
+        ]), jnp.int32),
+        token_mask=jnp.asarray(np.stack([
+            np.arange(s_max) <= len(t) for t in labels
+        ])),
+    )
+    return batch
+
+
+def _train_offline_model(cfg, batch, steps: int, seed: int):
+    """Overfit one offline Moonshine model on the bench windows."""
+    import optax
+
+    from moonshine_tpu.train import step as ts
+
+    opt = optax.adam(2e-3)
+    state = ts.init_train_state(cfg, opt, jax.random.PRNGKey(seed))
+    train_step = ts.make_train_step(cfg, opt)
+    t0 = time.perf_counter()
+    loss = float("inf")
+    for i in range(steps):
+        state, metrics = train_step(state, batch)
+        if (i + 1) % 25 == 0:
+            loss = float(metrics["loss"])
+            if loss < 0.02:
+                break
+    return state.params, float(metrics["loss"]), i + 1, time.perf_counter() - t0
 
 
 def _train_streaming_weights(cfg, audio, steps=600, clip_seconds=2.56,
@@ -365,7 +611,8 @@ class _ServiceHarness:
     phase's in-distribution + held-out passes) without accumulating HBM.
     """
 
-    def __init__(self, args):
+    def __init__(self, args, streams=None, cohorts=None, seg_seconds=None,
+                 mem_bucket=None):
         from moonshine_tpu.core.config import STREAMING_ARCHS
         from moonshine_tpu.models import streaming as ms
 
@@ -373,13 +620,18 @@ class _ServiceHarness:
         self.cfg = STREAMING_ARCHS[args.streaming_arch]
         self.dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
         self.params = ms.init_params(self.cfg, jax.random.PRNGKey(0))
-        self.S = args.streams
-        self.K = args.cohorts
-        self.seg_seconds = 15.0
+        self.S = streams if streams is not None else args.streams
+        self.K = cohorts if cohorts is not None else args.cohorts
+        self.seg_seconds = seg_seconds if seg_seconds is not None else 15.0
         self.update_frames = 128  # 0.64 s — one ENC_STEP per pass
         self.step = self.update_frames * self.cfg.frame_len
-        # Segment cap 15 s = 3000 memory frames; bucket with ENC_STEP slack.
-        self.mem_bucket = 3072 + 128
+        if mem_bucket is not None:
+            self.mem_bucket = mem_bucket
+        else:
+            # Segment cap -> memory frames (200 frames/s of audio through
+            # the 8x frontend), 128-rounded with ENC_STEP slack.
+            frames = int(self.seg_seconds * 16000 / self.cfg.frame_len)
+            self.mem_bucket = (frames + 127) // 128 * 128 + 128
         self.draft_cap = 128  # >= 6.5 tok/s * 15 s
         self.tiled, self.base_len = _load_bench_audio()
         self.vad = None
@@ -406,11 +658,28 @@ class _ServiceHarness:
         return dict(p, decoder=new_dec)
 
     def measure(self, p, source=None, track_acceptance=False,
-                governor=None) -> dict:
+                governor=None, diar=False) -> dict:
         import numpy as np
 
         from moonshine_tpu.serving import (ShardedStreamingService,
                                            StreamingService)
+
+        diar_ms: list[float] = []
+        if diar:
+            # Speaker-embedding + segmentation batched ALONGSIDE the ASR
+            # service on the same chip (BASELINE config 5; reference:
+            # core/speaker-diarizer.h:36-51): every other update period
+            # each stream's last 10 s window (pipeline/diarization.py
+            # WINDOW_SECONDS) goes through segmentation activations and
+            # the speaker embedder as ONE batched call — a ~1.28 s
+            # per-stream cadence vs the reference's 1.0 s analyze cadence.
+            from moonshine_tpu.models import diarization as dm
+
+            seg_params = dm.init_segmentation_params(jax.random.PRNGKey(3))
+            emb_params = dm.init_embedding_params(jax.random.PRNGKey(4))
+            seg_fn = jax.jit(dm.segmentation_activations)
+            emb_fn = jax.jit(dm.embedding_forward)
+            diar_w = int(10.0 * 16000)
 
         args, cfg, S, K = self.args, self.cfg, self.S, self.K
         step, seg_seconds = self.step, self.seg_seconds
@@ -458,12 +727,29 @@ class _ServiceHarness:
             else:
                 svc.update()
 
+        def diar_tick(lo: int, hi: int) -> float:
+            """One batched segmentation+embedding pass over streams
+            [lo, hi)'s last 10 s; returns its wall ms."""
+            t0 = time.perf_counter()
+            chunk = np.zeros((hi - lo, diar_w), np.float32)
+            for j, i in enumerate(range(lo, hi)):
+                c0 = max(cursors[i] - diar_w, 0)
+                seg = tiled[c0:cursors[i]]
+                chunk[j, diar_w - len(seg):] = seg
+            acts = seg_fn(seg_params, jnp.asarray(chunk))
+            embs = emb_fn(emb_params, jnp.asarray(chunk))
+            np.asarray(embs[:1]); np.asarray(acts[:1, :1])
+            return (time.perf_counter() - t0) * 1000.0
+
+        if diar:
+            diar_tick(0, S // K)  # compile outside the timed loop
+
         update_ms: list[float] = []
         final_ms: list[float] = []
         n_finals = 0
         acc_num = acc_den = 0
         t_bench0 = time.perf_counter()
-        for _ in range(args.updates):
+        for u in range(args.updates):
             # One full update period: feed + tick each cohort in turn (the
             # K=1 path is the same loop with a single all-streams cohort).
             for c in range(K):
@@ -500,6 +786,8 @@ class _ServiceHarness:
                         acc_num += k_pref
                         acc_den += len(old)
                 update_ms.append(dt)
+                if diar and (u + c) % 2 == 0:
+                    diar_ms.append(diar_tick(c * S // K, (c + 1) * S // K))
                 finals = [e for e in events if e.is_final]
                 if finals:
                     final_ms.append(dt)
@@ -519,6 +807,9 @@ class _ServiceHarness:
         }
         if track_acceptance:
             out["acceptance"] = acc_num / max(acc_den, 1)
+        if diar:
+            out["diar_p50_added_ms"] = float(np.percentile(diar_ms, 50))
+            out["diar_calls"] = len(diar_ms)
         if governor is not None:
             out["backoff"] = governor.backoff
         # Drop the service's device state before returning (a second
@@ -530,6 +821,25 @@ class _ServiceHarness:
 
 def streaming_phase(args, phase: str) -> dict:
     """Run ONE streaming-service measurement in this process."""
+    if phase == "latency":
+        # Latency-floor configuration (reference headline metric:
+        # single-stream post-phrase latency on two_cities,
+        # README.md:192-199, methodology core/benchmark.cpp:94-105):
+        # ONE stream, 5 s segments, the TRAINED weights of the
+        # train-weights phase (so speculative verify mostly accepts —
+        # the reference's speculative-on default), p50 wall of the
+        # updates that deliver a final.
+        from moonshine_tpu.train.checkpoint import import_safetensors
+
+        largs = argparse.Namespace(**vars(args))
+        largs.updates = max(args.updates, 200)  # S=1 ticks are cheap;
+        # ~25 finals at 5 s segments make the percentile meaningful
+        h = _ServiceHarness(largs, streams=1, cohorts=1, seg_seconds=5.0)
+        t_params = import_safetensors(_TRAINED_WEIGHTS, h.params)
+        return h.measure(t_params, track_acceptance=True)
+    if phase == "diar":
+        h = _ServiceHarness(args)
+        return h.measure(h.stable_params(), diar=True)
     h = _ServiceHarness(args)
     if phase == "steady":
         return h.measure(h.stable_params())
@@ -574,16 +884,43 @@ def streaming_phase(args, phase: str) -> dict:
     raise ValueError(phase)
 
 
-_PHASE_TIMEOUT_S = {"offline": 1800, "steady": 1800, "churn": 1800,
-                    "governed": 1800, "train-weights": 3600,
-                    "trained": 1800}
+def spec_train_phase(args) -> dict:
+    """Overfit the draft/verify pair for the trained-pair speculative
+    phase (the bench's train-weights protocol at offline dims); weights
+    round-trip through disk so the measuring phase starts on an empty
+    chip."""
+    from moonshine_tpu.core.config import ARCHS
+    from moonshine_tpu.train.checkpoint import export_safetensors
+
+    vcfg = ARCHS[args.arch]
+    dcfg = _spec_draft_cfg(args)
+    batch = _offline_training_batch(vcfg, args.duration)
+    vparams, vloss, vsteps, vwall = _train_offline_model(
+        vcfg, batch, args.spec_steps, seed=0)
+    export_safetensors(_SPEC_VERIFY_WEIGHTS, vparams)
+    del vparams
+    # The draft gets extra steps: it must MATCH the verifier's argmax
+    # stream, and the smaller model converges slower per step.
+    dparams, dloss, dsteps, dwall = _train_offline_model(
+        dcfg, batch, args.spec_steps * 2, seed=1)
+    export_safetensors(_SPEC_DRAFT_WEIGHTS, dparams)
+    return {"verify_loss": round(vloss, 4), "verify_steps": vsteps,
+            "draft_loss": round(dloss, 4), "draft_steps": dsteps,
+            "train_s": round(vwall + dwall, 1)}
+
+
+_PHASE_TIMEOUT_S = {"offline": 1800, "offline-beam": 1800, "steady": 1800,
+                    "churn": 1800, "governed": 1800, "diar": 1800,
+                    "train-weights": 3600, "trained": 1800,
+                    "latency": 1800, "spec-train": 3600, "spec": 2400}
 
 
 def _phase_argv(args, phase: str) -> list[str]:
     argv = [sys.executable, os.path.abspath(__file__), "--phase", phase]
     for k in ("arch", "batch", "duration", "iters", "dtype",
               "streaming-arch", "streams", "cohorts", "updates", "decode",
-              "beam-size"):
+              "beam-size", "beam-batch", "spec-gamma", "spec-draft",
+              "spec-steps"):
         argv += [f"--{k}", str(getattr(args, k.replace("-", "_")))]
     for flag in ("vad", "w8a8", "kv-int8"):
         on = getattr(args, flag.replace("-", "_"))
@@ -655,6 +992,32 @@ def assemble_streaming(args, phases: dict) -> dict:
         out["churn_governed_agg"] = round(governed["agg"], 2)
         out["churn_governed_p50_update_ms"] = round(governed["p50"], 1)
         out["churn_governed_backoff"] = governed["backoff"]
+    diar = phases.get("diar")
+    if diar:
+        # BASELINE config 5: speaker segmentation+embedding batched
+        # alongside the live ASR service on the same chip — aggregate
+        # throughput with the diar work interleaved, its p50 added wall
+        # per batched pass, and the ASR p50 delta vs the diar-free
+        # steady phase.
+        out["diar_alongside_agg"] = round(diar["agg"], 2)
+        out["diar_alongside_p50_update_ms"] = round(diar["p50"], 1)
+        out["diar_added_p50_ms"] = round(diar["diar_p50_added_ms"], 1)
+        out["diar_p50_delta_ms"] = round(diar["p50"] - steady["p50"], 1)
+    latency = phases.get("latency")
+    if latency:
+        # Latency-floor configuration (S=1, 5 s segments, trained
+        # weights): the reference's headline single-stream post-phrase
+        # latency row is 74 ms Medium Streaming on MacBook Pro /
+        # 269 ms Linux x86 (README.md:192-199).
+        out["latency_floor_p50_ms"] = round(latency["p50_final"], 1)
+        out["latency_floor_p50_update_ms"] = round(latency["p50"], 1)
+        out["latency_floor_n_finals"] = latency["n_finals"]
+        out["latency_floor_acceptance"] = round(
+            latency.get("acceptance", 0.0), 4)
+        out["latency_floor_vs_macbook"] = round(
+            ref["macbook"] / latency["p50_final"], 2)
+        out["latency_floor_vs_linux_x86"] = round(
+            ref["linux_x86"] / latency["p50_final"], 2)
     trained = phases.get("trained")
     if trained:
         out.update({
@@ -689,7 +1052,7 @@ def run_both(args) -> dict:
 
     phases: dict = {}
     phase_errors: list[str] = []
-    for name in ("steady", "churn", "governed"):
+    for name in ("offline-beam", "steady", "churn", "governed", "diar"):
         try:
             phases[name] = _run_phase(args, name)
         except Exception as e:
@@ -702,6 +1065,20 @@ def run_both(args) -> dict:
                                  **train_stats}
         except Exception as e:
             phase_errors.append(f"trained: {e!r}")
+        if "trained" in phases:
+            # latency floor reuses the trained streaming weights
+            try:
+                phases["latency"] = _run_phase(args, "latency")
+            except Exception as e:
+                phase_errors.append(f"latency: {e!r}")
+    if args.spec:
+        # trained-pair speculative offline headline (BASELINE config 4):
+        # train in one process, measure in another (HBM hand-off on disk)
+        try:
+            spec_stats = _run_phase(args, "spec-train")
+            phases["spec"] = {**_run_phase(args, "spec"), **spec_stats}
+        except Exception as e:
+            phase_errors.append(f"spec: {e!r}")
 
     if "steady" in phases:
         out = assemble_streaming(args, phases)
@@ -720,6 +1097,30 @@ def run_both(args) -> dict:
                "vs_baseline": 0.0}
         if err:
             phase_errors.insert(0, err)
+    beam = phases.get("offline-beam")
+    if beam:
+        # BASELINE config 2: batched beam decode as a driver artifact.
+        out["offline_beam_metric"] = beam["metric"]
+        out["offline_beam_value"] = beam["value"]
+        out["offline_beam_vs_sol"] = beam["vs_sol"]
+    spec = phases.get("spec")
+    if spec:
+        # BASELINE config 4: trained-pair speculative decoding — the
+        # sanctioned multiplier past the greedy decode bandwidth
+        # roofline.  Acceptance is MEASURED from the trained pair.
+        out["spec_metric"] = spec["metric"]
+        out["spec_value"] = spec["value"]
+        out["spec_vs_sol"] = spec["vs_sol"]
+        out["spec_acceptance"] = spec["acceptance"]
+        out["spec_speedup_vs_greedy_x"] = spec["speedup_vs_greedy_x"]
+        out["spec_greedy_trained_value"] = spec["greedy_trained_value"]
+        out["spec_token_match_vs_greedy"] = spec["token_match_vs_greedy"]
+        out["spec_mean_tokens"] = spec["mean_tokens"]
+        out["spec_heldout_value"] = spec["heldout_value"]
+        out["spec_heldout_acceptance"] = spec["heldout_acceptance"]
+        out["spec_draft_loss"] = spec["draft_loss"]
+        out["spec_verify_loss"] = spec["verify_loss"]
+        out["spec_train_s"] = spec["train_s"]
     if phase_errors:
         out["streaming_error"] = "; ".join(phase_errors)
     return out
@@ -730,8 +1131,9 @@ def main() -> None:
     p.add_argument("--mode", default="both",
                    choices=["both", "offline", "streaming", "spec"])
     p.add_argument("--phase", default=None,
-                   choices=["offline", "steady", "churn", "governed",
-                            "train-weights", "trained"],
+                   choices=["offline", "offline-beam", "steady", "churn",
+                            "governed", "diar", "train-weights", "trained",
+                            "latency", "spec-train", "spec"],
                    help="internal: run ONE measurement phase in this "
                    "process and print its raw JSON (used by --mode both's "
                    "subprocess isolation)")
@@ -772,6 +1174,24 @@ def main() -> None:
                    help="offline decode mode (BASELINE config 2 asks for "
                    "batched beam; beam pays ~beam_size x decode cost)")
     p.add_argument("--beam-size", type=int, default=4)
+    p.add_argument("--beam-batch", type=int, default=128,
+                   help="batch for the offline-beam phase (effective "
+                   "decode batch = beam_batch * beam_size)")
+    p.add_argument("--spec", default=True,
+                   action=argparse.BooleanOptionalAction,
+                   help="also train a draft/verify pair on the bench "
+                   "audio and measure trained-pair batched speculative "
+                   "decoding (BASELINE config 4) as a driver phase")
+    p.add_argument("--spec-gamma", type=int, default=8,
+                   help="draft proposals per speculative round")
+    p.add_argument("--spec-draft", default="nano",
+                   choices=["tiny", "nano", "pico"],
+                   help="draft arch for the trained pair: the published "
+                   "tiny, a half-tiny nano, or a 2-layer pico draft "
+                   "(cheaper proposals)")
+    p.add_argument("--spec-steps", type=int, default=900,
+                   help="max overfit steps for the spec verify model "
+                   "(draft gets 2x)")
     p.add_argument("--vad", default=False, action=argparse.BooleanOptionalAction,
                    help="real-weight TinyVadCNN segmentation inside the "
                    "streaming service (live VAD, BASELINE config 3)")
@@ -790,6 +1210,14 @@ def main() -> None:
     if args.phase:
         if args.phase == "offline":
             print(json.dumps(offline_bench(args)))
+        elif args.phase == "offline-beam":
+            bargs = argparse.Namespace(**vars(args))
+            bargs.decode, bargs.batch = "beam", args.beam_batch
+            print(json.dumps(offline_bench(bargs)))
+        elif args.phase == "spec-train":
+            print(json.dumps(spec_train_phase(args)))
+        elif args.phase == "spec":
+            print(json.dumps(spec_trained_bench(args)))
         else:
             print(json.dumps(streaming_phase(args, args.phase)))
         return

@@ -169,9 +169,9 @@ def speculative_decode(
 # =========================================================================
 #
 # Lanes accept different prefix lengths each round, so cache cursors
-# diverge per lane: ``cur_len`` becomes a vector and K/V writes become
-# vmapped per-lane dynamic_update_slice (the same mechanism the batched
-# streaming service uses, models/streaming_batch.py).  Rounds run in
+# diverge per lane: ``cur_len`` becomes a vector and K/V writes land at
+# per-lane offsets via a one-hot matmul scatter (see _decoder_apply_vec).
+# Rounds run in
 # lockstep across lanes; finished lanes are masked (their cursors stop
 # advancing, which voids any writes beyond them).  Acceptance is greedy,
 # so per-lane output is bit-identical to the verifier's own greedy decode
@@ -193,18 +193,26 @@ def _decoder_apply_vec(
     cur_len: jnp.ndarray,  # [B] per-lane cache cursors
     k_self: jnp.ndarray,  # [L, B, H, hd, cap] — dim-major (see DecoderCache)
     v_self: jnp.ndarray,
-    k_cross: jnp.ndarray,  # [L, B, H, hd, T] — dim-major
+    k_cross: jnp.ndarray,  # [L, B, H, hd, T] — dim-major (int8 if scales set)
     v_cross: jnp.ndarray,
     memory_mask: jnp.ndarray,  # [B, T]
+    k_cross_scale: jnp.ndarray | None = None,  # [L, B, H, T] f32
+    v_cross_scale: jnp.ndarray | None = None,
 ):
     """moonshine.decoder_apply with a per-lane cache cursor vector.
 
     Same layer math (rotary causal self-attn over the cache, rope-free
     cross-attn, SwiGLU MLP, tied unembedding); K/V writes land at each
-    lane's own offset via vmapped dynamic_update_slice.
+    lane's own offset via a one-hot matmul scatter: a vmapped
+    ``dynamic_update_slice`` with per-lane offsets lowers to an XLA
+    scatter that measured ~200x slower than the production decode step
+    on TPU (1.7 s for one 9-token Base pass at B=512 vs 8.5 ms), while
+    ``einsum`` against a [B, s, cap] position one-hot plus a masked
+    select is three streaming passes over the (tiny) self cache.
     """
     from ..models.layers import ACTIVATIONS, dense, layer_norm
     from ..models.moonshine import _attention_dm, _split_heads
+    from ..ops.int8_kv import attention_dm_q8
     from ..ops.rotary import apply_rotary, rotary_tables
 
     b, s = tokens.shape
@@ -219,10 +227,26 @@ def _decoder_apply_vec(
     key_pos = jnp.arange(cap)
     self_mask = key_pos[None, None, None, :] <= positions[:, None, :, None]  # [B,1,s,cap]
     cross_mask = memory_mask[:, None, None, :]
+    # [B, s, cap] one-hot of each new token's cache slot; writes past the
+    # cap vanish (finished lanes' frozen cursors stay harmless).
+    write_oh = (key_pos[None, None, :] == positions[:, :, None])
+    written = jnp.any(write_oh, axis=1)[:, None, None, :]  # [B,1,1,cap]
+
+    def scatter_write(buf, val):  # buf [B,H,hd,cap], val [B,s,H,hd]
+        scat = jnp.einsum(
+            "bshd,bsc->bhdc", val.astype(buf.dtype),
+            write_oh.astype(buf.dtype),
+        )
+        return jnp.where(written, scat, buf)
+
+    int8_cross = k_cross_scale is not None
 
     def body(carry, xs):
         h = carry
-        lp, k_l, v_l, kc_l, vc_l = xs  # k_l [B, H, hd, cap]
+        if int8_cross:
+            lp, k_l, v_l, kc_l, vc_l, kc_s, vc_s = xs
+        else:
+            lp, k_l, v_l, kc_l, vc_l = xs  # k_l [B, H, hd, cap]
         x = layer_norm(lp["ln1"], h, eps)
         a = lp["self_attn"]
         q = _split_heads(dense(a["q"], x), cfg.decoder_heads)
@@ -230,19 +254,19 @@ def _decoder_apply_vec(
         v_new = _split_heads(dense(a["v"], x), cfg.decoder_kv_heads)
         q = jax.vmap(apply_rotary)(q, cos, sin)
         k_new = jax.vmap(apply_rotary)(k_new, cos, sin)
-        upd = jax.vmap(
-            lambda buf, val, off: jax.lax.dynamic_update_slice(
-                buf, val.astype(buf.dtype), (0, 0, off)
-            )
-        )  # buf [H, hd, cap], val [H, hd, s]
-        k_l = upd(k_l, k_new.transpose(0, 2, 3, 1), cur_len)
-        v_l = upd(v_l, v_new.transpose(0, 2, 3, 1), cur_len)
+        k_l = scatter_write(k_l, k_new)
+        v_l = scatter_write(v_l, v_new)
         o = _attention_dm(q, k_l.astype(q.dtype), v_l.astype(q.dtype), self_mask)
         h = h + dense(a["o"], o.reshape(b, s, -1))
         x = layer_norm(lp["ln2"], h, eps)
         c = lp["cross_attn"]
         qc = _split_heads(dense(c["q"], x), cfg.decoder_heads)
-        oc = _attention_dm(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
+        if int8_cross:
+            # int8 cross caches with in-einsum dequant (ops/int8_kv.py) —
+            # the cross-KV stream is the decode-side bandwidth roofline.
+            oc = attention_dm_q8(qc, kc_l, kc_s, vc_l, vc_s, cross_mask)
+        else:
+            oc = _attention_dm(qc, kc_l.astype(qc.dtype), vc_l.astype(qc.dtype), cross_mask)
         h = h + dense(c["o"], oc.reshape(b, s, -1))
         x = layer_norm(lp["ln3"], h, eps)
         up = dense(lp["mlp"]["fc1"], x)
@@ -250,7 +274,16 @@ def _decoder_apply_vec(
         h = h + dense(lp["mlp"]["fc2"], ACTIVATIONS[cfg.decoder_hidden_act](gate) * hh)
         return h, (k_l, v_l)
 
-    h, (k_out, v_out) = jax.lax.scan(body, h, (dec["layers"], k_self, v_self, k_cross, v_cross))
+    xs = (dec["layers"], k_self, v_self, k_cross, v_cross)
+    if int8_cross:
+        xs = xs + (k_cross_scale, v_cross_scale)
+    # Full unroll: the layer count is small and static; straight-line
+    # code lets XLA fold the per-layer xs slicing / output stacking and
+    # alias the cache updates instead of copying the carry every
+    # iteration (measured: the draft step cost is dominated by exactly
+    # these small ops at B=512).
+    h, (k_out, v_out) = jax.lax.scan(
+        body, h, xs, unroll=cfg.decoder_layers)
     h = layer_norm(dec["norm"], h, eps)
     logits = jnp.dot(h, embed.T.astype(h.dtype), preferred_element_type=jnp.float32)
     return logits, k_out, v_out
@@ -258,7 +291,8 @@ def _decoder_apply_vec(
 
 @partial(
     jax.jit,
-    static_argnames=("draft_cfg", "verify_cfg", "gamma", "max_tokens"),
+    static_argnames=("draft_cfg", "verify_cfg", "gamma", "max_tokens",
+                     "kv_int8"),
 )
 def speculative_decode_batched(
     draft_params: dict,
@@ -272,6 +306,7 @@ def speculative_decode_batched(
     gamma: int = 4,
     max_tokens: int = 64,
     token_caps: jnp.ndarray | None = None,  # [B] optional per-lane caps
+    kv_int8: bool = False,  # int8 cross caches, fused dequant (ops/int8_kv)
 ) -> BatchSpecResult:
     """Batched tiny-draft / large-verify greedy speculative decoding."""
     assert draft_cfg.eos_token_id == verify_cfg.eos_token_id
@@ -289,6 +324,14 @@ def speculative_decode_batched(
 
     dk, dv = mm.compute_cross_kv(ddec, draft_cfg, draft_memory)
     vk, vv = mm.compute_cross_kv(vdec, verify_cfg, verify_memory)
+    dk_s = dv_s = vk_s = vv_s = None
+    if kv_int8:
+        from ..ops.int8_kv import quantize_kv
+
+        dk, dk_s = quantize_kv(dk)
+        dv, dv_s = quantize_kv(dv)
+        vk, vk_s = quantize_kv(vk)
+        vv, vv_s = quantize_kv(vv)
     mkd = lambda c, n: jnp.zeros(
         (c.decoder_layers, B, c.decoder_kv_heads, c.head_dim, n), draft_memory.dtype
     )
@@ -325,30 +368,31 @@ def speculative_decode_batched(
         last = get_last(c.tokens, c.count)
 
         # ---- draft proposes gamma tokens per lane ---------------------
-        def draft_step(i, st):
-            dks, dvs, proposals, nxt = st
+        # Statically unrolled (gamma is small): a fori_loop here pays a
+        # full carry copy of the draft caches per proposal step.
+        dks, dvs, nxt = c.dks, c.dvs, last
+        prop_list = []
+        for i in range(gamma):
             lg, dks, dvs = _decoder_apply_vec(
-                ddec, draft_cfg, nxt[:, None], c.count + i, dks, dvs, dk, dv, draft_mask
+                ddec, draft_cfg, nxt[:, None], c.count + i, dks, dvs, dk, dv,
+                draft_mask, dk_s, dv_s,
             )
-            pred = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
-            proposals = jnp.where(
-                (jnp.arange(gamma)[None, :] == i), pred[:, None], proposals
-            )
-            return (dks, dvs, proposals, pred)
-
-        dks, dvs, proposals, last_pred = jax.lax.fori_loop(
-            0, gamma, draft_step, (c.dks, c.dvs, jnp.zeros((B, gamma), jnp.int32), last)
-        )
+            nxt = jnp.argmax(lg[:, -1], axis=-1).astype(jnp.int32)
+            prop_list.append(nxt)
+        proposals = jnp.stack(prop_list, axis=1)  # [B, gamma]
+        last_pred = nxt
         # Consume the final proposal so the draft cache covers position
         # count+gamma (needed when all proposals + correction are accepted).
         _, dks, dvs = _decoder_apply_vec(
-            ddec, draft_cfg, last_pred[:, None], c.count + gamma, dks, dvs, dk, dv, draft_mask
+            ddec, draft_cfg, last_pred[:, None], c.count + gamma, dks, dvs,
+            dk, dv, draft_mask, dk_s, dv_s,
         )
 
         # ---- verifier scores [last, p0..p_{g-1}] per lane in one pass --
         seq = jnp.concatenate([last[:, None], proposals], axis=1)  # [B, g+1]
         lg, vks, vvs = _decoder_apply_vec(
-            vdec, verify_cfg, seq, c.count, c.vks, c.vvs, vk, vv, verify_mask
+            vdec, verify_cfg, seq, c.count, c.vks, c.vvs, vk, vv, verify_mask,
+            vk_s, vv_s,
         )
         preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)  # [B, g+1]
         agree = preds[:, :gamma] == proposals

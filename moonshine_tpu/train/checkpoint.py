@@ -46,7 +46,13 @@ def export_safetensors(path: str | Path, params: Any) -> None:
             str(k.key) if hasattr(k, "key") else str(getattr(k, "name", k))
             for k in key_path
         )
-        flat[name] = np.asarray(leaf)
+        # np.asarray on a device array can be a zero-copy view with the
+        # accelerator's TRANSPOSED layout (non-C-contiguous strides);
+        # safetensors then serializes the raw buffer bytes as if C-order
+        # and silently permutes values.  Force C-order.  (Found on the
+        # TPU backend: 5/35 Base leaves — embed, fc2, convs — came back
+        # F-strided and round-tripped corrupted.)
+        flat[name] = np.ascontiguousarray(np.asarray(leaf))
     save_file(flat, str(path))
 
 

@@ -28,6 +28,11 @@ class _Args:
     updates = 40
     decode = "greedy"
     beam_size = 4
+    beam_batch = 128
+    spec = True
+    spec_gamma = 8
+    spec_draft = "nano"
+    spec_steps = 900
     vad = False
     w8a8 = False
     kv_int8 = True
@@ -52,16 +57,27 @@ def test_assemble_streaming_full_key_set():
             heldout_p95=130.0, heldout_p50_final=110.0,
             heldout_n_final_updates=10, heldout_n_finals=12,
             heldout_acceptance=0.76, heldout_backoff=5),
+        "diar": _phase(agg=95.0, p50=190.0, diar_p50_added_ms=12.0,
+                       diar_calls=40),
+        "latency": _phase(agg=1.5, p50=40.0, p50_final=55.0,
+                          acceptance=0.8),
     }
     out = bench.assemble_streaming(_Args(), phases)
     # the keys the round-3 verdict demanded from the driver artifact
     for key in ("value", "vs_baseline", "p50_update_ms",
                 "churn_floor_agg", "churn_governed_agg",
                 "churn_governed_backoff", "trained_acceptance",
-                "trained_heldout_acceptance", "trained_heldout_backoff"):
+                "trained_heldout_acceptance", "trained_heldout_backoff",
+                # round-4 verdict items 2 and 5: latency floor + diar
+                "latency_floor_p50_ms", "latency_floor_vs_macbook",
+                "diar_alongside_agg", "diar_added_p50_ms",
+                "diar_p50_delta_ms"):
         assert key in out, key
     assert out["value"] == 100.0
     assert out["vs_baseline"] == round(269.0 / 180.0, 4)
+    assert out["latency_floor_p50_ms"] == 55.0
+    assert out["latency_floor_vs_macbook"] == round(74.0 / 55.0, 2)
+    assert out["diar_p50_delta_ms"] == 10.0
     assert "streaming_error" not in out
 
 

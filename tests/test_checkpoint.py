@@ -30,6 +30,29 @@ def test_safetensors_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_safetensors_noncontiguous_leaves(tmp_path):
+    """Regression: on the TPU backend ``np.asarray(device_array)`` can be
+    a zero-copy view with the accelerator's transposed layout
+    (F-strided); safetensors then serialized the raw buffer as if
+    C-order and silently permuted 5/35 Base leaves (found round 5 —
+    reloaded overfit loss 0.02 -> 10.6).  export_safetensors must
+    force C-order for ANY stride pattern."""
+    rng = np.random.RandomState(0)
+    params = {
+        "f_order": np.asfortranarray(rng.randn(33, 17).astype(np.float32)),
+        "transposed": rng.randn(5, 65, 9).astype(np.float32).transpose(2, 1, 0),
+        "sliced": rng.randn(40, 40).astype(np.float32)[::2, ::2],
+        "c_order": rng.randn(8, 8).astype(np.float32),
+    }
+    assert not params["f_order"].flags["C_CONTIGUOUS"]
+    path = tmp_path / "nc.safetensors"
+    export_safetensors(path, params)
+    zeros = jax.tree.map(lambda x: np.zeros_like(x), params)
+    restored = import_safetensors(path, zeros)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(restored[k]), params[k]), k
+
+
 def test_safetensors_shape_mismatch(tmp_path):
     params = mm.init_params(CFG, jax.random.PRNGKey(0))
     path = tmp_path / "m.safetensors"

@@ -105,6 +105,29 @@ def test_batched_matches_per_lane_greedy(gamma):
     np.testing.assert_array_equal(np.asarray(s.lengths), np.asarray(g.lengths))
 
 
+def test_batched_int8_cross_kv_close_to_float():
+    """kv_int8=True (int8 cross caches, fused dequant) decodes the same
+    sequences as the float path for a well-separated self-draft pair —
+    the bench's trained-pair phase runs this configuration."""
+    from moonshine_tpu.decoding.speculative import speculative_decode_batched
+
+    vparams = mm.init_params(VERIFY_CFG, jax.random.PRNGKey(0))
+    dparams = mm.init_params(DRAFT_CFG, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.1)
+    v_mem, v_mask = mm.encode(vparams, VERIFY_CFG, audio)
+    d_mem, d_mask = mm.encode(dparams, DRAFT_CFG, audio)
+    s8 = speculative_decode_batched(
+        dparams, DRAFT_CFG, vparams, VERIFY_CFG,
+        d_mem, d_mask, v_mem, v_mask, gamma=4, max_tokens=16, kv_int8=True,
+    )
+    # int8 greedy is the reference's quantized-decode arithmetic; its
+    # output must match the verifier's own int8-cache greedy decode.
+    g8 = greedy_decode(vparams, VERIFY_CFG, v_mem, v_mask, max_tokens=16,
+                       kv_int8=True)
+    np.testing.assert_array_equal(np.asarray(s8.tokens), np.asarray(g8.tokens))
+
+
 def test_batched_self_draft_accepts_everything():
     """Draft == verifier at B=2: near-perfect acceptance, few rounds."""
     from moonshine_tpu.decoding.speculative import speculative_decode_batched
