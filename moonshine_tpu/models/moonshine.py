@@ -185,21 +185,29 @@ def frontend_apply(
     n_frames1 = (audio.shape[-1] - k1) // s1 + 1
     w1 = p["conv1"]["w"]  # [k1, 1, D]
     if k1 <= 2 * s1:
+        # Space-to-channel: stride-s1 sample blocks become s1 input
+        # channels, so stage 1 is a k=2 conv over the block axis — XLA's
+        # implicit-im2col conv path, no materialized [B, T1, 2*s1]
+        # window tensor (round-5 measurement: 9.4 -> 6.5 ms at B=512,
+        # maxdiff 0.0 vs the round-2 pairs-GEMM; docs/PERF.md).
         pad = (-audio.shape[-1]) % s1 + s1  # to a block multiple, +1 block
         a = jnp.pad(audio.astype(w1.dtype), ((0, 0), (0, pad)))
-        blocks = a.reshape(a.shape[0], -1, s1)
-        pairs = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=-1)
-        windows = pairs[:, :n_frames1]  # [B, T1, 2*s1]
+        blocks = a.reshape(a.shape[0], -1, s1)  # [B, nb, s1]
         w1_full = jnp.concatenate(
             [w1[:, 0, :], jnp.zeros((2 * s1 - k1, w1.shape[-1]), w1.dtype)], axis=0
         )
+        y = jax.lax.conv_general_dilated(
+            blocks, w1_full.reshape(2, s1, -1), window_strides=(1,),
+            padding="VALID", dimension_numbers=("NWC", "WIO", "NWC"),
+        )[:, :n_frames1]
+        h = jnp.tanh(y).astype(w1.dtype)
     else:  # generic fallback for non-reference conv geometries
         idx = jnp.arange(n_frames1)[:, None] * s1 + jnp.arange(k1)[None, :]
         windows = audio.astype(w1.dtype)[:, idx]  # [B, T1, k1]
         w1_full = w1[:, 0, :]
-    h = jnp.tanh(
-        jnp.dot(windows, w1_full, preferred_element_type=jnp.float32)
-    ).astype(w1.dtype)
+        h = jnp.tanh(
+            jnp.dot(windows, w1_full, preferred_element_type=jnp.float32)
+        ).astype(w1.dtype)
     if "b" in p["conv1"]:
         h = h + p["conv1"]["b"].astype(h.dtype)
     if lengths is not None:
