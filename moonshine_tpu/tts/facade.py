@@ -250,8 +250,29 @@ class TextToSpeech:
             raise RuntimeError("Call load() before synthesize()")
         if self._voice_name.startswith("neural-pack"):
             return self._neural_synthesize(text, options, ipa=None)
+        if self._voice_name.startswith("klatt"):
+            return self._klatt_synthesize(text, options, ipa=None)
         ipa = self._g2p.text_to_ipa(text)
         return self.synthesize_from_phonemes(ipa, options)
+
+    def _klatt_synthesize(
+        self, text: str | None, options: TTSOptions | None, ipa: str | None
+    ) -> tuple[np.ndarray, int]:
+        """Code-only formant voice (tts/klatt.py — the micro stack's
+        Klatt engine; 22.05 kHz, zero trained weights)."""
+        from .klatt import KlattTTS
+
+        if getattr(self, "_klatt", None) is None:
+            self._klatt = KlattTTS()
+        opts = options or self._default_options
+        speed = float(opts.speed) if opts.speed else 1.0
+        wav = (
+            self._klatt.synthesize_ipa(ipa, speed=speed) if ipa is not None
+            else self._klatt.synthesize(text or "", speed=speed)
+        )
+        if opts.volume != 1.0:
+            wav = wav * np.float32(opts.volume)
+        return wav.astype(np.float32), 22050
 
     def _neural_synthesize(
         self, text: str | None, options: TTSOptions | None, ipa: str | None
@@ -285,6 +306,8 @@ class TextToSpeech:
             raise RuntimeError("Call load() before synthesize()")
         if self._voice_name.startswith("neural-pack"):
             return self._neural_synthesize(None, options, ipa=ipa)
+        if self._voice_name.startswith("klatt"):
+            return self._klatt_synthesize(None, options, ipa=ipa)
         opts = options or self._default_options
         ids = tts_model.ipa_to_ids(ipa.replace(" ", ""))
         phonemes = np.zeros(tts_model.MAX_PHONEMES, np.int32)
