@@ -32,6 +32,9 @@ public final class MoonshineClient {
     /** Request the final flush; events drain until STOPPED. */
     public static native int stop(int handle);
 
+    /** Enable the regularized TranscriptEvent.LINE_* stream. */
+    public static native int setLineEvents(int handle, int enabled);
+
     /** One event as "type|segment|start|end|latency|text", or null on
      *  timeout/error.  Parse with {@link TranscriptEvent#parse}. */
     public static native String pollEventText(int handle, int timeoutMs);

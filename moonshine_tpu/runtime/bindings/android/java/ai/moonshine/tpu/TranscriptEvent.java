@@ -6,6 +6,14 @@ public final class TranscriptEvent {
     public static final int FINAL = 1;
     public static final int STOPPED = 2;
     public static final int ERROR = 3;
+    // Regularized line lifecycle (MoonshineClient.setLineEvents;
+    // reference: moonshine-c-api.h:165-196).  For line events the
+    // segment field is the line id.
+    public static final int LINE_STARTED = 4;
+    public static final int LINE_UPDATED = 5;
+    public static final int LINE_TEXT_CHANGED = 6;
+    public static final int LINE_SPEAKERS_CHANGED = 7;
+    public static final int LINE_COMPLETED = 8;
 
     public final int type;
     public final int segment;
@@ -43,5 +51,9 @@ public final class TranscriptEvent {
 
     public boolean isFinal() {
         return type == FINAL;
+    }
+
+    public boolean isLineEvent() {
+        return type >= LINE_STARTED && type <= LINE_COMPLETED;
     }
 }

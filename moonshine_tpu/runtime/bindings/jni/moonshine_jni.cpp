@@ -14,6 +14,7 @@
  *   static native int    start(int handle, int sampleRate);
  *   static native int    addAudio(int handle, float[] pcm);
  *   static native int    stop(int handle);
+ *   static native int    setLineEvents(int handle, int enabled);
  *   static native String pollEventText(int handle, int timeoutMs);
  *   static native int    free(int handle);
  *   static native float[] tts(String host, int port, String text);
@@ -55,6 +56,11 @@ JNIEXPORT jint JNICALL Java_ai_moonshine_tpu_MoonshineClient_addAudio(
 JNIEXPORT jint JNICALL Java_ai_moonshine_tpu_MoonshineClient_stop(
     JNIEnv*, jclass, jint handle) {
   return mt_client_stop(handle);
+}
+
+JNIEXPORT jint JNICALL Java_ai_moonshine_tpu_MoonshineClient_setLineEvents(
+    JNIEnv*, jclass, jint handle, jint enabled) {
+  return mt_client_set_line_events(handle, enabled);
 }
 
 /* Events marshal as "type|segment|start|end|latency|text" (the Java layer

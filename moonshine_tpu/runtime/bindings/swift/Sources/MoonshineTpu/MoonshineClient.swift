@@ -6,6 +6,10 @@ import Foundation
 public struct TranscriptEvent {
     public enum Kind: Int32 {
         case partial = 0, final = 1, stopped = 2, error = 3
+        // Regularized line lifecycle (MoonshineStream.setLineEvents;
+        // reference: moonshine-c-api.h:165-196)
+        case lineStarted = 4, lineUpdated = 5, lineTextChanged = 6
+        case lineSpeakersChanged = 7, lineCompleted = 8
     }
 
     public let kind: Kind
@@ -50,6 +54,12 @@ public final class MoonshineStream {
 
     public func stop() throws {
         let rc = mt_client_stop(handle)
+        if rc != 0 { throw MoonshineError.client(rc) }
+    }
+
+    /// Switch pollEvent to the regularized line-lifecycle stream.
+    public func setLineEvents(_ enabled: Bool = true) throws {
+        let rc = mt_client_set_line_events(handle, enabled ? 1 : 0)
         if rc != 0 { throw MoonshineError.client(rc) }
     }
 

@@ -54,6 +54,13 @@ class MoonshineStream {
 
   int stop() { return mt_client_stop(handle_); }
 
+  /* Regularized line lifecycle (mt_client_set_line_events): pollEventText
+   * then yields types 4..8 (started/updated/text-changed/speakers-changed/
+   * completed; reference: moonshine-c-api.h:165-196). */
+  int setLineEvents(int enabled) {
+    return mt_client_set_line_events(handle_, enabled);
+  }
+
   /* "type|segment|start|end|latency|text", or "" on timeout. */
   std::string pollEventText(int timeout_ms) {
     mt_client_event_t ev;
@@ -132,6 +139,7 @@ EMSCRIPTEN_BINDINGS(moonshine_tpu) {
       .function("start", &MoonshineStream::start)
       .function("addAudio", &MoonshineStream::addAudio)
       .function("stop", &MoonshineStream::stop)
+      .function("setLineEvents", &MoonshineStream::setLineEvents)
       .function("pollEventText", &MoonshineStream::pollEventText)
       .function("close", &MoonshineStream::close);
   emscripten::function("tts", &wasm_tts);

@@ -70,9 +70,19 @@ static void test_json() {
   CHECK(kv["a"].num == 1.0 && kv["b"].num == 0.0);
   CHECK(!kv["c"].is_number && !kv["c"].is_string);
 
+  // Flat number arrays (the "speakers" field of line events).
+  kv.clear();
+  CHECK(parse_json_object("{\"speakers\": [1, 2, 7]}", kv));
+  CHECK(kv["speakers"].is_array && kv["speakers"].nums.size() == 3);
+  CHECK(kv["speakers"].nums[2] == 7.0);
+  kv.clear();
+  CHECK(parse_json_object("{\"speakers\": []}", kv));
+  CHECK(kv["speakers"].is_array && kv["speakers"].nums.empty());
+
   // Malformed inputs must be rejected, never crash.
   const char* bad[] = {"", "{", "{\"a\"", "{\"a\":}", "{\"a\":\"x}", "[1]",
-                       "{\"a\": {\"n\": 1}}", "{\"a\": [1,2]}", "{\"a\":1,}"};
+                       "{\"a\": {\"n\": 1}}", "{\"a\": [1,}", "{\"a\": [x]}",
+                       "{\"a\": [\"s\"]}", "{\"a\":1,}"};
   for (const char* s : bad) {
     kv.clear();
     CHECK(!parse_json_object(s, kv));

@@ -149,8 +149,10 @@ inline std::string base64(const uint8_t* data, size_t n) {
 struct JsonValue {
   bool is_string = false;
   bool is_number = false;
+  bool is_array = false;
   std::string str;
   double num = 0.0;
+  std::vector<double> nums;  // flat number arrays (e.g. "speakers")
 };
 
 inline void utf8_append(std::string& out, uint32_t cp) {
@@ -268,8 +270,30 @@ inline bool parse_json_object(const std::string& s,
       if (end == s.c_str() + i) return false;
       v.is_number = true;
       i = size_t(end - s.c_str());
+    } else if (c == '[') {
+      /* flat number arrays only (the "speakers" field) */
+      ++i;
+      v.is_array = true;
+      skip_ws();
+      if (i < s.size() && s[i] == ']') {
+        ++i;
+      } else {
+        for (;;) {
+          skip_ws();
+          char* end = nullptr;
+          double x = strtod(s.c_str() + i, &end);
+          if (end == s.c_str() + i) return false;
+          v.nums.push_back(x);
+          i = size_t(end - s.c_str());
+          skip_ws();
+          if (i >= s.size()) return false;
+          if (s[i] == ',') { ++i; continue; }
+          if (s[i] == ']') { ++i; break; }
+          return false;
+        }
+      }
     } else {
-      return false;  // nested object/array: not part of the protocol
+      return false;  // nested objects: not part of the protocol
     }
     kv[key] = std::move(v);
     skip_ws();
@@ -366,8 +390,21 @@ inline bool decode_frame(std::vector<uint8_t>& buf, uint8_t& opcode,
 // Connection.
 // ---------------------------------------------------------------------------
 
+struct LineState {
+  bool started = false;
+  bool completed = false;
+  std::string text;
+  std::vector<int32_t> speakers;
+};
+
 struct Conn {
   int fd = -1;
+  /* Regularized line-event translation (mt_client_set_line_events):
+   * per-line state + a queue of expanded events awaiting delivery. */
+  bool line_events = false;
+  std::map<int32_t, LineState> lines;
+  std::vector<mt_client_event_t> pending;  // FIFO, drained from front
+  std::mutex line_mu;
   std::vector<uint8_t> rxbuf;
   std::vector<uint8_t> msg;  // continuation-frame accumulator
   uint8_t msg_opcode = 0;
@@ -630,18 +667,13 @@ int32_t mt_client_stop(int32_t handle) {
                        strlen(msg));
 }
 
-int32_t mt_client_poll_event(int32_t handle, mt_client_event_t* out,
-                             int32_t timeout_ms) {
-  auto c = handles().get(handle);
-  if (!c) return MT_CLIENT_ERR_HANDLE;
-  if (!out) return MT_CLIENT_ERR_PROTOCOL;
-  std::string raw;
-  int rc = c->recv_message(raw, int(timeout_ms));
-  if (rc <= 0) return rc;
+static int parse_raw_event(const std::string& raw, mt_client_event_t* out) {
+  using namespace mtclient;
   std::map<std::string, JsonValue> kv;
   if (!parse_json_object(raw, kv)) return MT_CLIENT_ERR_PROTOCOL;
   memset(out, 0, sizeof(*out));
   out->segment = -1;
+  out->line_id = -1;
   const std::string& type = kv["type"].str;
   if (type == "partial")
     out->type = MT_EVENT_PARTIAL;
@@ -659,7 +691,146 @@ int32_t mt_client_poll_event(int32_t handle, mt_client_event_t* out,
   if (kv.count("start")) out->start_s = kv["start"].num;
   if (kv.count("end")) out->end_s = kv["end"].num;
   if (kv.count("latency_ms")) out->latency_ms = kv["latency_ms"].num;
+  out->line_id = out->segment;
+  if (kv.count("speakers") && kv["speakers"].is_array) {
+    const auto& nums = kv["speakers"].nums;
+    out->n_speakers = int32_t(
+        nums.size() > MT_CLIENT_MAX_SPEAKERS ? MT_CLIENT_MAX_SPEAKERS
+                                             : nums.size());
+    for (int32_t i = 0; i < out->n_speakers; ++i)
+      out->speakers[i] = int32_t(nums[size_t(i)]);
+  }
   return 1;
+}
+
+namespace mtclient {
+
+/* Expand one raw server event into the regularized line-event sequence
+ * (reference: moonshine-c-api.h:165-196 delivery guarantees).  Appends
+ * to c->pending; caller holds line_mu. */
+static void expand_line_events(Conn* c, const mt_client_event_t& raw) {
+  auto emit = [&](int32_t type, const mt_client_event_t& base,
+                  const LineState* st) {
+    mt_client_event_t ev = base;
+    ev.type = type;
+    if (st != nullptr) {
+      copy_text(ev.text, sizeof(ev.text), st->text);
+      ev.n_speakers = int32_t(st->speakers.size());
+      for (size_t i = 0; i < st->speakers.size() &&
+                         i < MT_CLIENT_MAX_SPEAKERS; ++i)
+        ev.speakers[i] = st->speakers[i];
+    }
+    c->pending.push_back(ev);
+  };
+
+  auto complete_line = [&](int32_t id) {
+    LineState& st = c->lines[id];
+    if (st.completed) return;
+    mt_client_event_t base;
+    memset(&base, 0, sizeof(base));
+    base.segment = id;
+    base.line_id = id;
+    if (!st.started) {
+      st.started = true;
+      emit(MT_EVENT_LINE_STARTED, base, &st);
+    }
+    st.completed = true;
+    emit(MT_EVENT_LINE_COMPLETED, base, &st);
+  };
+
+  if (raw.type == MT_EVENT_STOPPED) {
+    /* Drain guarantee: no line stays incomplete past the stream end. */
+    for (auto& [id, st] : c->lines)
+      if (st.started && !st.completed) complete_line(id);
+    c->pending.push_back(raw);
+    return;
+  }
+  if (raw.type == MT_EVENT_ERROR) {
+    c->pending.push_back(raw);
+    return;
+  }
+
+  const int32_t id = raw.segment;
+  LineState& st = c->lines[id];
+  if (st.completed) return;  /* frozen-completed-lines: drop stragglers */
+
+  /* Only-last-line-incomplete: starting/updating line N completes every
+   * earlier incomplete line first. */
+  for (auto& [oid, ost] : c->lines)
+    if (oid < id && ost.started && !ost.completed) complete_line(oid);
+
+  std::vector<int32_t> new_speakers(raw.speakers,
+                                    raw.speakers + raw.n_speakers);
+  const bool text_changed = std::string(raw.text) != st.text;
+  const bool speakers_changed =
+      raw.n_speakers > 0 && new_speakers != st.speakers;
+  st.text = raw.text;
+  if (raw.n_speakers > 0) st.speakers = new_speakers;
+
+  if (!st.started) {
+    st.started = true;
+    emit(MT_EVENT_LINE_STARTED, raw, nullptr);
+  }
+  emit(MT_EVENT_LINE_UPDATED, raw, nullptr);
+  if (text_changed) emit(MT_EVENT_LINE_TEXT_CHANGED, raw, nullptr);
+  if (speakers_changed) emit(MT_EVENT_LINE_SPEAKERS_CHANGED, raw, nullptr);
+  if (raw.type == MT_EVENT_FINAL) {
+    st.completed = true;
+    emit(MT_EVENT_LINE_COMPLETED, raw, nullptr);
+  }
+}
+
+}  // namespace mtclient
+
+int32_t mt_client_set_line_events(int32_t handle, int32_t enabled) {
+  auto c = handles().get(handle);
+  if (!c) return MT_CLIENT_ERR_HANDLE;
+  std::lock_guard<std::mutex> lk(c->line_mu);
+  c->line_events = enabled != 0;
+  if (!c->line_events) {
+    c->lines.clear();
+    c->pending.clear();
+  }
+  return MT_CLIENT_OK;
+}
+
+int32_t mt_client_poll_event(int32_t handle, mt_client_event_t* out,
+                             int32_t timeout_ms) {
+  auto c = handles().get(handle);
+  if (!c) return MT_CLIENT_ERR_HANDLE;
+  if (!out) return MT_CLIENT_ERR_PROTOCOL;
+  const auto deadline = std::chrono::steady_clock::now() +
+                        std::chrono::milliseconds(timeout_ms);
+  for (;;) {
+    {
+      std::lock_guard<std::mutex> lk(c->line_mu);
+      if (c->line_events && !c->pending.empty()) {
+        *out = c->pending.front();
+        c->pending.erase(c->pending.begin());
+        return 1;
+      }
+    }
+    const auto now = std::chrono::steady_clock::now();
+    int remain = int(std::chrono::duration_cast<std::chrono::milliseconds>(
+                         deadline - now)
+                         .count());
+    if (remain < 0) remain = 0;
+    std::string raw;
+    int rc = c->recv_message(raw, remain);
+    if (rc <= 0) return rc;
+    mt_client_event_t ev;
+    rc = parse_raw_event(raw, &ev);
+    if (rc <= 0) return rc;
+    std::lock_guard<std::mutex> lk(c->line_mu);
+    if (!c->line_events) {
+      *out = ev;
+      return 1;
+    }
+    mtclient::expand_line_events(c.get(), ev);
+    /* loop: deliver from pending (a frozen-line drop yields nothing —
+     * keep polling until the deadline) */
+    if (remain == 0 && c->pending.empty()) return 0;
+  }
 }
 
 int32_t mt_client_free(int32_t handle) {

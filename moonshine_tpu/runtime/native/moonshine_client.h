@@ -31,12 +31,25 @@ extern "C" {
 #define MT_CLIENT_EXPORT __attribute__((visibility("default")))
 #endif
 
-/* Event types mirror the server's message types. */
+/* Event types mirror the server's message types; the MT_EVENT_LINE_*
+ * family is the reference's regularized line lifecycle
+ * (reference: moonshine-c-api.h:165-196, README.md:379-397), derived
+ * client-side from the partial/final stream when line events are
+ * enabled (mt_client_set_line_events).  Delivery guarantees match the
+ * reference: exactly one STARTED and one COMPLETED per line, COMPLETED
+ * lines are frozen (stray later updates are dropped), and at most the
+ * LAST started line is incomplete (a new line's STARTED is preceded by
+ * the previous line's COMPLETED). */
 enum mt_client_event_type {
   MT_EVENT_PARTIAL = 0, /* in-progress line text update */
   MT_EVENT_FINAL = 1,   /* line completed (frozen) */
   MT_EVENT_STOPPED = 2, /* server acknowledged stop; stream is drained */
   MT_EVENT_ERROR = 3,   /* server-reported error (text holds the message) */
+  MT_EVENT_LINE_STARTED = 4,          /* first update for a new line */
+  MT_EVENT_LINE_UPDATED = 5,          /* any update touching the line */
+  MT_EVENT_LINE_TEXT_CHANGED = 6,     /* the line's text differs */
+  MT_EVENT_LINE_SPEAKERS_CHANGED = 7, /* the line's speaker set differs */
+  MT_EVENT_LINE_COMPLETED = 8,        /* line frozen; no further events */
 };
 
 /* Return codes (negative = failure), reference-style int error model
@@ -51,6 +64,7 @@ enum mt_client_status {
 };
 
 #define MT_CLIENT_MAX_TEXT 4096
+#define MT_CLIENT_MAX_SPEAKERS 8
 
 typedef struct mt_client_event_t {
   int32_t type;       /* mt_client_event_type */
@@ -62,6 +76,14 @@ typedef struct mt_client_event_t {
    * than the buffer.  Owned by the caller's struct (no library-owned
    * memory, unlike the reference's next-call invalidation rule). */
   char text[MT_CLIENT_MAX_TEXT];
+  /* Line lifecycle fields (MT_EVENT_LINE_*; appended for ABI growth —
+   * older callers that allocated the pre-line-events struct must not
+   * enable line events).  line_id == segment id of the line.  speakers
+   * is the line's current speaker-id set (reference:
+   * moonshine-c-api.h speaker change reporting). */
+  int32_t line_id;
+  int32_t n_speakers;
+  int32_t speakers[MT_CLIENT_MAX_SPEAKERS];
 } mt_client_event_t;
 
 /* Library version string, static storage. */
@@ -81,6 +103,14 @@ MT_CLIENT_EXPORT int32_t mt_client_add_audio(int32_t handle,
 
 /* Send the stop message.  Events keep arriving until MT_EVENT_STOPPED. */
 MT_CLIENT_EXPORT int32_t mt_client_stop(int32_t handle);
+
+/* Enable (1) / disable (0) the regularized line-event stream for this
+ * connection: poll_event then yields MT_EVENT_LINE_* events derived from
+ * the server's partial/final messages (STOPPED/ERROR pass through; raw
+ * PARTIAL/FINAL are consumed by the translation).  Safe to call before
+ * or after mt_client_start; state resets per connection. */
+MT_CLIENT_EXPORT int32_t mt_client_set_line_events(int32_t handle,
+                                                   int32_t enabled);
 
 /* Wait up to timeout_ms for one event.  Returns 1 with *out filled,
  * 0 on timeout, or a negative mt_client_status. */

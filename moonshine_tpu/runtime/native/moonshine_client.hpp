@@ -18,13 +18,21 @@
 namespace moonshine {
 
 struct Event {
-  enum class Type { Partial, Final, Stopped, Error };
+  enum class Type {
+    Partial, Final, Stopped, Error,
+    /* regularized line lifecycle (Stream::set_line_events; reference:
+     * moonshine-c-api.h:165-196) */
+    LineStarted, LineUpdated, LineTextChanged, LineSpeakersChanged,
+    LineCompleted,
+  };
   Type type;
   std::string text;
   int segment;
   double start_s;
   double end_s;
   double latency_ms;
+  int line_id = -1;
+  std::vector<int> speakers;
 };
 
 class ClientError : public std::runtime_error {
@@ -76,6 +84,13 @@ class Stream {
     if (rc < 0) throw ClientError("stop failed", rc);
   }
 
+  /* Switch poll() to the regularized LineStarted/LineUpdated/
+   * LineTextChanged/LineSpeakersChanged/LineCompleted stream. */
+  void set_line_events(bool enabled = true) {
+    int rc = mt_client_set_line_events(handle_, enabled ? 1 : 0);
+    if (rc < 0) throw ClientError("set_line_events failed", rc);
+  }
+
   /* Waits up to timeout_ms; returns false on timeout, throws on closed/
    * protocol errors, fills ev otherwise. */
   bool poll(Event& ev, int timeout_ms) {
@@ -87,6 +102,13 @@ class Stream {
       case MT_EVENT_PARTIAL: ev.type = Event::Type::Partial; break;
       case MT_EVENT_FINAL: ev.type = Event::Type::Final; break;
       case MT_EVENT_STOPPED: ev.type = Event::Type::Stopped; break;
+      case MT_EVENT_LINE_STARTED: ev.type = Event::Type::LineStarted; break;
+      case MT_EVENT_LINE_UPDATED: ev.type = Event::Type::LineUpdated; break;
+      case MT_EVENT_LINE_TEXT_CHANGED:
+        ev.type = Event::Type::LineTextChanged; break;
+      case MT_EVENT_LINE_SPEAKERS_CHANGED:
+        ev.type = Event::Type::LineSpeakersChanged; break;
+      case MT_EVENT_LINE_COMPLETED: ev.type = Event::Type::LineCompleted; break;
       default: ev.type = Event::Type::Error; break;
     }
     ev.text = raw.text;
@@ -94,6 +116,8 @@ class Stream {
     ev.start_s = raw.start_s;
     ev.end_s = raw.end_s;
     ev.latency_ms = raw.latency_ms;
+    ev.line_id = raw.line_id;
+    ev.speakers.assign(raw.speakers, raw.speakers + raw.n_speakers);
     return true;
   }
 

@@ -29,6 +29,13 @@ MT_EVENT_PARTIAL = 0
 MT_EVENT_FINAL = 1
 MT_EVENT_STOPPED = 2
 MT_EVENT_ERROR = 3
+# Regularized line lifecycle (reference: moonshine-c-api.h:165-196),
+# derived client-side when set_line_events(True) is active.
+MT_EVENT_LINE_STARTED = 4
+MT_EVENT_LINE_UPDATED = 5
+MT_EVENT_LINE_TEXT_CHANGED = 6
+MT_EVENT_LINE_SPEAKERS_CHANGED = 7
+MT_EVENT_LINE_COMPLETED = 8
 
 _lib: Optional[ctypes.CDLL] = None
 
@@ -41,6 +48,9 @@ class _Event(ctypes.Structure):
         ("end_s", ctypes.c_double),
         ("latency_ms", ctypes.c_double),
         ("text", ctypes.c_char * 4096),
+        ("line_id", ctypes.c_int32),
+        ("n_speakers", ctypes.c_int32),
+        ("speakers", ctypes.c_int32 * 8),
     ]
 
 
@@ -94,6 +104,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     ]
     lib.mt_client_stop.restype = ctypes.c_int32
     lib.mt_client_stop.argtypes = [ctypes.c_int32]
+    lib.mt_client_set_line_events.restype = ctypes.c_int32
+    lib.mt_client_set_line_events.argtypes = [ctypes.c_int32, ctypes.c_int32]
     lib.mt_client_poll_event.restype = ctypes.c_int32
     lib.mt_client_poll_event.argtypes = [
         ctypes.c_int32, ctypes.POINTER(_Event), ctypes.c_int32,
@@ -139,6 +151,8 @@ class ClientEvent:
     start_s: float
     end_s: float
     latency_ms: float
+    line_id: int = -1
+    speakers: tuple = ()
 
     @property
     def is_final(self) -> bool:
@@ -174,6 +188,14 @@ class NativeClientStream:
         if rc < 0:
             raise ConnectionError(f"mt_client_stop -> {rc}")
 
+    def set_line_events(self, enabled: bool = True) -> None:
+        """Switch poll() to the regularized MT_EVENT_LINE_* stream
+        (exactly-once started/completed per line, frozen completed
+        lines, only the last line incomplete)."""
+        rc = self._lib.mt_client_set_line_events(self._h, 1 if enabled else 0)
+        if rc < 0:
+            raise ConnectionError(f"mt_client_set_line_events -> {rc}")
+
     def poll(self, timeout_ms: int) -> ClientEvent | None:
         ev = _Event()
         rc = self._lib.mt_client_poll_event(self._h, ctypes.byref(ev), timeout_ms)
@@ -184,7 +206,8 @@ class NativeClientStream:
         return ClientEvent(
             type=ev.type, text=ev.text.decode("utf-8", "replace"),
             segment=ev.segment, start_s=ev.start_s, end_s=ev.end_s,
-            latency_ms=ev.latency_ms,
+            latency_ms=ev.latency_ms, line_id=ev.line_id,
+            speakers=tuple(ev.speakers[i] for i in range(ev.n_speakers)),
         )
 
     def close(self) -> None:

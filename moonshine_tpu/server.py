@@ -144,6 +144,13 @@ class TranscriptionServer:
                     "end": round(ev.end_time, 3),
                     "latency_ms": round(ev.latency_ms, 1),
                 }
+                # Speaker annotations ride along when the service carries
+                # them (diarization-attached deployments); the native
+                # client's line-event mode diffs them into
+                # LINE_SPEAKERS_CHANGED events.
+                speakers = getattr(ev, "speakers", None)
+                if speakers:
+                    payload["speakers"] = [int(s) for s in speakers]
                 if ev.is_final:
                     conn.last_segment_final = ev.segment_id
                 if self._loop is not None:

@@ -424,8 +424,8 @@ def test_java_api_matches_jni_symbols(tmp_path):
     natives = re.findall(
         r"native\s+[\w\[\]<>]+\s+(\w+)\s*\(", java)
     assert sorted(natives) == sorted(
-        ["connect", "start", "addAudio", "stop", "pollEventText", "free",
-         "tts", "g2p"])
+        ["connect", "start", "addAudio", "stop", "setLineEvents",
+         "pollEventText", "free", "tts", "g2p"])
     jni_dir = NATIVE_DIR.parent / "bindings" / "jni"
     out = tmp_path / "libmoonshine_jni_check.so"
     subprocess.run(
@@ -460,3 +460,185 @@ def test_swift_api_matches_c_header():
     for field in ("type;", "segment;", "start_s;", "end_s;",
                   "latency_ms;"):
         assert field in header
+
+
+# ---------------------------------------------------------------------------
+# Regularized 5-event line lifecycle over the native wire (VERDICT r4
+# item 7; reference: moonshine-c-api.h:165-196, README.md:379-397).
+# ---------------------------------------------------------------------------
+
+
+def _collect_line_events(port: int, seed: int, seconds: float = 2.4) -> list:
+    rng = np.random.RandomState(seed)
+    events = []
+    with native_client.NativeClientStream("127.0.0.1", port) as stream:
+        stream.set_line_events(True)
+        for _ in range(int(seconds / 0.4)):
+            stream.add_audio((rng.randn(6400) * 0.1).astype(np.float32))
+            time.sleep(0.08)
+        stream.stop()
+        deadline = time.monotonic() + 90.0
+        while time.monotonic() < deadline:
+            ev = stream.poll(timeout_ms=1000)
+            if ev is None:
+                continue
+            events.append(ev)
+            if ev.type == native_client.MT_EVENT_STOPPED:
+                break
+    return events
+
+
+def _assert_line_contract(events) -> None:
+    """The reference's delivery guarantees: exactly-once started/completed
+    per line, frozen completed lines, only the last line incomplete."""
+    nc = native_client
+    line_kinds = (nc.MT_EVENT_LINE_STARTED, nc.MT_EVENT_LINE_UPDATED,
+                  nc.MT_EVENT_LINE_TEXT_CHANGED,
+                  nc.MT_EVENT_LINE_SPEAKERS_CHANGED,
+                  nc.MT_EVENT_LINE_COMPLETED)
+    # raw partial/final never leak through in line mode
+    assert all(e.type not in (nc.MT_EVENT_PARTIAL, nc.MT_EVENT_FINAL)
+               for e in events)
+    started: dict[int, int] = {}
+    completed: dict[int, int] = {}
+    open_lines: set[int] = set()
+    for e in events:
+        if e.type not in line_kinds:
+            continue
+        lid = e.line_id
+        assert lid == e.segment  # line id rides the segment field too
+        if e.type == nc.MT_EVENT_LINE_STARTED:
+            started[lid] = started.get(lid, 0) + 1
+            # only-last-line-incomplete: starting a new line means every
+            # earlier line is already completed
+            assert not open_lines, (lid, open_lines)
+            open_lines.add(lid)
+        else:
+            # frozen-completed-lines: nothing after COMPLETED; everything
+            # else requires a prior STARTED
+            assert lid in started and lid not in completed, (e.type, lid)
+            if e.type == nc.MT_EVENT_LINE_COMPLETED:
+                completed[lid] = completed.get(lid, 0) + 1
+                open_lines.discard(lid)
+    assert all(v == 1 for v in started.values()), started
+    assert all(v == 1 for v in completed.values()), completed
+    # the stream end (STOPPED) drains every line
+    assert set(started) == set(completed)
+    assert not open_lines
+
+
+def test_line_events_loopback_contract():
+    with _ServerHarness() as h:
+        events = _collect_line_events(h.server.port, seed=3)
+    assert events and events[-1].type == native_client.MT_EVENT_STOPPED
+    nc = native_client
+    n_started = sum(e.type == nc.MT_EVENT_LINE_STARTED for e in events)
+    n_completed = sum(e.type == nc.MT_EVENT_LINE_COMPLETED for e in events)
+    # 2.4 s at a 1 s segment cap -> at least 2 lines, each exactly once
+    assert n_started >= 2 and n_started == n_completed
+    assert any(e.type == nc.MT_EVENT_LINE_UPDATED for e in events)
+    _assert_line_contract(events)
+
+
+class _ScriptedServer:
+    """Minimal websockets stub that ignores audio and replays a scripted
+    event sequence after the start message — lets the test pin the exact
+    client-side regularization, including speaker changes the live
+    service doesn't emit."""
+
+    def __init__(self, script: list[dict]):
+        pytest.importorskip("websockets")
+        self.script = script
+        self.port = None
+        self._ready = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self):
+        import json
+
+        import websockets
+
+        async def handler(ws):
+            async for message in ws:
+                if isinstance(message, bytes):
+                    continue
+                msg = json.loads(message)
+                if msg.get("type") == "start":
+                    for ev in self.script:
+                        await ws.send(json.dumps(ev))
+                elif msg.get("type") == "stop":
+                    await ws.send(json.dumps({"type": "stopped"}))
+                    return
+
+        async def main():
+            async with websockets.serve(handler, "127.0.0.1", 0) as server:
+                self.port = server.sockets[0].getsockname()[1]
+                self._ready.set()
+                await asyncio.Future()
+
+        loop = asyncio.new_event_loop()
+        asyncio.set_event_loop(loop)
+        try:
+            loop.run_until_complete(main())
+        except Exception:
+            pass
+        finally:
+            loop.close()
+
+    def __enter__(self):
+        self._thread.start()
+        assert self._ready.wait(timeout=30.0)
+        return self
+
+    def __exit__(self, *exc):
+        pass  # daemon thread; the client closing ends the handler
+
+
+def test_line_events_regularization_scripted():
+    nc = native_client
+    script = [
+        {"type": "partial", "segment": 0, "text": "a"},
+        {"type": "partial", "segment": 0, "text": "a"},     # no text change
+        {"type": "partial", "segment": 0, "text": "ab",
+         "speakers": [1]},                                   # text + speakers
+        {"type": "partial", "segment": 1, "text": "x"},      # forces 0 done
+        {"type": "final", "segment": 1, "text": "xy"},
+        {"type": "partial", "segment": 1, "text": "zz"},     # frozen: dropped
+    ]
+    with _ScriptedServer(script) as srv:
+        events = []
+        with native_client.NativeClientStream("127.0.0.1", srv.port) as s:
+            s.set_line_events(True)
+            s.stop()
+            deadline = time.monotonic() + 30.0
+            while time.monotonic() < deadline:
+                ev = s.poll(timeout_ms=500)
+                if ev is None:
+                    continue
+                events.append(ev)
+                if ev.type == nc.MT_EVENT_STOPPED:
+                    break
+    kinds = [(e.type, e.line_id) for e in events]
+    assert kinds == [
+        (nc.MT_EVENT_LINE_STARTED, 0),
+        (nc.MT_EVENT_LINE_UPDATED, 0),
+        (nc.MT_EVENT_LINE_TEXT_CHANGED, 0),    # "" -> "a"
+        (nc.MT_EVENT_LINE_UPDATED, 0),         # same text: update only
+        (nc.MT_EVENT_LINE_UPDATED, 0),
+        (nc.MT_EVENT_LINE_TEXT_CHANGED, 0),    # "a" -> "ab"
+        (nc.MT_EVENT_LINE_SPEAKERS_CHANGED, 0),
+        (nc.MT_EVENT_LINE_COMPLETED, 0),       # regularized before line 1
+        (nc.MT_EVENT_LINE_STARTED, 1),
+        (nc.MT_EVENT_LINE_UPDATED, 1),
+        (nc.MT_EVENT_LINE_TEXT_CHANGED, 1),    # "" -> "x"
+        (nc.MT_EVENT_LINE_UPDATED, 1),
+        (nc.MT_EVENT_LINE_TEXT_CHANGED, 1),    # "x" -> "xy"
+        (nc.MT_EVENT_LINE_COMPLETED, 1),
+        (nc.MT_EVENT_STOPPED, -1),             # frozen-line update dropped
+    ], kinds
+    # the dropped frozen-line update produced NOTHING between COMPLETED(1)
+    # and STOPPED
+    sp = [e for e in events
+          if e.type == nc.MT_EVENT_LINE_SPEAKERS_CHANGED]
+    assert sp and sp[0].speakers == (1,)
+    _assert_line_contract(events)
