@@ -234,7 +234,10 @@ def tts_voices_json(languages: str | None = None,
                        for p in rootp.glob("*.voicepack.safetensors")}
     for lang in langs:
         voices = [{"id": "style_default", "state": "found"},
-                  {"id": "neural-pack", "state": "found"}]
+                  {"id": "neural-pack", "state": "found"},
+                  # code-only Klatt formant voice (tts/klatt.py) — no
+                  # assets to download, always available
+                  {"id": "klatt", "state": "found"}]
         for pid in sorted(found_packs):
             voices.append({"id": pid, "state": "found"})
         for pid in KNOWN_VOICE_PACKS:
