@@ -1203,7 +1203,7 @@ def main() -> None:
                    "decoding (BASELINE config 4) as a driver phase")
     p.add_argument("--spec-gamma", type=int, default=8,
                    help="draft proposals per speculative round")
-    p.add_argument("--spec-draft", default="nano",
+    p.add_argument("--spec-draft", default="pico",
                    choices=["tiny", "nano", "pico"],
                    help="draft arch for the trained pair: the published "
                    "tiny, a half-tiny nano, or a 2-layer pico draft "

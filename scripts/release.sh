@@ -9,6 +9,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Never touch the TPU from the release pipeline (wheel + native builds
+# are host-only; grabbing the chip here can kill a concurrent bench).
+export MOONSHINE_TPU_PLATFORM=cpu
+
 SKIP_TESTS=0
 OUT=dist
 for a in "$@"; do
