@@ -69,3 +69,20 @@ def test_serve_pool_example(wav_path):
     assert "warmup:" in out
     assert "cohort 0" in out and "cohort 1" in out
     assert "finalized segments across 4 streams" in out
+
+
+def test_micro_demo_example(tmp_path):
+    """The rp2350-demo analog: VAD -> SpellingCNN -> Klatt TTS round trip
+    (self-test mode speaks 'bee' through the formant voice first)."""
+    if not Path("/root/reference/micro/models").exists():
+        pytest.skip("reference micro models unavailable")
+    out_wav = tmp_path / "reply.wav"
+    out = _run(["examples/micro_demo.py", "--out", str(out_wav)])
+    assert "VAD span" in out
+    # a REAL round trip: the formant-spoken "eight" must classify as '8'
+    assert "SpellingCNN: char='8'" in out
+    assert out_wav.exists()
+    from moonshine_tpu.audio.wav import load_wav
+
+    reply, sr = load_wav(str(out_wav))
+    assert sr == 22050 and len(reply) > 8000
