@@ -540,14 +540,6 @@ def _interp_tracks(tracks: dict[str, np.ndarray], spf: int) -> dict[str, np.ndar
     return out
 
 
-def _rosenberg_pulse(phase: np.ndarray, open_f: float, close_f: float) -> np.ndarray:
-    op, cl = F32(open_f), F32(close_f)
-    rise = F32(0.5) * (F32(1.0) - np.cos(F32(np.pi) * phase / op, dtype=F32))
-    fall = np.cos(F32(np.pi) * (phase - op) / (F32(2.0) * cl), dtype=F32)
-    return np.where(phase < op, rise,
-                    np.where(phase < op + cl, fall, F32(0.0))).astype(F32)
-
-
 def _lf_shape(rd: float) -> dict[str, float]:
     """Fant Rd -> LF flow-derivative shape (reference: klatt.cc:94-162)."""
     rd = min(2.7, max(0.3, rd))
@@ -588,14 +580,6 @@ def _lf_shape(rd: float) -> dict[str, float]:
         ee = 1.0
     return dict(a=a, wg=wg, te=te, eps=eps, ta=ta, tb=tb, ee=ee,
                 exp_eps_tb=exp_eps_tb)
-
-
-def _lf_deriv(phase: np.ndarray, sh: dict[str, float]) -> np.ndarray:
-    open_part = (np.exp(sh["a"] * phase) * np.sin(sh["wg"] * phase)
-                 / sh["ee"])
-    ret = -(1.0 / (sh["eps"] * sh["ta"])) * (
-        np.exp(-sh["eps"] * (phase - sh["te"])) - sh["exp_eps_tb"])
-    return np.where(phase < sh["te"], open_part, ret).astype(F32)
 
 
 def _compute_source(vp: KlattVoice, s: dict[str, np.ndarray],
